@@ -1,0 +1,28 @@
+"""ngsepcore_tpu — TPU-native NGS analysis framework.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of NGSEP
+(Next Generation Sequencing Experience Platform, reference: acastem15/NGSEPcore,
+pure Java).  Host-side Python handles file formats (FASTA/FASTQ/SAM/VCF/GFF);
+all heavy compute — k-mer counting, minimizer indexing, seed-and-extend
+alignment DP, pileup genotype-likelihood math, HMMs — runs on TPU through
+jnp/XLA and Pallas kernels over dense padded tensors.
+
+Layer map (mirrors SURVEY.md §7 build plan):
+  core/       sequence model + encodings        (ref: src/ngsep/sequences)
+  io/         FASTA/FASTQ/SAM/VCF/GFF readers+writers (ref: */io)
+  math/       log-space math, Phred, Fisher     (ref: src/ngsep/math)
+  kernels/    Pallas/XLA device kernels (kmers, DP, pileup, HMM scans)
+  index/      k-mer spectrum, minimizer table   (ref: FMIndex/ShortKmerCodesTable)
+  align/      ReadsAligner engine               (ref: src/ngsep/alignments)
+  call/       variant discovery + genotyping    (ref: src/ngsep/discovery)
+  variants/   variant model                     (ref: src/ngsep/variants)
+  vcf/        VCF model + downstream analytics  (ref: src/ngsep/vcf)
+  hmm/        log-space HMMs                    (ref: src/ngsep/hmm)
+  distribute/ device-mesh sharding helpers (data-parallel read batches)
+  cli/        command registry + dispatch       (ref: src/ngsep/main)
+  simulation/ individual/read simulators        (ref: src/ngsep/simulation)
+  ...long tail: assembly, gbs, haplotyping, clustering, transcriptome,
+  genome (comparative), sequencing (demux/trim), benchmark, gwas, graphs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,130 @@
+"""K-mer code extraction and counting on device.
+
+TPU-first redesign of the reference's k-mer machinery:
+- ref: DNASequence.java:132-178 — `getDNAHash`/`getNextDNAHash` scalar rolling
+  2-bit hash per position.  Here: one vectorized shift-accumulate over a
+  (reads, positions) code tensor, all positions at once.
+- ref: KmersExtractor.java:393-426 + ShortArrayDNAKmersMapImpl.java:21,61-68 —
+  Java counts into a giant `short[4^k]` under a lock.  A 4^15 flat array is
+  4 GiB in int32 on HBM and scatter-heavy; the TPU-native layout is instead
+  sort + run-length-encode per batch (XLA's sort maps well onto the VPU) with
+  host-side sorted-run merging across batches (index/kmers_map.py).
+
+Codes use the reference's alphabet order A=0,C=1,G=2,T=3
+(DNASequence.java:33-34) so code values are directly comparable for parity.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CODE = 4
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_codes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """Extract k-mer codes from a padded (n_reads, L) int8 code batch.
+
+    Returns (kcodes, valid):
+      kcodes: (n_reads, L-k+1) int32/int64 2-bit-packed codes
+      valid:  same-shape bool — window fully in-read and free of non-ACGT
+              (non-ACGT breaks the rolling window, ref: KmersExtractor /
+              DNASequence.java:164-178 semantics).
+    """
+    n, L = codes.shape
+    nk = L - k + 1
+    dtype = jnp.int32 if k <= 15 else jnp.int64
+    c = codes.astype(dtype)
+    acc = jnp.zeros((n, nk), dtype=dtype)
+    ok = jnp.ones((n, nk), dtype=bool)
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(c, j, nk, axis=1)
+        acc = acc * 4 + jnp.where(cj < 4, cj, 0)
+        ok = ok & (cj < 4)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
+    ok = ok & (pos + k <= lengths[:, None])
+    return acc, ok
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_codes_both_strands(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """Forward + reverse-complement k-mer codes for a read batch.
+
+    The reference counts each read's k-mers on both strands by default
+    (KmersExtractor "both strands", SURVEY A.5).  The reverse-complement
+    code of a window is computed arithmetically from the complemented
+    codes read right-to-left — no second pass over the sequence.
+    """
+    fwd, ok = kmer_codes(codes, lengths, k)
+    dtype = fwd.dtype
+    n, L = codes.shape
+    nk = L - k + 1
+    c = codes.astype(dtype)
+    comp = jnp.where(c < 4, 3 - c, c)
+    acc = jnp.zeros((n, nk), dtype=dtype)
+    # revcomp code: bases of the window reversed; accumulate from last to first
+    for j in range(k - 1, -1, -1):
+        cj = jax.lax.dynamic_slice_in_dim(comp, j, nk, axis=1)
+        acc = acc * 4 + jnp.where(cj < 4, cj, 0)
+    return fwd, acc, ok
+
+
+@jax.jit
+def sort_count_codes(flat_codes: jnp.ndarray, valid: jnp.ndarray):
+    """Sort a flat code vector and run-length-encode it on device.
+
+    Invalid entries are mapped to the sentinel max value so they sort last.
+    Returns (sorted_unique_codes, counts, n_unique): fixed-size arrays where
+    entries past n_unique are sentinel/zero.  This replaces the reference's
+    locked scatter into `short[4^k]` (ShortArrayDNAKmersMapImpl.java:61-68)
+    with a sort — deterministic and parallel with no contention.
+    """
+    sentinel = jnp.iinfo(flat_codes.dtype).max
+    keyed = jnp.where(valid, flat_codes, sentinel)
+    s = jnp.sort(keyed)
+    n = s.shape[0]
+    is_start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]]) & (s != sentinel)
+    # segment id per element; invalid tail collapses into one trailing segment
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg = jnp.where(s == sentinel, n - 1, seg)
+    counts = jax.ops.segment_sum(
+        jnp.where(s != sentinel, 1, 0).astype(jnp.int32), seg, num_segments=n
+    )
+    uniq = jax.ops.segment_max(
+        jnp.where(s != sentinel, s, jnp.array(sentinel, s.dtype)), seg, num_segments=n
+    )
+    n_unique = jnp.sum(is_start.astype(jnp.int32))
+    return uniq, counts, n_unique
+
+
+@partial(jax.jit, static_argnames=("k", "both_strands"))
+def count_batch_kmers(codes, lengths, k: int, both_strands: bool = True):
+    """Full per-batch k-mer counting: extract + sort + RLE on device."""
+    if both_strands:
+        fwd, rev, ok = kmer_codes_both_strands(codes, lengths, k)
+        flat = jnp.concatenate([fwd.reshape(-1), rev.reshape(-1)])
+        mask = jnp.concatenate([ok.reshape(-1), ok.reshape(-1)])
+    else:
+        fwd, ok = kmer_codes(codes, lengths, k)
+        flat = fwd.reshape(-1)
+        mask = ok.reshape(-1)
+    return sort_count_codes(flat, mask)
+
+
+def decode_kmer(code: int, k: int) -> str:
+    """Decode a 2-bit packed k-mer code back to an ACGT string."""
+    out = []
+    for _ in range(k):
+        out.append("ACGT"[code & 3])
+        code >>= 2
+    return "".join(reversed(out))
+
+
+def encode_kmer(kmer: str) -> int:
+    code = 0
+    for ch in kmer:
+        code = code * 4 + "ACGT".index(ch.upper())
+    return code
