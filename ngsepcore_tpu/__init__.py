@@ -26,3 +26,10 @@ Layer map (mirrors SURVEY.md §7 build plan):
 """
 
 __version__ = "0.1.0"
+
+# Genomic coordinates and packed k-mer codes (4^25 ~ 2^50 for seed k-mers)
+# need true 64-bit integers on device.  Hot floating-point kernels request
+# float32/bfloat16 explicitly, so enabling x64 does not slow the math paths.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)

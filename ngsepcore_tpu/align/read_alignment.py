@@ -1,0 +1,214 @@
+"""Read alignment record — the SAM-equivalent model.
+
+Ref: src/ngsep/alignments/ReadAlignment.java (flags bitmask :43-58, CIGAR
+int codes, clipBorders :1509-1553, per-reference-pos allele calls :989-1101).
+CIGAR is a list of (length, op) tuples with SAM op chars; soft clips are the
+reference's SKIPFROMREAD.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# SAM flags (ref: ReadAlignment.java:43-58)
+FLAG_PAIRED = 1
+FLAG_PROPER = 2
+FLAG_READ_UNMAPPED = 4
+FLAG_MATE_UNMAPPED = 8
+FLAG_READ_REVERSE = 16
+FLAG_MATE_REVERSE = 32
+FLAG_FIRST_OF_PAIR = 64
+FLAG_SECOND_OF_PAIR = 128
+FLAG_SECONDARY = 256
+FLAG_FAILS_QC = 512
+FLAG_DUPLICATE = 1024
+FLAG_SUPPLEMENTARY = 2048
+
+_CONSUMES_READ = set("MIS=X")
+_CONSUMES_REF = set("MDN=X")
+
+
+@dataclass
+class ReadAlignment:
+    sequence_name: str | None  # None = unmapped
+    first: int  # 1-based leftmost mapped ref position
+    cigar: list[tuple[int, str]] = field(default_factory=list)
+    flags: int = 0
+    read_name: str = ""
+    read_chars: str = ""  # as aligned (already revcomp'd if negative strand)
+    qualities: str | None = None
+    alignment_quality: int = 0  # MAPQ
+    num_mismatches: int = 0
+    mate_sequence_name: str | None = None
+    mate_first: int = 0
+    inferred_insert_size: int = 0
+    read_group: str | None = None
+
+    # ---- flags -----------------------------------------------------------
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flags & FLAG_READ_UNMAPPED) or self.sequence_name is None
+
+    @property
+    def is_negative_strand(self) -> bool:
+        return bool(self.flags & FLAG_READ_REVERSE)
+
+    def set_negative_strand(self, v: bool) -> None:
+        if v:
+            self.flags |= FLAG_READ_REVERSE
+        else:
+            self.flags &= ~FLAG_READ_REVERSE
+
+    @property
+    def is_secondary(self) -> bool:
+        return bool(self.flags & FLAG_SECONDARY)
+
+    def set_secondary(self, v: bool) -> None:
+        if v:
+            self.flags |= FLAG_SECONDARY
+        else:
+            self.flags &= ~FLAG_SECONDARY
+
+    @property
+    def is_paired(self) -> bool:
+        return bool(self.flags & FLAG_PAIRED)
+
+    @property
+    def is_proper_pair(self) -> bool:
+        return bool(self.flags & FLAG_PROPER)
+
+    # ---- CIGAR -----------------------------------------------------------
+    @property
+    def cigar_string(self) -> str:
+        if not self.cigar:
+            return "*"
+        return "".join(f"{l}{op}" for l, op in self.cigar)
+
+    @property
+    def read_length(self) -> int:
+        return sum(l for l, op in self.cigar if op in _CONSUMES_READ) or len(
+            self.read_chars
+        )
+
+    @property
+    def reference_span(self) -> int:
+        return sum(l for l, op in self.cigar if op in _CONSUMES_REF)
+
+    @property
+    def last(self) -> int:
+        """1-based inclusive rightmost mapped reference position."""
+        return self.first + self.reference_span - 1
+
+    @property
+    def soft_clip_start(self) -> int:
+        return self.cigar[0][0] if self.cigar and self.cigar[0][1] == "S" else 0
+
+    @property
+    def soft_clip_end(self) -> int:
+        return self.cigar[-1][0] if self.cigar and self.cigar[-1][1] == "S" else 0
+
+    def clip_borders(self, min_match_length: int) -> bool:
+        """Soft-clip unreliable CIGAR borders.
+
+        Ref: ReadAlignment.clipBorders (ReadAlignment.java:1509-1553):
+        walk in from each end until a match run of length>=min_match_length;
+        everything outside becomes one soft-clip run.  Returns False if no
+        such anchor exists.
+        """
+        cig = self.cigar
+        i = 0
+        rm_ref_start = rm_read_start = 0
+        while i < len(cig):
+            l, op = cig[i]
+            if l >= min_match_length and op == "M":
+                break
+            if op in _CONSUMES_READ:
+                rm_read_start += l
+            if op in _CONSUMES_REF:
+                rm_ref_start += l
+            i += 1
+        j = len(cig) - 1
+        rm_ref_end = rm_read_end = 0
+        while j >= 0:
+            l, op = cig[j]
+            if l >= min_match_length and op == "M":
+                break
+            if op in _CONSUMES_READ:
+                rm_read_end += l
+            if op in _CONSUMES_REF:
+                rm_ref_end += l
+            j -= 1
+        if i > j:
+            return False
+        new_cigar: list[tuple[int, str]] = []
+        if rm_read_start > 0:
+            new_cigar.append((rm_read_start, "S"))
+        new_cigar.extend(cig[i : j + 1])
+        if rm_read_end > 0:
+            new_cigar.append((rm_read_end, "S"))
+        self.first += rm_ref_start
+        self.cigar = new_cigar
+        return True
+
+    # ---- per-position access (pileup support) -----------------------------
+    def read_position_at(self, ref_pos: int) -> int:
+        """0-based read index aligned to 1-based ref_pos, or -1."""
+        pos = self.first
+        read_idx = 0
+        for l, op in self.cigar:
+            cr = op in _CONSUMES_READ
+            cf = op in _CONSUMES_REF
+            if cf and pos + l > ref_pos:
+                if cr and pos <= ref_pos:
+                    return read_idx + (ref_pos - pos)
+                return -1
+            if cf:
+                pos += l
+            if cr:
+                read_idx += l
+        return -1
+
+    def to_sam_fields(self) -> list[str]:
+        seq = self.read_chars or "*"
+        qual = self.qualities or "*"
+        rname = self.sequence_name or "*"
+        pos = self.first if self.sequence_name else 0
+        rnext = "*"
+        if self.mate_sequence_name:
+            rnext = (
+                "="
+                if self.mate_sequence_name == self.sequence_name
+                else self.mate_sequence_name
+            )
+        fields = [
+            self.read_name,
+            str(self.flags),
+            rname,
+            str(pos),
+            str(self.alignment_quality),
+            self.cigar_string if self.sequence_name else "*",
+            rnext,
+            str(self.mate_first),
+            str(self.inferred_insert_size),
+            seq,
+            qual,
+        ]
+        tags = [f"NM:i:{self.num_mismatches}"]
+        if self.read_group:
+            tags.append(f"RG:Z:{self.read_group}")
+        return fields + tags
+
+
+def cigar_from_string(s: str) -> list[tuple[int, str]]:
+    if s == "*" or not s:
+        return []
+    out = []
+    num = 0
+    for ch in s:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            out.append((num, ch))
+            num = 0
+    return out

@@ -1,0 +1,278 @@
+"""Batched affine-gap (Gotoh) pairwise alignment on device.
+
+Ref: src/ngsep/alignments/PairwiseAlignerAffineGap.java:29-292 — 3-matrix
+Gotoh with match=+1 mismatch=-1 openGap=3 extGap=1 (subtracted), "force"
+flags for free subject ends, and a deterministic traceback preference order
+(M then I then D, PairwiseAlignerAffineGap.java:228-259).
+
+TPU redesign: instead of the reference's per-cell scalar loops, the DP runs
+as one `lax.scan` over query rows with each row fully vectorized across
+subject positions and across a batch of (query, subject) pairs.  The
+within-row dependency of the deletion matrix (D[i][j] depends on D[i][j-1])
+is solved in closed form with a cumulative max:
+
+    D[i][j] = max(A[j-1], D[i][j-1] - ext)   where A = max(M,I) - open
+  =>  D[i][j] = max_h<=j-1 ( A[h] - ext*(j-1-h) )
+  =>  D[i][j] = cummax( A[h] + ext*h )[j-1] - ext*(j-1)
+
+so every row is O(Ls) vector work with no sequential inner loop.  Traceback
+pointers are packed 2+2+2 bits into a uint8 tensor and walked on device by a
+vmapped fori_loop, emitting per-step alignment ops that the host run-length
+encodes into CIGARs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# alignment ops emitted by traceback
+OP_NONE = 0
+OP_MATCH = 1  # diagonal (match or mismatch)
+OP_INS = 2  # query base consumed, gap in subject (CIGAR I)
+OP_DEL = 3  # subject base consumed, gap in query (CIGAR D)
+
+NEG = -(10 ** 7)  # "banned" score, matches spirit of length*-openGap*1000
+
+
+@partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "open_gap", "ext_gap", "free_start2", "free_end2"),
+)
+def affine_gap_align_batch(
+    query: jnp.ndarray,  # (B, Lq) int8 codes, padded
+    qlen: jnp.ndarray,  # (B,) int32
+    subject: jnp.ndarray,  # (B, Ls) int8 codes, padded
+    slen: jnp.ndarray,  # (B,) int32
+    match: int = 1,
+    mismatch: int = 1,
+    open_gap: int = 3,
+    ext_gap: int = 1,
+    free_start2: bool = True,
+    free_end2: bool = True,
+):
+    """Batch Gotoh alignment of query[i] vs subject[i].
+
+    free_start2/free_end2 correspond to the reference's
+    forceStart2=false/forceEnd2=false (subject ends unpenalized) — the
+    configuration used for gapped read alignment
+    (ShortReadsUngappedSearchHitsClusterAligner.java:137-141
+    createAlignerFullRead).  Query is always global (forceStart1/End1 true).
+
+    Returns dict with:
+      score   (B,) int32 — best alignment score
+      ops     (B, Lq+Ls) uint8 — alignment operations in forward order,
+              left-padded with OP_NONE
+      n_ops   (B,) int32
+      start_j (B,) int32 — 0-based subject offset where alignment begins
+      end_j   (B,) int32 — 0-based subject offset one past alignment end
+    """
+    B, Lq = query.shape
+    _, Ls = subject.shape
+
+    jj = jnp.arange(Ls + 1, dtype=jnp.int32)  # subject axis with boundary col
+
+    # boundary row i=0: M[0][0]=0; M[0][j>0]=banned; D[0][j] per free_start2
+    m0 = jnp.where(jj == 0, 0, NEG).astype(jnp.int32)
+    m0 = jnp.broadcast_to(m0, (B, Ls + 1))
+    i0 = jnp.where(jj == 0, 0, NEG).astype(jnp.int32)
+    i0 = jnp.broadcast_to(i0, (B, Ls + 1))
+    if free_start2:
+        d0 = jnp.zeros((Ls + 1,), jnp.int32)
+    else:
+        d0 = jnp.where(jj == 0, 0, -open_gap - ext_gap * (jj - 1)).astype(jnp.int32)
+    d0 = jnp.broadcast_to(d0, (B, Ls + 1))
+
+    ext_j = ext_gap * jj  # (Ls+1,)
+
+    def row_step(carry, qi):
+        m_prev, i_prev, d_prev = carry  # each (B, Ls+1)
+        q_char, row_i = qi  # (B,) int8, () int32
+
+        # substitution score vs every subject position (boundary col excluded)
+        sub = jnp.where(subject == q_char[:, None], match, -mismatch).astype(jnp.int32)
+        # column j in 1..Ls uses prev row col j-1
+        best_prev_diag = jnp.maximum(jnp.maximum(m_prev, i_prev), d_prev)[:, :-1]
+        m_inner = best_prev_diag + sub  # (B, Ls)
+        # traceback for M: which matrix preceded (ref order: M, I, D)
+        mp = jnp.where(
+            m_prev[:, :-1] >= jnp.maximum(i_prev[:, :-1], d_prev[:, :-1]),
+            0,
+            jnp.where(i_prev[:, :-1] >= d_prev[:, :-1], 1, 2),
+        ).astype(jnp.uint8)
+        # boundary col j=0 for row i>0
+        m_bound = jnp.full((B, 1), NEG, jnp.int32)
+        m_row = jnp.concatenate([m_bound, m_inner], axis=1)
+
+        # I matrix (gap in subject; query consumed): depends on prev row same col
+        i_cand_m = m_prev - open_gap
+        i_cand_i = i_prev - ext_gap
+        i_cand_d = d_prev - open_gap
+        i_row = jnp.maximum(jnp.maximum(i_cand_m, i_cand_i), i_cand_d)
+        ip = jnp.where(
+            i_cand_m >= jnp.maximum(i_cand_i, i_cand_d),
+            0,
+            jnp.where(i_cand_i >= i_cand_d, 1, 2),
+        ).astype(jnp.uint8)
+        # boundary col: I[i][0] = -open-ext*(i-1) (query global, forceStart1)
+        i_bound = (-open_gap - ext_gap * (row_i - 1)).astype(jnp.int32)
+        i_row = i_row.at[:, 0].set(i_bound)
+
+        # D matrix via cumulative max within the row:
+        # D[j] = max(A[j-1], D[j-1]-ext), A = max(M,I) - open  (and M vs I for tb)
+        a_m = m_row - open_gap
+        a_i = i_row - open_gap
+        a = jnp.maximum(a_m, a_i)
+        shifted = (a + ext_j)[:, :-1]  # A[h] + ext*h for h = 0..Ls-1
+        run = jax.lax.cummax(shifted, axis=1)  # max_{h<=j-1}
+        d_inner = run - ext_j[1:][None, :] + ext_gap  # - ext*(j-1)
+        d_bound = jnp.full((B, 1), NEG, jnp.int32)
+        d_row = jnp.concatenate([d_bound, d_inner], axis=1)
+        # D traceback: opened here (from M or I at j-1) vs extended (D at j-1)
+        opened = a[:, :-1] >= (d_row[:, :-1] - ext_gap)
+        dp_open_from_m = a_m[:, :-1] >= a_i[:, :-1]
+        dp = jnp.where(opened, jnp.where(dp_open_from_m, 0, 1), 2).astype(jnp.uint8)
+        dp = jnp.concatenate([jnp.zeros((B, 1), jnp.uint8), dp], axis=1)
+
+        # rows past the query length are frozen so final carry = row qlen
+        active = row_i <= qlen  # (B,)
+        m_row = jnp.where(active[:, None], m_row, m_prev)
+        i_row = jnp.where(active[:, None], i_row, i_prev)
+        d_row = jnp.where(active[:, None], d_row, d_prev)
+
+        tb = (mp | (ip[:, 1:] << 2) | (dp[:, 1:] << 4)).astype(jnp.uint8)  # (B, Ls)
+        return (m_row, i_row, d_row), tb
+
+    rows = jnp.arange(1, Lq + 1, dtype=jnp.int32)
+    (m_fin, i_fin, d_fin), tb_rows = jax.lax.scan(
+        row_step, (m0, i0, d0), (query.T, rows)
+    )
+    # tb_rows: (Lq, B, Ls) -> (B, Lq, Ls).  Because rows past qlen are frozen,
+    # the final carry IS row qlen — no need to materialize all score rows.
+    tb = jnp.transpose(tb_rows, (1, 0, 2))
+
+    cols = jnp.arange(Ls + 1, dtype=jnp.int32)[None, :]
+    col_valid = cols <= slen[:, None]
+    # final-cell selection (ref: getAlignedStrings — M preferred, then I, then D)
+    m_last = m_fin  # (B, Ls+1), row i=qlen
+    m_corner = jnp.take_along_axis(m_last, slen[:, None], axis=1)[:, 0]
+    i_corner = jnp.take_along_axis(i_fin, slen[:, None], axis=1)[:, 0]
+    d_corner = jnp.take_along_axis(d_fin, slen[:, None], axis=1)[:, 0]
+    if free_end2:
+        # best M over the last row.  The ref scans h descending from the corner
+        # updating only on strictly-greater, so ties resolve to the LARGEST j
+        # attaining the max (PairwiseAlignerAffineGap.java:203-214).
+        masked = jnp.where(col_valid, m_last, NEG)
+        best = jnp.max(masked, axis=1)
+        rev_hit = (masked == best[:, None])[:, ::-1]
+        end_j = (Ls - jnp.argmax(rev_hit, axis=1)).astype(jnp.int32)
+        score = best
+        start_k = jnp.zeros((B,), jnp.int32)
+        end_i = qlen
+    else:
+        score = m_corner
+        start_k = jnp.zeros((B,), jnp.int32)
+        score = jnp.where(i_corner > score, i_corner, score)
+        start_k = jnp.where(i_corner > m_corner, 1, start_k)
+        score = jnp.where(d_corner > score, d_corner, score)
+        start_k = jnp.where(d_corner > jnp.maximum(m_corner, i_corner), 2, start_k)
+        end_j = slen
+        end_i = qlen
+
+    # --- device traceback -------------------------------------------------
+    max_steps = Lq + Ls
+    # with a free subject start, subject bases before the alignment are window
+    # offset (start_j), not leading deletions
+    emit_lead_del = not free_start2
+
+    def walk(tb_one, i_init, j_init, k_init):
+        def step(state, _):
+            i, j, k, n, ops = state
+            in_aln = (i > 0) & (j > 0)
+            ptr_byte = tb_one[jnp.maximum(i - 1, 0), jnp.maximum(j - 1, 0)]
+            mp = ptr_byte & 3
+            ip = (ptr_byte >> 2) & 3
+            dp = (ptr_byte >> 4) & 3
+            # when j==0: consume query as insertions; i==0: subject as deletions
+            only_i = (i > 0) & (j == 0)
+            only_j = (i == 0) & (j > 0) & emit_lead_del
+            op = jnp.where(
+                in_aln,
+                jnp.where(k == 0, OP_MATCH, jnp.where(k == 1, OP_INS, OP_DEL)),
+                jnp.where(only_i, OP_INS, jnp.where(only_j, OP_DEL, OP_NONE)),
+            )
+            di = jnp.where((op == OP_MATCH) | (op == OP_INS), 1, 0)
+            dj = jnp.where((op == OP_MATCH) | (op == OP_DEL), 1, 0)
+            new_k = jnp.where(
+                in_aln,
+                jnp.where(k == 0, mp, jnp.where(k == 1, ip, dp)).astype(jnp.int32),
+                k,
+            )
+            ops = ops.at[n].set(op.astype(jnp.uint8))
+            n = n + jnp.where(op != OP_NONE, 1, 0)
+            return (i - di, j - dj, new_k, n, ops), None
+
+        ops0 = jnp.zeros((max_steps,), jnp.uint8)
+        (fi, fj, fk, n, ops), _ = jax.lax.scan(
+            step, (i_init, j_init, k_init, jnp.int32(0), ops0), None, length=max_steps
+        )
+        return ops, n, fj
+
+    ops_rev, n_ops, start_j = jax.vmap(walk)(tb, end_i, end_j, start_k)
+    # ops are emitted back-to-front; reverse into forward order per read
+    idx = jnp.arange(max_steps, dtype=jnp.int32)[None, :]
+    src = n_ops[:, None] - 1 - idx
+    ops_fwd = jnp.where(
+        src >= 0, jnp.take_along_axis(ops_rev, jnp.maximum(src, 0), axis=1), OP_NONE
+    ).astype(jnp.uint8)
+
+    return {
+        "score": score,
+        "ops": ops_fwd,
+        "n_ops": n_ops,
+        "start_j": start_j,
+        "end_j": end_j,
+    }
+
+
+def ops_to_cigar_and_strings(
+    ops: np.ndarray, n_ops: int, query: np.ndarray, subject: np.ndarray, start_j: int
+) -> tuple[list[tuple[int, str]], int]:
+    """Host: run-length encode ops into CIGAR tuples and count mismatches.
+
+    Mismatch counting follows the reference's countMismatches(String[])
+    (ShortReadsUngappedSearchHitsClusterAligner.java:140-156): +1 per
+    mismatched pair, +2 per *internal* gap run (leading/trailing free).
+    Returns ([(length, op_char)...], mismatches).
+    """
+    ops = ops[:n_ops]
+    cigar: list[tuple[int, str]] = []
+    mismatches = 0
+    qi = 0
+    sj = start_j
+    last_is_gap = True
+    for op in ops:
+        ch = "M" if op == OP_MATCH else ("I" if op == OP_INS else "D")
+        if cigar and cigar[-1][1] == ch:
+            cigar[-1] = (cigar[-1][0] + 1, ch)
+        else:
+            cigar.append((1, ch))
+        if op == OP_MATCH:
+            if query[qi] != subject[sj]:
+                mismatches += 1
+            qi += 1
+            sj += 1
+            last_is_gap = False
+        else:
+            if not last_is_gap:
+                mismatches += 2
+            last_is_gap = True
+            if op == OP_INS:
+                qi += 1
+            else:
+                sj += 1
+    if last_is_gap and cigar:
+        mismatches -= 2
+    return cigar, mismatches

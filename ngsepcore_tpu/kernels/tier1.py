@@ -1,0 +1,73 @@
+"""Tier-1 ungapped mismatch screen for read alignment.
+
+Ref: ShortReadsUngappedSearchHitsClusterAligner.countMismatches(query,
+subject, aln) (ShortReadsUngappedSearchHitsClusterAligner.java:157-192):
+count mismatches between read and the reference window at the predicted
+ungapped placement, plus how many leading/trailing bases should be
+soft-clipped (clip grows until 3+ net matches observed).  Accepted when
+total < 5% of read length and clips < 10% (":81-95").
+
+Device version: two lax.scans (forward + backward) over the position axis,
+vectorized across the candidate batch — replaces the per-read scalar loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def tier1_stats(query: jnp.ndarray, qlen: jnp.ndarray, subject: jnp.ndarray):
+    """query/subject (B, L) int8; qlen (B,).  Subject window is the same
+    length as the read (ungapped placement).
+
+    Returns (total_mismatches, clip_start, clip_end) each (B,) int32,
+    reproducing the reference's countMismatches[0..2] for equal lengths.
+    """
+    B, L = query.shape
+    mism = (query != subject)
+
+    def fwd_step(state, x):
+        count, last_mm, assigned, ans1 = state
+        m, i = x  # (B,) bool, () int32
+        valid = i < qlen
+        mm = m & valid
+        count = count + mm.astype(jnp.int32)
+        last_mm = jnp.where(mm, i, last_mm)
+        fire = valid & (~mm) & (~assigned) & (count + 3 < i)
+        ans1 = jnp.where(fire, last_mm + 1, ans1)
+        assigned = assigned | fire
+        return (count, last_mm, assigned, ans1), None
+
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.full(B, -1, jnp.int32),
+        jnp.zeros(B, bool),
+        jnp.zeros(B, jnp.int32),
+    )
+    idx = jnp.arange(L, dtype=jnp.int32)
+    (total, _, _, clip_start), _ = jax.lax.scan(fwd_step, init, (mism.T, idx))
+
+    def bwd_step(state, step):
+        numm, last_mm, done, ans2 = state
+        i = qlen - 1 - step  # per-read position, (B,)
+        valid = i >= 0
+        m = jnp.take_along_axis(mism, jnp.maximum(i, 0)[:, None], axis=1)[:, 0] & valid
+        last_mm = jnp.where(m, i, last_mm)
+        numm = numm + m.astype(jnp.int32)
+        rev_idx = qlen - 1 - i
+        fire = valid & (~m) & (~done) & (numm + 3 < rev_idx)
+        ans2 = jnp.where(fire, qlen - last_mm, ans2)
+        done = done | fire
+        return (numm, last_mm, done, ans2), None
+
+    init_b = (
+        jnp.zeros(B, jnp.int32),
+        qlen.astype(jnp.int32),  # ref: lastMismatch starts at refSeq.length
+        jnp.zeros(B, bool),
+        jnp.zeros(B, jnp.int32),
+    )
+    (_, _, _, clip_end), _ = jax.lax.scan(bwd_step, init_b, idx)
+    return total, clip_start, clip_end
