@@ -30,6 +30,20 @@ __version__ = "0.1.0"
 # Genomic coordinates and packed k-mer codes (4^25 ~ 2^50 for seed k-mers)
 # need true 64-bit integers on device.  Hot floating-point kernels request
 # float32/bfloat16 explicitly, so enabling x64 does not slow the math paths.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles in this environment go over a
+# tunnel and cost minutes; caching them on disk makes repeat runs (tests,
+# bench, CLI invocations) start fast.
+_cache_dir = _os.environ.get(
+    "NGSEP_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass

@@ -44,6 +44,14 @@ MIN_PROPORTION_BEST = 0.2  # ref: SingleReadsAligner.java:16
 MIN_WEIGHTED_COUNT = 1.0  # ref: SingleReadsAligner.java:17
 
 
+def _row_bucket(n: int, minimum: int = 256) -> int:
+    """Pow2 row bucket so kernel shapes repeat across batches (compile once)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclass
 class _Candidate:
     read_idx: int
@@ -87,7 +95,10 @@ class ReadsAligner:
         fwd_codes = [r.codes for r in reads]
         rev_codes = [reverse_complement_codes(c) for c in fwd_codes]
         all_codes = fwd_codes + rev_codes
-        codes, lengths, _ = pack_reads(all_codes, pad_multiple=self.read_pad)
+        n_rows = len(all_codes)
+        bucket = _row_bucket(n_rows)
+        padded = all_codes + [np.empty(0, np.int8)] * (bucket - n_rows)
+        codes, lengths, _ = pack_reads(padded, pad_multiple=self.read_pad)
         kcodes, sel, valid = extract_minimizers(
             codes, lengths, self.kmer_length, self.window_length
         )
@@ -227,8 +238,10 @@ class ReadsAligner:
                 dp_needed.append(c)
         if applicable:
             L = max(len(q) for q in rows_q)
-            qc, ql, _ = pack_reads(rows_q, pad_to=L, pad_multiple=self.read_pad)
-            sc, _, _ = pack_reads(rows_s, pad_to=L, pad_multiple=self.read_pad)
+            bucket = _row_bucket(len(rows_q))
+            pad_rows = [np.empty(0, np.int8)] * (bucket - len(rows_q))
+            qc, ql, _ = pack_reads(rows_q + pad_rows, pad_to=L, pad_multiple=self.read_pad)
+            sc, _, _ = pack_reads(rows_s + pad_rows, pad_to=L, pad_multiple=self.read_pad)
             total, clip_s, clip_e = tier1_stats(qc, ql, sc)
             total = np.asarray(total)
             clip_s = np.asarray(clip_s)
@@ -285,9 +298,13 @@ class ReadsAligner:
             return
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
-        qc, ql, _ = pack_reads([j[1] for j in jobs], pad_to=max_q, pad_multiple=64)
+        bucket = _row_bucket(len(jobs), minimum=64)
+        pad_rows = [np.empty(0, np.int8)] * (bucket - len(jobs))
+        qc, ql, _ = pack_reads(
+            [j[1] for j in jobs] + pad_rows, pad_to=max_q, pad_multiple=64
+        )
         sc, sl, _ = pack_reads(
-            [concat[j[2] : j[3]] for j in jobs], pad_to=max_s, pad_multiple=64
+            [concat[j[2] : j[3]] for j in jobs] + pad_rows, pad_to=max_s, pad_multiple=64
         )
         self.complete_alns += len(jobs)
         out = affine_gap_align_batch(

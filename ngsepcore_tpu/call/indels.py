@@ -1,0 +1,288 @@
+"""Indel discovery: allele-call clustering + indel genotype likelihoods.
+
+Ref:
+- AlleleCallClustersBuilder.java:41-270 — cluster spanning allele strings
+  by length (min relative proportion 0.2 when >2 length groups), Hamming
+  consensus per length, optional split by heterozygous variant sites
+  (het posterior >= 0.51), reference always allele 0.
+- CountsHelper.updateCountsIndel (CountsHelper.java:253-304) — per-allele
+  log-conditional = max(log10(1e-4), sum of per-base phred match/mismatch)
+  for same-length alleles, else log10(1e-4); off-diagonal genotype mixes
+  via logSum with allele frequency 0.5.
+- VariantDiscoverySNVQAlgorithm.callIndel (:265-360) — genotype decision;
+  no call when all decided alleles have the reference length.
+
+Indel sites are sparse (<<1% of positions), so this path runs host-side in
+numpy over the candidate sites that the dense SNV kernel cannot express;
+the per-base likelihood sums are vectorized across calls per site.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.sequences import decode_dna, encode_dna
+from ..math.logmath import log10_sum
+from ..math.phred import phred_score
+from ..variants.model import CalledGenomicVariant, TYPE_INDEL, TYPE_STR
+from .pileup import IndelEvent
+
+MIN_RELATIVE_PROPORTION = 0.2  # ref: AlleleCallClustersBuilder.java:41
+MIN_HET_POSTERIOR = 0.51  # ref: :42
+LOG_ERROR_PROB_INDEL = float(np.log10(1e-4))
+NUM_FREQ = 501
+MIN_BASE_QS = 3
+LOG_HALF = float(np.log10(0.5))
+
+
+@dataclass
+class SpanningCall:
+    allele: str
+    qualities: np.ndarray  # phred per base
+    negative_strand: bool
+
+
+def cluster_allele_calls(
+    calls: list[SpanningCall], reference: str, max_base_qs: int = 30
+) -> list[str]:
+    """Port of clusterAlleleCalls: returns alleles with reference first."""
+    by_length: dict[int, list[SpanningCall]] = {}
+    for c in calls:
+        by_length.setdefault(len(c.allele), []).append(c)
+    # filter severe length imbalances only when >2 length clusters (:148-156)
+    if len(by_length) >= 3:
+        min_count = MIN_RELATIVE_PROPORTION * len(calls)
+        by_length = {l: v for l, v in by_length.items() if len(v) >= min_count}
+    alleles_set: set[str] = set()
+    for l, calls_l in sorted(by_length.items()):
+        suggested: set[str] = set()
+        if l == len(reference):
+            suggested.add(reference)
+        if len(calls_l) < 5 * len(suggested):
+            length_alleles = set(suggested)
+        else:
+            mat = np.stack([encode_dna(c.allele) for c in calls_l])
+            consensus = _hamming_consensus_str(mat)
+            suggested.add(consensus)
+            if l < 4 or len(calls_l) < 10:
+                length_alleles = set(suggested)
+            else:
+                length_alleles = _split_by_variant_sites(calls_l, consensus, max_base_qs)
+        alleles_set.update(length_alleles)
+    alleles_set.add(reference)
+    out = [reference] + sorted(a for a in alleles_set if a != reference)
+    return out
+
+
+def _hamming_consensus_str(mat: np.ndarray) -> str:
+    counts = np.zeros((mat.shape[1], 5), dtype=np.int32)
+    for c in range(5):
+        counts[:, c] = (mat == c).sum(axis=0)
+    return decode_dna(np.argmax(counts, axis=1).astype(np.int8))
+
+
+def _split_by_variant_sites(
+    calls: list[SpanningCall], consensus: str, max_base_qs: int
+) -> set[str]:
+    """Port of splitAllelesByVariantSites (:165-222)."""
+    from ..kernels.genotyping import HET_RATE_DIPLOID, snv_contribution_table
+
+    cons_codes = encode_dna(consensus)
+    mat = np.stack([encode_dna(c.allele) for c in calls])
+    quals = np.stack([np.minimum(c.qualities, max_base_qs) for c in calls])
+    m = mat.shape[1]
+    het_post = np.zeros(m)
+    C = snv_contribution_table(4, 0.5)
+    for i in range(m):
+        cc = cons_codes[i]
+        if cc >= 4:
+            continue
+        col = mat[:, i]
+        if np.all(col == cc):
+            continue
+        # per-column CountsHelper with 4 bases
+        logcond = np.zeros((4, 4))
+        for a, q in zip(col, quals[:, i]):
+            if a >= 4 or q <= MIN_BASE_QS:
+                continue
+            logcond += C[a, min(int(q), 30)]
+        het_rate = HET_RATE_DIPLOID
+        prior = np.where(
+            np.eye(4, dtype=bool),
+            np.log10((1 - het_rate) / 4),
+            np.log10(het_rate / 12),
+        )
+        ev = logcond + prior
+        rel = ev - ev.max()
+        p = np.where(rel < -20, 0.0, 10.0 ** rel)
+        post = p / p.sum()
+        best = 0.0
+        for k in range(4):
+            if k != cc:
+                best = max(best, post[cc][k] + post[k][cc])
+        het_post[i] = best
+    var_sites = np.nonzero(het_post >= MIN_HET_POSTERIOR)[0]
+    if len(var_sites) == 0:
+        return {consensus}
+    # cluster by haplotype over variant sites, keep top haplotypes
+    haps = ["".join(decode_dna(mat[r, var_sites])) for r in range(mat.shape[0])]
+    from collections import Counter
+
+    max_haps = 2 if len(var_sites) <= 3 else min(10, len(var_sites) // 2 + 1)
+    top = [h for h, _ in Counter(haps).most_common(max_haps)]
+    out: set[str] = set()
+    for h in top:
+        rows = [r for r in range(mat.shape[0]) if haps[r] == h]
+        if rows:
+            out.add(_hamming_consensus_str(mat[rows]))
+    return out
+
+
+class IndelCountsHelper:
+    """Port of the indel side of CountsHelper (updateCountsIndel)."""
+
+    def __init__(self, alleles: list[str], het_proportion: float = 0.5, max_base_qs: int = 30):
+        self.alleles = list(alleles)
+        n = len(alleles)
+        self.n = n
+        self.counts = np.zeros(n, dtype=np.int64)
+        self.strand_counts = np.zeros((n, 2), dtype=np.int64)
+        self.logcond = np.zeros((n, n))
+        self.total = 0
+        self.max_base_qs = max_base_qs
+        # ref: updateCountsIndel uses Math.round(het*DEF_NUM_FREQUENCIES)
+        # (note: 501 not 500 here, mirroring the reference exactly; Java
+        # Math.round is half-up, not banker's rounding)
+        f = int(np.floor(het_proportion * NUM_FREQ + 0.5))
+        af = f / (NUM_FREQ - 1)
+        af = min(af, 1.0)
+        self.log_af = float(np.log10(af)) if af > 0 else -np.inf
+        self.log_1maf = float(np.log10(1 - af)) if af < 1 else -np.inf
+        self._allele_codes = [encode_dna(a) for a in alleles]
+        self._lengths = np.array([len(a) for a in alleles])
+
+    def update(self, call: SpanningCall) -> None:
+        self.total += 1
+        call_codes = encode_dna(call.allele)
+        q = np.minimum(call.qualities, self.max_base_qs).astype(np.int64)
+        ok = q >= MIN_BASE_QS  # ref calculateLogCond skips q<3
+        n = self.n
+        log_cond_alleles = np.full(n, LOG_ERROR_PROB_INDEL)
+        try:
+            index = self.alleles.index(call.allele)
+        except ValueError:
+            index = -1
+        best_index = -1
+        for i in range(n):
+            if self._lengths[i] == len(call_codes):
+                match = self._allele_codes[i] == call_codes
+                # logProbCacheGT[0][q][0]=log10(1-e); error: -0.1q - log10(3)
+                e = 10.0 ** (-0.1 * q)
+                per_base = np.where(match, np.log10(1 - e), -0.1 * q - np.log10(3))
+                lc = float(np.sum(np.where(ok, per_base, 0.0)))
+                lc = max(LOG_ERROR_PROB_INDEL, lc)
+                log_cond_alleles[i] = lc
+                if lc > LOG_ERROR_PROB_INDEL and (
+                    best_index == -1 or log_cond_alleles[best_index] < lc
+                ):
+                    best_index = i
+        if index >= 0 and best_index >= 0 and best_index != index:
+            index = min(index, best_index)
+        elif index < 0 and best_index >= 0:
+            index = best_index
+        if index >= 0:
+            self.counts[index] += 1
+            self.strand_counts[index][1 if not call.negative_strand else 0] += 1
+        for i in range(n):
+            self.logcond[i][i] += log_cond_alleles[i]
+            for j in range(n):
+                if i != j:
+                    if j == index:
+                        self.logcond[i][j] += log10_sum(
+                            self.log_af + log_cond_alleles[index],
+                            self.log_1maf + LOG_ERROR_PROB_INDEL,
+                        )
+                    elif i == index:
+                        self.logcond[i][j] += log10_sum(
+                            self.log_1maf + log_cond_alleles[index],
+                            self.log_af + LOG_ERROR_PROB_INDEL,
+                        )
+                    else:
+                        self.logcond[i][j] += LOG_ERROR_PROB_INDEL
+
+    def posteriors(self, het_rate: float) -> np.ndarray:
+        n = self.n
+        if n == 1:
+            return np.ones((1, 1))
+        prior = np.where(
+            np.eye(n, dtype=bool),
+            np.log10((1 - het_rate) / n),
+            np.log10(het_rate / (n * (n - 1))),
+        )
+        ev = self.logcond + prior
+        rel = ev - ev.max()
+        p = np.where(rel < -20, 0.0, 10.0 ** rel)
+        return p / p.sum()
+
+
+def call_indel(
+    sequence_name: str,
+    position: int,
+    calls: list[SpanningCall],
+    alleles: list[str],
+    het_rate: float,
+    is_str: bool = False,
+    max_base_qs: int = 30,
+) -> CalledGenomicVariant | None:
+    """Port of VariantDiscoverySNVQAlgorithm.callIndel discovery mode."""
+    helper = IndelCountsHelper(alleles, 0.5, max_base_qs)
+    for c in calls:
+        helper.update(c)
+    if helper.total == 0:
+        return None
+    post = helper.posteriors(het_rate)
+    n = len(alleles)
+    # getIndexesMaxGenotype with default 0
+    bi = bj = 0
+    best = post[0][0]
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[i][j] + (post[j][i] if i != j else 0.0)
+            if prob > best + 0.01:
+                best, bi, bj = prob, i, j
+    out_alleles = [alleles[0]]
+    idxs = [0]
+    length_change = False
+    ref_len = len(alleles[0])
+    if 0 < bi < n:
+        out_alleles.append(alleles[bi])
+        idxs.append(bi)
+        if len(alleles[bi]) != ref_len:
+            length_change = True
+    if 0 < bj < n and bj != bi:
+        out_alleles.append(alleles[bj])
+        idxs.append(bj)
+        if len(alleles[bj]) != ref_len:
+            length_change = True
+        if len(out_alleles) == 3 and len(alleles[bj]) != len(out_alleles[1]):
+            length_change = True
+    if not length_change and not is_str:
+        return None
+    if bi != bj:
+        called = [1, 2] if len(out_alleles) == 3 else [0, 1]
+    else:
+        called = [0] if bi == 0 else [1]
+    gq = phred_score(max(0.0, 1.0 - best))
+    variant_qs = phred_score(post[0][0])
+    return CalledGenomicVariant(
+        sequence_name=sequence_name,
+        first=position,
+        alleles=out_alleles,
+        variant_type=TYPE_STR if is_str else TYPE_INDEL,
+        quality=variant_qs,
+        indexes_called_alleles=called,
+        genotype_quality=gq,
+        total_read_depth=helper.total,
+        allele_depths=[int(helper.counts[i]) for i in idxs],
+    )

@@ -1,0 +1,131 @@
+"""Pileup construction: alignments -> dense per-position call tensors.
+
+Ref: src/ngsep/discovery/AlignmentsPileupGenerator.java:38-515 (streams
+sorted alignments, caps 5 alns per start pos per read group, advances a
+pileup cursor firing per-position listeners) and PileupRecord.java:104-126
+(per-read allele calls).
+
+TPU redesign: instead of an event bus firing one listener call per (read,
+position) pair, each batch of alignments is expanded (host, vectorized)
+into flat (ref_pos, allele, quality, strand) arrays and scatter-added on
+device into (window, allele, qbin) count tensors
+(kernels/genotyping.scatter_allele_counts).  Indel-spanning calls are
+extracted separately as string events for host-side clustering.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align.read_alignment import ReadAlignment
+from ..core.sequences import encode_dna, qualities_to_phred
+
+MAX_ALNS_PER_START_POS = 5  # ref: AlignmentsPileupGenerator.java:40
+
+
+@dataclass
+class IndelEvent:
+    """An indel observed inside one read (for indel-candidate discovery)."""
+
+    ref_pos: int  # 1-based position of the last reference base before event
+    length: int  # ref bases consumed (deletion length; 0 for insertion)
+    inserted: str  # inserted read bases ("" for deletion)
+    read_name: str
+
+
+def cap_alignments_per_start(
+    alns: list[ReadAlignment], max_per_start: int = MAX_ALNS_PER_START_POS
+) -> list[ReadAlignment]:
+    """Cap alignments sharing (read group, start) — ref :415-420."""
+    out = []
+    count: dict[tuple, int] = {}
+    for a in alns:
+        key = (a.read_group, a.sequence_name, a.first)
+        c = count.get(key, 0)
+        if c < max_per_start:
+            out.append(a)
+            count[key] = c + 1
+    return out
+
+
+def expand_alignment_calls(
+    aln: ReadAlignment,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
+    """One alignment -> (ref_positions 1-based, allele codes, phred quals)
+    for match segments, plus indel events.
+
+    Missing qualities default to '+' (q=10) like ReadAlignment.java:1025.
+    """
+    codes = encode_dna(aln.read_chars)
+    if aln.qualities:
+        quals = qualities_to_phred(aln.qualities)
+    else:
+        quals = np.full(len(codes), 10, dtype=np.int8)
+    ref_pos_list = []
+    read_idx_list = []
+    indels: list[IndelEvent] = []
+    ref = aln.first
+    ridx = 0
+    for l, op in aln.cigar:
+        if op == "M" or op == "=" or op == "X":
+            ref_pos_list.append(np.arange(ref, ref + l, dtype=np.int64))
+            read_idx_list.append(np.arange(ridx, ridx + l, dtype=np.int64))
+            ref += l
+            ridx += l
+        elif op == "I":
+            indels.append(
+                IndelEvent(
+                    ref_pos=ref - 1,
+                    length=0,
+                    inserted=aln.read_chars[ridx : ridx + l],
+                    read_name=aln.read_name,
+                )
+            )
+            ridx += l
+        elif op == "D" or op == "N":
+            indels.append(
+                IndelEvent(ref_pos=ref - 1, length=l, inserted="", read_name=aln.read_name)
+            )
+            ref += l
+        elif op == "S":
+            ridx += l
+        elif op == "H" or op == "P":
+            pass
+    if ref_pos_list:
+        rp = np.concatenate(ref_pos_list)
+        ri = np.concatenate(read_idx_list)
+    else:
+        rp = np.empty(0, np.int64)
+        ri = np.empty(0, np.int64)
+    return rp, codes[ri], quals[ri], indels
+
+
+def expand_batch_calls(
+    alns: list[ReadAlignment],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
+    """Batch expansion -> flat (ref_pos, allele, qual, strand) arrays."""
+    pos_l, al_l, q_l, s_l = [], [], [], []
+    indels: list[IndelEvent] = []
+    for a in alns:
+        rp, codes, quals, ind = expand_alignment_calls(a)
+        pos_l.append(rp)
+        al_l.append(codes)
+        q_l.append(quals)
+        s_l.append(np.full(len(rp), 1 if a.is_negative_strand else 0, dtype=np.int8))
+        indels.extend(ind)
+    if not pos_l:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int8),
+            np.empty(0, np.int8),
+            np.empty(0, np.int8),
+            indels,
+        )
+    return (
+        np.concatenate(pos_l),
+        np.concatenate(al_l),
+        np.concatenate(q_l),
+        np.concatenate(s_l),
+        indels,
+    )

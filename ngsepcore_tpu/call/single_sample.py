@@ -1,0 +1,353 @@
+"""Single-sample variant detector — SNV discovery/genotyping pipeline.
+
+Ref: src/ngsep/discovery/SingleSampleVariantsDetector.java:62-931 (command
+`SingleSampleVariantsDetector`, orchestration at :589-656),
+SingleSampleVariantPileupListener.java:147-331 (discovery mode, minQuality
+40 default at :50, keep only non-homoref decided calls),
+VariantDiscoverySNVQAlgorithm.java:100-265 (discoverSNV incl. triallelic).
+
+TPU redesign: the reference's per-position listener chain becomes, per
+genome window, one scatter-add into a (window, allele, qbin) count tensor
+plus one einsum + posterior kernel over all positions at once
+(kernels/genotyping.py); only positions whose decided genotype differs
+from homozygous-reference come back to the host to be formatted as VCF
+records.  Indel discovery clusters spanning allele strings host-side
+(AlleleCallClustersBuilder analog) on the sparse indel-event positions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..align.read_alignment import ReadAlignment
+from ..core.genome import ReferenceGenome
+from ..io.sam import ReadAlignmentFileReader
+from ..kernels.genotyping import (
+    HET_RATE_DIPLOID,
+    MAX_BASE_QS,
+    snv_contribution_table,
+    window_genotype_snv,
+)
+from ..math.fisher import fisher_exact_2x2
+from ..math.phred import phred_score
+from ..variants.model import (
+    CalledGenomicVariant,
+    TYPE_BIALLELIC_SNV,
+    TYPE_MULTIALLELIC_SNV,
+)
+from ..vcf.io import VCFFileWriter, VCFRecord
+from .pileup import cap_alignments_per_start, expand_batch_calls
+
+DEF_MIN_QUALITY = 40  # ref: SingleSampleVariantPileupListener.java:50
+DEF_MIN_MQ = 20  # ref: ReadAlignment.DEF_MIN_MQ_UNIQUE_ALIGNMENT
+WINDOW = 1 << 16
+
+
+class SingleSampleVariantsDetector:
+    def __init__(
+        self,
+        genome: ReferenceGenome,
+        sample_id: str = "Sample",
+        heterozygosity_rate: float = HET_RATE_DIPLOID,
+        min_quality: int = DEF_MIN_QUALITY,
+        min_mq: int = DEF_MIN_MQ,
+        ploidy: int = 2,
+        calc_strand_bias: bool = False,
+        max_alns_per_start: int = 5,
+    ):
+        self.genome = genome
+        self.sample_id = sample_id
+        self.heterozygosity_rate = heterozygosity_rate
+        self.min_quality = min_quality
+        self.min_mq = min_mq
+        self.ploidy = ploidy
+        self.calc_strand_bias = calc_strand_bias
+        self.max_alns_per_start = max_alns_per_start
+        self._contribution = snv_contribution_table(4, 0.5)
+
+    # ------------------------------------------------------------------
+    def run(self, alignments_file: str, output_vcf: str) -> int:
+        reader = ReadAlignmentFileReader(
+            alignments_file, min_mq=self.min_mq, skip_secondary=True
+        )
+        alns = list(reader)
+        records = self.find_variants(alns)
+        with VCFFileWriter(output_vcf, [self.sample_id]) as w:
+            for r in records:
+                w.write(r)
+        return len(records)
+
+    # ------------------------------------------------------------------
+    def find_variants(self, alignments: list[ReadAlignment]) -> list[VCFRecord]:
+        by_seq: dict[str, list[ReadAlignment]] = {}
+        for a in alignments:
+            if a.is_unmapped or a.alignment_quality < self.min_mq:
+                continue
+            by_seq.setdefault(a.sequence_name, []).append(a)
+        records: list[VCFRecord] = []
+        for si in range(self.genome.num_sequences):
+            name = self.genome.sequence_name(si)
+            alns = by_seq.get(name)
+            if not alns:
+                continue
+            alns.sort(key=lambda a: a.first)
+            alns = cap_alignments_per_start(alns, self.max_alns_per_start)
+            records.extend(self._process_sequence(si, name, alns))
+        return records
+
+    # ------------------------------------------------------------------
+    def _process_sequence(
+        self, seq_idx: int, seq_name: str, alns: list[ReadAlignment]
+    ) -> list[VCFRecord]:
+        pos, allele, qual, strand, indel_events = expand_batch_calls(alns)
+        if len(pos) == 0:
+            return []
+        indel_records = self._call_indels(seq_idx, seq_name, alns, indel_events)
+        order = np.argsort(pos, kind="stable")
+        pos, allele, qual, strand = (
+            pos[order],
+            allele[order],
+            qual[order],
+            strand[order],
+        )
+        seq_len = self.genome.sequence_length(seq_idx)
+        ref_codes = self.genome.sequences[seq_idx].codes
+        contribution = np.asarray(self._contribution)
+        het = np.float64(self.heterozygosity_rate)
+        minq = np.int32(self.min_quality)
+        out: list[VCFRecord] = []
+        # dispatch all windows asynchronously (jax dispatch is non-blocking),
+        # then fetch compacted per-window results — this pipelines device
+        # roundtrips instead of paying one sync per window
+        pending: list[tuple[int, np.ndarray, dict]] = []
+        for w0 in range(1, seq_len + 1, WINDOW):
+            w1 = min(seq_len, w0 + WINDOW - 1)
+            lo = np.searchsorted(pos, w0, side="left")
+            hi = np.searchsorted(pos, w1, side="right")
+            if hi <= lo:
+                continue
+            # pad call arrays to pow2 buckets so the fused kernel compiles
+            # once per bucket, not once per window
+            n = hi - lo
+            cap = max(1024, 1 << int(np.ceil(np.log2(n))))
+            rel = np.full(cap, -1, np.int32)
+            rel[:n] = (pos[lo:hi] - w0).astype(np.int32)
+            al = np.zeros(cap, np.int8)
+            al[:n] = allele[lo:hi]
+            al[n:] = -1
+            qu = np.zeros(cap, np.int8)
+            qu[:n] = qual[lo:hi]
+            st = np.zeros(cap, np.int8)
+            st[:n] = strand[lo:hi]
+            ref_win = np.full(WINDOW, 4, dtype=np.int8)
+            ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
+            res = window_genotype_snv(
+                rel, al, qu, st, ref_win, contribution, het, minq, out_size=WINDOW
+            )
+            pending.append((w0, ref_win, res))
+        for w0, ref_win, res in pending:
+            res = jax.device_get(res)
+            k = int(res["n_sites"])
+            if k == 0:
+                continue
+            site_idx = res["site_idx"][:k]
+            for i, p in enumerate(site_idx):
+                rec = self._build_record(
+                    seq_name,
+                    w0 + int(p),
+                    int(ref_win[p]),
+                    int(res["bi"][i]),
+                    int(res["bj"][i]),
+                    int(res["gq"][i]),
+                    float(res["ref_prob"][i]),
+                    res["depths"][i],
+                    int(res["total"][i]),
+                    res["logcond"][i],
+                    res["strand_counts"][i],
+                )
+                if rec is not None:
+                    out.append(rec)
+        # merge indel calls and suppress embedded SNVs (lastIndelEnd
+        # semantics, SingleSampleVariantPileupListener.java:147-160)
+        if indel_records:
+            spans = [(r.variant.first, r.variant.last) for r in indel_records]
+            filtered = []
+            for rec in out:
+                p = rec.variant.first
+                if any(f <= p <= l for f, l in spans):
+                    continue
+                filtered.append(rec)
+            out = filtered + indel_records
+            out.sort(key=lambda r: r.variant.first)
+        return out
+
+    # ------------------------------------------------------------------
+    def _call_indels(
+        self,
+        seq_idx: int,
+        seq_name: str,
+        alns: list[ReadAlignment],
+        indel_events,
+    ) -> list[VCFRecord]:
+        """Discover indel variants at observed in-read indel event sites."""
+        from .indels import SpanningCall, call_indel, cluster_allele_calls
+        from ..core.sequences import qualities_to_phred
+
+        if not indel_events:
+            return []
+        # group events within 3bp into candidate sites (simplified stand-in
+        # for IndelRealignerPileupListener.conciliateIndels:165-274)
+        events = sorted(indel_events, key=lambda e: e.ref_pos)
+        sites: list[tuple[int, int]] = []  # (first, span)
+        cur_pos = None
+        cur_maxdel = 0
+        support: dict[int, int] = {}
+        for e in events:
+            if cur_pos is None or e.ref_pos - cur_pos > 3:
+                if cur_pos is not None:
+                    sites.append((cur_pos, cur_maxdel + 2))
+                cur_pos = e.ref_pos
+                cur_maxdel = e.length
+            else:
+                cur_maxdel = max(cur_maxdel, e.length)
+        if cur_pos is not None:
+            sites.append((cur_pos, cur_maxdel + 2))
+        seq_len = self.genome.sequence_length(seq_idx)
+        # interval lookup over alignments
+        firsts = np.array([a.first for a in alns])
+        lasts = np.array([a.last for a in alns])
+        order = np.argsort(firsts)
+        firsts_s = firsts[order]
+        records: list[VCFRecord] = []
+        last_indel_end = 0
+        for first, span in sites:
+            if first < 1 or first + span - 1 > seq_len or first <= last_indel_end:
+                continue
+            last = first + span - 1
+            reference = self.genome.reference_string(seq_idx, first, last)
+            # candidate spanning reads
+            hi = np.searchsorted(firsts_s, first, side="right")
+            calls: list[SpanningCall] = []
+            for oi in order[:hi]:
+                a = alns[oi]
+                if a.last < last:
+                    continue
+                rp_f = a.read_position_at(first)
+                rp_l = a.read_position_at(last)
+                if rp_f < 0 or rp_l < 0 or rp_l < rp_f:
+                    continue
+                allele_str = a.read_chars[rp_f : rp_l + 1]
+                if not allele_str:
+                    continue
+                q = (
+                    qualities_to_phred(a.qualities[rp_f : rp_l + 1])
+                    if a.qualities
+                    else np.full(len(allele_str), 10, dtype=np.int8)
+                )
+                calls.append(
+                    SpanningCall(
+                        allele=allele_str.upper(),
+                        qualities=q,
+                        negative_strand=a.is_negative_strand,
+                    )
+                )
+            if len(calls) == 0:
+                continue
+            alleles = cluster_allele_calls(calls, reference)
+            called = call_indel(
+                seq_name, first, calls, alleles, self.heterozygosity_rate
+            )
+            if (
+                called is None
+                or called.is_undecided
+                or called.is_homozygous_reference
+                or called.genotype_quality < self.min_quality
+            ):
+                continue
+            called.sample_id = self.sample_id
+            called.copy_number = self.ploidy
+            last_indel_end = called.last
+            records.append(VCFRecord(variant=called, calls=[called]))
+        return records
+
+    # ------------------------------------------------------------------
+    def _build_record(
+        self,
+        seq_name: str,
+        position: int,
+        ref_idx: int,
+        bi: int,
+        bj: int,
+        gq: int,
+        ref_prob: float,
+        base_counts: np.ndarray,
+        total: int,
+        logcond: np.ndarray,
+        strand_counts: np.ndarray,
+    ) -> VCFRecord | None:
+        bases = "ACGT"
+        variant_qs = phred_score(ref_prob)
+        # triallelic / both alleles non-ref (ref: discoverSNV:128-177)
+        if bi != bj and bi != ref_idx and bj != ref_idx:
+            # order alt alleles by homozygous posterior margin (+0.01)
+            alleles = [bases[ref_idx], bases[bi], bases[bj]]
+            idxs = [ref_idx, bi, bj]
+            called = [1, 2]
+            vtype = TYPE_MULTIALLELIC_SNV
+        elif bi == bj and bi != ref_idx:
+            alleles = [bases[ref_idx], bases[bi]]
+            idxs = [ref_idx, bi]
+            called = [1, 1]
+            vtype = TYPE_BIALLELIC_SNV
+        else:  # hetero with ref
+            alt = bi if bi != ref_idx else bj
+            alleles = [bases[ref_idx], bases[alt]]
+            idxs = [ref_idx, alt]
+            called = [0, 1]
+            vtype = TYPE_BIALLELIC_SNV
+        call = CalledGenomicVariant(
+            sequence_name=seq_name,
+            first=position,
+            alleles=alleles,
+            variant_type=vtype,
+            quality=variant_qs,
+            sample_id=self.sample_id,
+            indexes_called_alleles=called,
+            genotype_quality=gq,
+            total_read_depth=total,
+            acgt_depths=[int(x) for x in base_counts],
+            allele_depths=[int(base_counts[i]) for i in idxs],
+            copy_number=self.ploidy,
+            genotype_likelihoods=self._pl(logcond, idxs),
+        )
+        info = {}
+        if self.calc_strand_bias and called != [0, 0]:
+            a, b = idxs[0], idxs[1]
+            p = fisher_exact_2x2(
+                int(strand_counts[a][0]),
+                int(strand_counts[a][1]),
+                int(strand_counts[b][0]),
+                int(strand_counts[b][1]),
+            )
+            info["FS"] = phred_score(p)
+        rec = VCFRecord(variant=call, calls=[call], info=info)
+        return rec
+
+    @staticmethod
+    def _pl(logcond: np.ndarray, idxs: list[int]) -> list[int]:
+        """Phred-scaled genotype likelihoods for genotypes over `idxs`
+        in VCF order (0/0, 0/1, 1/1, [0/2, 1/2, 2/2]...)."""
+        gls = []
+        k = len(idxs)
+        for j in range(k):
+            for i in range(j + 1):
+                a, b = idxs[i], idxs[j]
+                if a == b:
+                    gls.append(logcond[a][a])
+                else:
+                    gls.append(logcond[a][b])
+        gls = np.array(gls)
+        pl = np.round(-10.0 * (gls - gls.max())).astype(np.int64)
+        return [int(min(x, 255)) for x in pl]

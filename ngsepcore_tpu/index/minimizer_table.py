@@ -66,7 +66,8 @@ class MinimizerTable:
                 piece = seq[s : s + chunk]
                 if len(piece) < k:
                     continue
-                codes, lengths, _ = pack_reads([piece], pad_multiple=128)
+                # always pad to the full chunk length: one shape -> one compile
+                codes, lengths, _ = pack_reads([piece], pad_to=chunk, pad_multiple=chunk)
                 kcodes, sel, valid = extract_minimizers(codes, lengths, k, window)
                 sel = np.asarray(sel[0])
                 kcodes = np.asarray(kcodes[0])

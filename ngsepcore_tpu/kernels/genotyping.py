@@ -1,0 +1,260 @@
+"""Genotype likelihood + posterior math as dense batch tensors.
+
+Ref: src/ngsep/discovery/CountsHelper.java — constants :42-48 (het rate
+diploid 0.001, DEF_NUM_FREQUENCIES=501, min base q=3 excluded, max clamp
+30, indel log error 1e-4), probability caches :135-185, per-call SNV
+update :209-251, posterior with 1e-20 truncation :480-495 — and
+VariantDiscoverySNVQAlgorithm.java:21-265 (genotype decision with +0.01
+margins, GQ=0 => undecided, variant QS = phred(post[ref][ref])).
+
+TPU redesign: the reference updates a 4x4 log-conditional matrix per allele
+call inside the pileup listener (one scalar cache lookup per genotype cell
+per call).  Because each call's contribution depends only on (observed
+allele a, base quality q), the whole per-position matrix is a contraction
+
+    logcond[p,i,j] = sum_{a,q} counts[p,a,q] * C[a,q,i,j]
+
+where counts is a scatter-added (positions, 4 alleles, 31 quality bins)
+tensor and C a constant (4,31,4,4) table — an MXU matmul of shape
+(P,124)@(124,16).  float64 is kept for the contraction: the reference does
+all of this in Java doubles and posterior truncation at 1e-20 is
+parity-sensitive; the FLOP count is negligible next to alignment DP.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HET_RATE_DIPLOID = 0.001  # ref: CountsHelper.java:42
+HET_RATE_HAPLOID = 1e-6
+MIN_BASE_QS = 3  # calls with q<=3 excluded (ref :214-216)
+MAX_BASE_QS = 30  # clamp (ref :217-218)
+NUM_FREQ = 501
+LOG_ERROR_PROB_INDEL = float(np.log10(1e-4))
+N_QBINS = MAX_BASE_QS + 1  # quality axis 0..30 after clamping
+
+
+def _log_caches(n_alleles: int, het_proportion: float = 0.5):
+    """Numpy mirrors of logProbCacheError / logProbCacheGT rows used for SNVs."""
+    q = np.arange(N_QBINS, dtype=np.float64)
+    err_prob = 10.0 ** (-0.1 * q)
+    log_err0 = -0.1 * q  # logProbCacheError[q][0]
+    log_err_n = log_err0 - np.log10(n_alleles - 1)  # logProbCacheError[q][n]
+    # f and g grid indices exactly like the reference rounding (ref :211-212;
+    # Java Math.round is half-up)
+    f = int(np.floor(het_proportion * (NUM_FREQ - 1) + 0.5))
+    g = int(np.floor((1 - het_proportion) * (NUM_FREQ - 1) + 0.5))
+    af_f = f / (NUM_FREQ - 1)
+    af_g = g / (NUM_FREQ - 1)
+    success = 1 - err_prob
+    with np.errstate(divide="ignore"):  # q=0 rows are masked out below
+        log_gt0 = np.log10(success)  # logProbCacheGT[*][q][0]
+        log_gt_f = np.log10(af_f * success + (1 - af_f) * err_prob / (n_alleles - 1))
+        log_gt_g = np.log10(af_g * success + (1 - af_g) * err_prob / (n_alleles - 1))
+    return log_err0, log_err_n, log_gt0, log_gt_f, log_gt_g
+
+
+def snv_contribution_table(n_alleles: int = 4, het_proportion: float = 0.5) -> np.ndarray:
+    """C[a, q, i, j]: contribution of one call (allele a, quality q) to the
+    log-conditional of ordered genotype (i,j).  Mirrors the update loop at
+    CountsHelper.java:231-249."""
+    log_err0, log_err_n, log_gt0, log_gt_f, log_gt_g = _log_caches(
+        n_alleles, het_proportion
+    )
+    n = n_alleles
+    C = np.zeros((n, N_QBINS, n, n), dtype=np.float64)
+    for a in range(n):
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    C[a, :, i, j] = log_gt0 if i == a else log_err_n
+                elif j == a:
+                    C[a, :, i, j] = log_gt_f
+                elif i == a:
+                    C[a, :, i, j] = log_gt_g
+                else:
+                    C[a, :, i, j] = log_err_n
+    # calls with q <= MIN_BASE_QS are excluded entirely (ref :214-216)
+    C[:, : MIN_BASE_QS + 1, :, :] = 0.0
+    return C
+
+
+@partial(jax.jit, static_argnames=("n_alleles", "out_size"))
+def scatter_allele_counts(
+    positions: jnp.ndarray,  # (N,) int32 window-relative positions
+    alleles: jnp.ndarray,  # (N,) int8 observed allele index 0..3 (<0 = skip)
+    quals: jnp.ndarray,  # (N,) int8 raw phred
+    strands: jnp.ndarray,  # (N,) int8 1=negative
+    n_alleles: int = 4,
+    *,
+    out_size: int,
+):
+    """Build (window, allele, qbin) count tensor + strand counts + low-qual
+    counts by scatter-add — the dense replacement for the per-call pileup
+    update loop (AlignmentsPileupGenerator/CountsHelper)."""
+    valid = (alleles >= 0) & (positions >= 0) & (positions < out_size)
+    q = jnp.clip(quals, 0, MAX_BASE_QS).astype(jnp.int32)
+    low = valid & (quals <= MIN_BASE_QS)
+    ok = valid & (quals > MIN_BASE_QS)
+    pos = jnp.where(valid, positions, 0).astype(jnp.int32)
+    al = jnp.where(valid, alleles, 0).astype(jnp.int32)
+    counts = jnp.zeros((out_size, n_alleles, N_QBINS), jnp.int32)
+    counts = counts.at[pos, al, q].add(ok.astype(jnp.int32))
+    strand_counts = jnp.zeros((out_size, n_alleles, 2), jnp.int32)
+    strand_counts = strand_counts.at[pos, al, strands.astype(jnp.int32)].add(
+        ok.astype(jnp.int32)
+    )
+    low_qual = jnp.zeros((out_size,), jnp.int32).at[pos].add(low.astype(jnp.int32))
+    total = jnp.zeros((out_size,), jnp.int32).at[pos].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
+@partial(jax.jit, static_argnames=("n_alleles",))
+def genotype_posteriors(
+    counts: jnp.ndarray,  # (P, n, Q) int32
+    contribution: jnp.ndarray,  # (n, Q, n, n) float64
+    het_rate: float = HET_RATE_DIPLOID,
+    n_alleles: int = 4,
+):
+    """Posterior genotype probabilities per position.
+
+    Returns (post (P,n,n) float64, logcond (P,n,n) float64).
+    Mirrors getPosteriorProbabilities + calculatePosteriorProbabilities
+    (CountsHelper.java:410-495) including the 10^-20 truncation.
+    """
+    P = counts.shape[0]
+    n = n_alleles
+    logcond = jnp.einsum(
+        "paq,aqij->pij", counts.astype(jnp.float64), contribution
+    )
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    eye = jnp.eye(n, dtype=bool)
+    prior = jnp.where(eye, log_prior_homo, log_prior_hetero)
+    ev = logcond + prior[None, :, :]
+    logmax = jnp.max(ev.reshape(P, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    total = jnp.sum(p.reshape(P, -1), axis=1)[:, None, None]
+    return p / total, logcond
+
+
+@partial(jax.jit, static_argnames=("out_size", "n_alleles", "max_sites"))
+def window_genotype_snv(
+    positions: jnp.ndarray,
+    alleles: jnp.ndarray,
+    quals: jnp.ndarray,
+    strands: jnp.ndarray,
+    ref_codes: jnp.ndarray,  # (out_size,) int8 reference base codes
+    contribution: jnp.ndarray,  # (4, Q, 4, 4) float64
+    het_rate: jnp.ndarray,  # scalar float64 (traced: no recompile per value)
+    min_quality: jnp.ndarray,  # scalar int32 (traced)
+    n_alleles: int = 4,
+    max_sites: int = 4096,
+    *,
+    out_size: int,
+):
+    """Fused window pipeline: scatter counts -> posteriors -> genotype
+    decision, all on device.  Only compact per-position vectors (and lazily
+    gathered per-site rows) ever reach the host."""
+    counts, strand_counts, low_qual, total = scatter_allele_counts(
+        positions, alleles, quals, strands, n_alleles, out_size=out_size
+    )
+    P = out_size
+    n = n_alleles
+    logcond = jnp.einsum("paq,aqij->pij", counts.astype(jnp.float64), contribution)
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    eye = jnp.eye(n, dtype=bool)
+    prior = jnp.where(eye, log_prior_homo, log_prior_hetero)
+    ev = logcond + prior[None, :, :]
+    logmax = jnp.max(ev.reshape(P, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    post = p / jnp.sum(p.reshape(P, -1), axis=1)[:, None, None]
+
+    # genotype decision (VariantDiscoverySNVQAlgorithm.getIndexesMaxGenotype)
+    ref = jnp.clip(ref_codes, 0, n - 1).astype(jnp.int32)
+    rows = jnp.arange(P)
+    best = post[rows, ref, ref]
+    bi = ref
+    bj = ref
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = jnp.where(upd, prob, best)
+            bi = jnp.where(upd, i, bi)
+            bj = jnp.where(upd, j, bj)
+    ref_prob = post[rows, ref, ref]
+    one_minus = 1.0 - best
+    gq = jnp.where(
+        one_minus <= 0,
+        255,
+        jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(one_minus, 1e-30))), 255),
+    ).astype(jnp.int32)
+    depths = counts.sum(axis=2)
+
+    # on-device site selection + compaction: only flagged sites (decided
+    # non-homoref, quality >= threshold, ACGT reference, read evidence)
+    # travel to the host — one small transfer instead of whole-window tensors
+    interesting = (
+        ((bi != ref) | (bj != ref))
+        & (ref_codes < 4)
+        & (gq >= min_quality)
+        & (gq > 0)
+        & (total > 0)
+    )
+    idx = jnp.nonzero(interesting, size=max_sites, fill_value=out_size - 1)[0]
+    k_valid = jnp.sum(interesting.astype(jnp.int32))
+    return {
+        "site_idx": idx.astype(jnp.int32),
+        "n_sites": jnp.minimum(k_valid, max_sites),
+        "bi": bi[idx].astype(jnp.int8),
+        "bj": bj[idx].astype(jnp.int8),
+        "gq": gq[idx],
+        "ref_prob": ref_prob[idx],
+        "depths": depths[idx],
+        "total": total[idx],
+        "logcond": logcond[idx],
+        "strand_counts": strand_counts[idx],
+    }
+
+
+def decide_genotypes_discovery(
+    post: np.ndarray, ref_idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized getIndexesMaxGenotype + GQ/variant-QS math (host numpy).
+
+    Mirrors VariantDiscoverySNVQAlgorithm.getIndexesMaxGenotype:223-243:
+    scan unordered pairs (i<=j) in row-major order, replacing the current
+    best only when prob > best + 0.01, starting from (ref,ref).
+
+    Returns (idx_i, idx_j, max_p, gq, ref_prob) per position.
+    """
+    P, n, _ = post.shape
+    rows = np.arange(P)
+    ref = np.clip(ref_idx, 0, n - 1)
+    best = post[rows, ref, ref].copy()
+    bi = ref.copy().astype(np.int32)
+    bj = ref.copy().astype(np.int32)
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = np.where(upd, prob, best)
+            bi = np.where(upd, i, bi)
+            bj = np.where(upd, j, bj)
+    from ..math.phred import MAX_PHRED
+
+    ref_prob = post[rows, ref, ref]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gq = np.round(-10.0 * np.log10(np.maximum(1.0 - best, 0.0))).astype(np.int64)
+    gq = np.where(1.0 - best <= 0, MAX_PHRED, np.minimum(gq, MAX_PHRED)).astype(
+        np.int32
+    )
+    gq = np.where(best >= 1.0, MAX_PHRED, gq)
+    return bi, bj, best, gq, ref_prob

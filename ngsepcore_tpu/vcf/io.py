@@ -117,7 +117,11 @@ class VCFFileWriter:
                 if c.is_undecided:
                     parts.append("./.")
                 else:
-                    parts.append("/".join(str(i) for i in sorted(c.indexes_called_alleles)))
+                    idxs = sorted(c.indexes_called_alleles)
+                    # a homozygous call stored as one allele prints at ploidy
+                    if len(idxs) == 1 and c.copy_number >= 2:
+                        idxs = idxs * c.copy_number
+                    parts.append("/".join(str(i) for i in idxs))
             elif key == "PL":
                 parts.append(
                     ",".join(str(x) for x in c.genotype_likelihoods)
@@ -139,10 +143,14 @@ class VCFFileWriter:
             elif key == "ACN":
                 acns = c.allele_copy_numbers
                 if not acns and not c.is_undecided:
-                    # derive from genotype at copy number 2
+                    # distribute the region copy number over called alleles
+                    # (ref: CalledGenomicVariant.updateAllelesCopyNumberFromCounts)
                     acns = [0] * len(c.alleles)
-                    for i in c.indexes_called_alleles:
-                        acns[i] += c.copy_number // max(1, len(set(c.indexes_called_alleles)))
+                    called = sorted(set(c.indexes_called_alleles))
+                    share = c.copy_number // len(called)
+                    for i in called:
+                        acns[i] = share
+                    acns[called[0]] += c.copy_number - share * len(called)
                 parts.append(",".join(str(x) for x in acns) if acns else ".")
             else:
                 parts.append(".")

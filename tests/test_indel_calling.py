@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from ngsepcore_tpu.call.indels import (
+    IndelCountsHelper,
+    SpanningCall,
+    call_indel,
+    cluster_allele_calls,
+)
+
+
+def _mk_calls(alleles_and_counts, qual=35):
+    calls = []
+    for allele, count in alleles_and_counts:
+        for _ in range(count):
+            calls.append(
+                SpanningCall(
+                    allele=allele,
+                    qualities=np.full(len(allele), qual, np.int8),
+                    negative_strand=False,
+                )
+            )
+    return calls
+
+
+def test_cluster_allele_calls_reference_first():
+    calls = _mk_calls([("ACGT", 10), ("ACT", 8)])
+    alleles = cluster_allele_calls(calls, "ACGT")
+    assert alleles[0] == "ACGT"
+    assert "ACT" in alleles
+
+
+def test_homozygous_deletion_call():
+    # ref allele ACGTA, observed allele ACA (2bp deletion) in all reads
+    calls = _mk_calls([("ACA", 20)])
+    alleles = cluster_allele_calls(calls, "ACGTA")
+    called = call_indel("chr1", 100, calls, alleles, 0.001)
+    assert called is not None
+    assert called.variant_type == "INDEL"
+    assert called.called_alleles() == ["ACA"]
+    assert called.is_homozygous
+    assert called.genotype_quality > 40
+
+
+def test_heterozygous_insertion_call():
+    calls = _mk_calls([("ACTTG", 12), ("ACG", 12)])
+    alleles = cluster_allele_calls(calls, "ACG")
+    called = call_indel("chr1", 50, calls, alleles, 0.001)
+    assert called is not None
+    assert called.is_heterozygous
+    assert set(called.called_alleles()) == {"ACG", "ACTTG"}
+
+
+def test_same_length_alleles_no_indel():
+    # all observed alleles have the reference length -> no indel call
+    calls = _mk_calls([("ACG", 20)])
+    alleles = cluster_allele_calls(calls, "ACG")
+    called = call_indel("chr1", 10, calls, alleles, 0.001)
+    assert called is None or called.is_homozygous_reference or not called.is_undecided
+
+
+def test_no_calls_returns_none():
+    assert call_indel("chr1", 10, [], ["ACGT"], 0.001) is None
+
+
+def test_indel_detector_e2e():
+    """Simulate a diploid with indels, align, call, compare truth."""
+    from ngsepcore_tpu.align.reads_aligner import ReadsAligner
+    from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import QualifiedSequence, QualifiedSequenceList
+    from ngsepcore_tpu.simulation.individual_simulator import SingleIndividualSimulator
+    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+
+    rng = np.random.default_rng(42)
+    seqs = QualifiedSequenceList()
+    seqs.add(
+        QualifiedSequence.from_string(
+            "chr1", "".join(rng.choice(list("ACGT"), size=40000))
+        )
+    )
+    genome = ReferenceGenome(seqs)
+    sim = SingleIndividualSimulator(
+        genome, snv_rate=0.0, indel_rate=0.0005, het_fraction=0.3, seed=9
+    )
+    sim.simulate()
+    assert len(sim.calls) > 5
+    reads = []
+    for h, hg in enumerate(sim.build_haplotype_genomes()):
+        reads.extend(
+            SingleReadsSimulator(
+                hg, read_length=100, substitution_error_rate=0.001, seed=20 + h
+            ).simulate(8000)
+        )
+    aligner = ReadsAligner(genome)
+    alns = []
+    for i in range(0, len(reads), 4096):
+        for r in aligner.align_batch(reads[i : i + 4096]):
+            alns.extend(r)
+    det = SingleSampleVariantsDetector(genome, sample_id="sim")
+    records = det.find_variants(alns)
+    indel_recs = [r for r in records if r.variant.variant_type in ("INDEL", "STR")]
+    truth_pos = {c.first for c in sim.calls}
+    # indel anchor may differ by a couple bp after realignment
+    tp = sum(
+        1
+        for r in indel_recs
+        if any(abs(r.variant.first - t) <= 3 for t in truth_pos)
+    )
+    recall = tp / len(sim.calls)
+    precision = tp / max(1, len(indel_recs))
+    assert recall > 0.7, f"recall {recall} ({tp}/{len(sim.calls)})"
+    assert precision > 0.7, f"precision {precision} ({tp}/{len(indel_recs)})"
