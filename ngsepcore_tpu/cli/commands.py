@@ -226,6 +226,368 @@ register(
 )
 
 
+# ---- VariantsDownstream group ---------------------------------------------
+
+def _run_vcf_impute(opts: dict, args: list[str]) -> None:
+    from ..imputation.genotype_imputer import GenotypeImputer
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    out = opts.pop("output_prefix", None) or (args[1] if len(args) > 1 else None)
+    if not inp or not out:
+        raise SystemExit("Usage: VCFImpute -i <in.vcf> -o <prefix>")
+    GenotypeImputer(**opts).run(inp, out)
+    print(f"Imputed genotypes -> {out}_imputed.vcf")
+
+
+register(
+    Command(
+        id="VCFImpute",
+        former_id="ImputeVCF",
+        group="VariantsDownstream",
+        description="Imputes missing genotypes with a haplotype-cluster HMM",
+        runner=_run_vcf_impute,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("k", "k", "int", 8, "Number of haplotype clusters"),
+            Option("w", "window_size", "int", 5000, "Sites per window"),
+            Option("v", "overlap", "int", 50, "Window overlap"),
+            Option("c", "avg_cm_per_kbp", "float", 0.001, "Avg cM per kbp"),
+            Option("t", "n_iterations", "int", 10, "Baum-Welch iterations"),
+        ],
+    )
+)
+
+
+def _load_vcf(path: str):
+    from ..vcf.io import VCFFileReader
+
+    reader = VCFFileReader(path)
+    records = reader.load_all()
+    return reader, records
+
+
+def _run_vcf_filter(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import VCFFilter
+    from ..vcf.io import VCFFileWriter
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    out = opts.pop("output_file", None) or (args[1] if len(args) > 1 else None)
+    if not inp or not out:
+        raise SystemExit("Usage: VCFFilter -i <in.vcf> -o <out.vcf> [filters]")
+    reader, records = _load_vcf(inp)
+    kept = VCFFilter(**opts).apply(records)
+    with VCFFileWriter(out, reader.sample_ids) as w:
+        for r in kept:
+            w.write(r)
+    print(f"Kept {len(kept)} of {len(records)} records", file=sys.stderr)
+
+
+register(
+    Command(
+        id="VCFFilter",
+        former_id="FilterVCF",
+        group="VariantsDownstream",
+        description="Filters VCF sites and genotypes",
+        runner=_run_vcf_filter,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output VCF"),
+            Option("q", "min_quality", "int", 0, "Minimum variant quality"),
+            Option("g", "min_genotype_quality", "int", 0, "Minimum genotype quality"),
+            Option("d", "min_depth", "int", 0, "Minimum genotype depth"),
+            Option("m", "min_samples_genotyped", "int", 0, "Min samples genotyped"),
+            Option("minMAF", "min_maf", "float", 0.0, "Minimum MAF"),
+            Option("maxMAF", "max_maf", "float", 0.5, "Maximum MAF"),
+            Option("minOH", "min_oh", "float", 0.0, "Minimum observed het"),
+            Option("maxOH", "max_oh", "float", 1.0, "Maximum observed het"),
+            Option("s", "keep_only_snvs", "bool", False, "Keep only SNVs"),
+            Option("fi", "keep_only_biallelic", "bool", False, "Keep only biallelic"),
+        ],
+    )
+)
+
+
+def _run_vcf_summary(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import VCFSummaryStatisticsCalculator
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: VCFSummaryStats <in.vcf> [-o out.txt]")
+    _, records = _load_vcf(inp)
+    calc = VCFSummaryStatisticsCalculator()
+    for r in records:
+        calc.process(r)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    calc.print_report(fh)
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFSummaryStats",
+        former_id="SummaryStats",
+        group="VariantsDownstream",
+        description="Variant count reports by category",
+        runner=_run_vcf_summary,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_vcf_diversity(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import site_diversity
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: VCFDiversityStats <in.vcf> [-o out.txt]")
+    _, records = _load_vcf(inp)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("CHROM\tPOS\tGENOTYPED\tMAF\tOH\tEH\tF\n")
+    for r in records:
+        d = site_diversity(r)
+        v = r.variant
+        fh.write(
+            f"{v.sequence_name}\t{v.first}\t{d.genotyped}\t{d.maf:.4f}\t"
+            f"{d.observed_het:.4f}\t{d.expected_het:.4f}\t{d.f:.4f}\n"
+        )
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFDiversityStats",
+        former_id="DiversityStats",
+        group="VariantsDownstream",
+        description="Per-site diversity statistics (MAF, heterozygosity, F)",
+        runner=_run_vcf_diversity,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_vcf_density(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import variant_density
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: VCFVariantDensityCalculator <in.vcf> [-w window]")
+    _, records = _load_vcf(inp)
+    window = int(opts.pop("window", 100000) or 100000)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    for seq, start, count in variant_density(records, window):
+        fh.write(f"{seq}\t{start}\t{start + window - 1}\t{count}\n")
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFVariantDensityCalculator",
+        group="VariantsDownstream",
+        description="Variant density in genome windows",
+        runner=_run_vcf_density,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output file"),
+            Option("w", "window", "int", 100000, "Window length"),
+        ],
+    )
+)
+
+
+def _run_vcf_distance_matrix(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import distance_matrix, write_distance_matrix
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: VCFDistanceMatrixCalculator <in.vcf> [-o out.txt]")
+    _, records = _load_vcf(inp)
+    dist, samples = distance_matrix(records)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    write_distance_matrix(dist, samples, fh)
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFDistanceMatrixCalculator",
+        group="VariantsDownstream",
+        description="Genetic distance matrix from genotype calls",
+        runner=_run_vcf_distance_matrix,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_tree(opts: dict, args: list[str], algorithm: str) -> None:
+    from ..clustering.trees import neighbor_joining, upgma
+    from ..vcf.analytics import load_distance_matrix
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: NeighborJoining <matrix.txt> [-o out.nwk]")
+    with open(inp) as fh:
+        dist, names = load_distance_matrix(fh)
+    tree = neighbor_joining(dist, names) if algorithm == "NJ" else upgma(dist, names)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write(tree.to_newick() + "\n")
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="NeighborJoining",
+        group="VariantsDownstream",
+        description="Neighbor-joining dendrogram from a distance matrix",
+        runner=lambda o, a: _run_tree(o, a, "NJ"),
+        options=[
+            Option("i", "input_file", "str", None, "Distance matrix file"),
+            Option("o", "output_file", "str", None, "Output Newick file"),
+        ],
+    )
+)
+
+register(
+    Command(
+        id="DistanceClusteringService",
+        group="VariantsDownstream",
+        description="Tree building from a distance matrix (NJ or UPGMA)",
+        runner=lambda o, a: _run_tree(o, a, o.pop("algorithm", "NJ") or "NJ"),
+        hidden=True,
+        options=[
+            Option("i", "input_file", "str", None, "Distance matrix file"),
+            Option("o", "output_file", "str", None, "Output Newick file"),
+            Option("t", "algorithm", "str", "NJ", "NJ or UPGMA"),
+        ],
+    )
+)
+
+
+def _run_vcf_comparator(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import compare_vcfs
+
+    if len(args) < 2:
+        raise SystemExit("Usage: VCFComparator <a.vcf> <b.vcf>")
+    _, r1 = _load_vcf(args[0])
+    _, r2 = _load_vcf(args[1])
+    res = compare_vcfs(r1, r2)
+    print(
+        f"Both genotyped: {res.both_genotyped}\nConcordant: {res.concordant}\n"
+        f"Concordance: {res.concordance:.4f}\nOnly first: {res.only_first}\n"
+        f"Only second: {res.only_second}"
+    )
+
+
+register(
+    Command(
+        id="VCFComparator",
+        former_id="CompareVCF",
+        group="VariantsDownstream",
+        description="Genotype concordance between two VCFs",
+        runner=_run_vcf_comparator,
+        options=[],
+    )
+)
+
+
+def _run_vcf_converter(opts: dict, args: list[str]) -> None:
+    from ..vcf.converter import CONVERTERS, POPULATION_CONVERTERS
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    out = opts.pop("output_prefix", None) or (args[1] if len(args) > 1 else "converted")
+    if not inp:
+        raise SystemExit("Usage: VCFConverter -i <in.vcf> -o <prefix> -f <formats,csv>")
+    formats = (opts.pop("formats", None) or "Matrix").split(",")
+    pops_file = opts.pop("populations_file", None)
+    populations = {}
+    if pops_file:
+        with open(pops_file) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2:
+                    populations[parts[0]] = parts[1]
+    _, records = _load_vcf(inp)
+    for f in formats:
+        if f in CONVERTERS:
+            CONVERTERS[f](records, out)
+        elif f in POPULATION_CONVERTERS:
+            POPULATION_CONVERTERS[f](records, populations, out)
+        else:
+            raise SystemExit(
+                f"Unknown format {f}. Available: "
+                + ",".join(list(CONVERTERS) + list(POPULATION_CONVERTERS))
+            )
+    print(f"Converted {len(records)} records to {formats}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="VCFConverter",
+        former_id="ConvertVCF",
+        group="VariantsDownstream",
+        description="Exports genotypes to population-genetics formats",
+        runner=_run_vcf_converter,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("f", "formats", "str", "Matrix", "Comma-separated formats"),
+            Option("p", "populations_file", "str", None, "Sample->population map"),
+        ],
+    )
+)
+
+
+def _run_vcf_merge(opts: dict, args: list[str]) -> None:
+    from ..vcf.analytics import merge_vcfs
+    from ..vcf.io import VCFFileWriter
+
+    out = opts.pop("output_file", None)
+    if not out or len(args) < 2:
+        raise SystemExit("Usage: VCFMerge -o <out.vcf> <in1.vcf> <in2.vcf> ...")
+    lists = []
+    samples = []
+    for path in args:
+        reader, records = _load_vcf(path)
+        lists.append(records)
+        samples.append(reader.sample_ids[0] if reader.sample_ids else path)
+    merged = merge_vcfs(lists, samples)
+    with VCFFileWriter(out, samples) as w:
+        for r in merged:
+            w.write(r)
+    print(f"Merged {len(merged)} sites from {len(args)} files", file=sys.stderr)
+
+
+register(
+    Command(
+        id="VCFMerge",
+        former_id="MergeVCF",
+        group="Discovery",
+        description="Merges per-sample VCFs into a population VCF",
+        runner=_run_vcf_merge,
+        options=[Option("o", "output_file", "str", None, "Output VCF")],
+    )
+)
+
+
 # ---- not-yet-implemented command ids (full parity checklist) -------------
 
 _PENDING: dict[str, tuple[str, str]] = {
@@ -242,7 +604,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "MultisampleVariantsDetector": ("Discovery", "Joint population variant calling"),
     "SIH": ("Discovery", "Single individual haplotyping"),
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
-    "VCFMerge": ("Discovery", "Merge per-sample VCFs into population VCF"),
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
     "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
     "ReadDepthComparator": ("Discovery", "Case-control read-depth CNV"),
@@ -255,17 +616,7 @@ _PENDING: dict[str, tuple[str, str]] = {
     "GenomeAssemblyMask": ("Genomes", "Mask genome regions"),
     # VariantsDownstream
     "VCFAnnotate": ("VariantsDownstream", "Functional annotation vs gene models"),
-    "VCFFilter": ("VariantsDownstream", "Site/genotype filters"),
-    "VCFConverter": ("VariantsDownstream", "Export to population-genetics formats"),
-    "VCFComparator": ("VariantsDownstream", "Genotype concordance between VCFs"),
-    "VCFSummaryStats": ("VariantsDownstream", "Variant count reports"),
-    "VCFDiversityStats": ("VariantsDownstream", "Per-site diversity statistics"),
-    "VCFVariantDensityCalculator": ("VariantsDownstream", "Variant density in windows"),
-    "VCFDistanceMatrixCalculator": ("VariantsDownstream", "Genetic distance matrix"),
-    "DistanceClusteringService": ("VariantsDownstream", "NJ/UPGMA tree building"),
-    "NeighborJoining": ("VariantsDownstream", "Neighbor joining dendrogram"),
     "VCFAlleleSharingStats": ("VariantsDownstream", "Allele sharing statistics"),
-    "VCFImpute": ("VariantsDownstream", "HMM genotype imputation"),
     "VCFIntrogressionAnalysis": ("VariantsDownstream", "Window introgression detection"),
     "VCFRelativeCoordinatesTranslator": ("VariantsDownstream", "GBS coordinate translation"),
     "MutatedPeptidesExtractor": ("VariantsDownstream", "Mutated peptide extraction"),
