@@ -1,0 +1,241 @@
+"""Multisample joint variant detection.
+
+Ref: src/ngsep/discovery/MultisampleVariantsDetector.java — samples
+auto-discovered from alignment read groups (:492-516); per pileup a
+population variant is discovered from pooled calls and each sample is then
+genotyped from its read-group partition (:522-560, :664-691); the variant
+QS is the max genotype quality among decided non-homoref sample calls
+(:680-691); records stream per site.
+
+TPU redesign: the fused single-sample window kernel
+(kernels/genotyping.window_genotype_snv) runs once per sample per window
+(dense, device-resident); the population site set is the union of flagged
+sites; per-sample genotype data at union sites come from device gathers of
+the full per-position arrays — no per-position listener bus.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..align.read_alignment import ReadAlignment
+from ..core.genome import ReferenceGenome
+from ..io.sam import ReadAlignmentFileReader
+from ..kernels.genotyping import (
+    HET_RATE_DIPLOID,
+    snv_contribution_table,
+    window_genotype_snv,
+)
+from ..variants.model import (
+    CalledGenomicVariant,
+    TYPE_BIALLELIC_SNV,
+    TYPE_MULTIALLELIC_SNV,
+)
+from ..vcf.io import VCFFileWriter, VCFRecord
+from .pileup import cap_alignments_per_start, expand_batch_calls
+from .single_sample import DEF_MIN_MQ, DEF_MIN_QUALITY, WINDOW
+
+
+class MultisampleVariantsDetector:
+    def __init__(
+        self,
+        genome: ReferenceGenome,
+        heterozygosity_rate: float = HET_RATE_DIPLOID,
+        min_quality: int = DEF_MIN_QUALITY,
+        min_mq: int = DEF_MIN_MQ,
+        ploidy: int = 2,
+        max_alns_per_start: int = 5,
+    ):
+        self.genome = genome
+        self.heterozygosity_rate = heterozygosity_rate
+        self.min_quality = min_quality
+        self.min_mq = min_mq
+        self.ploidy = ploidy
+        self.max_alns_per_start = max_alns_per_start
+        self._contribution = snv_contribution_table(4, 0.5)
+
+    # ------------------------------------------------------------------
+    def run(self, alignment_files: list[str], output_vcf: str) -> int:
+        """Samples come from read groups; files without RG use filename."""
+        per_sample: dict[str, list[ReadAlignment]] = {}
+        for path in alignment_files:
+            reader = ReadAlignmentFileReader(path, min_mq=self.min_mq)
+            default_sample = path.rsplit("/", 1)[-1].split(".")[0]
+            for a in reader:
+                sample = (
+                    reader.read_groups.get(a.read_group, a.read_group)
+                    if a.read_group
+                    else default_sample
+                )
+                per_sample.setdefault(sample, []).append(a)
+        samples = sorted(per_sample)
+        records = self.find_variants([per_sample[s] for s in samples], samples)
+        with VCFFileWriter(output_vcf, samples) as w:
+            for r in records:
+                w.write(r)
+        return len(records)
+
+    # ------------------------------------------------------------------
+    def find_variants(
+        self, alignments_per_sample: list[list[ReadAlignment]], samples: list[str]
+    ) -> list[VCFRecord]:
+        records: list[VCFRecord] = []
+        for si in range(self.genome.num_sequences):
+            name = self.genome.sequence_name(si)
+            per_sample = []
+            for alns in alignments_per_sample:
+                sel = [
+                    a
+                    for a in alns
+                    if a.sequence_name == name
+                    and not a.is_unmapped
+                    and a.alignment_quality >= self.min_mq
+                ]
+                sel.sort(key=lambda a: a.first)
+                per_sample.append(cap_alignments_per_start(sel, self.max_alns_per_start))
+            if not any(per_sample):
+                continue
+            records.extend(self._process_sequence(si, name, per_sample, samples))
+        return records
+
+    # ------------------------------------------------------------------
+    def _process_sequence(self, seq_idx, seq_name, per_sample, samples):
+        n_samples = len(per_sample)
+        expanded = [expand_batch_calls(alns) for alns in per_sample]
+        seq_len = self.genome.sequence_length(seq_idx)
+        ref_codes = self.genome.sequences[seq_idx].codes
+        contribution = np.asarray(self._contribution)
+        het = np.float64(self.heterozygosity_rate)
+        minq = np.int32(self.min_quality)
+        out: list[VCFRecord] = []
+        sorted_calls = []
+        for pos, allele, qual, strand, _ in expanded:
+            order = np.argsort(pos, kind="stable")
+            sorted_calls.append(
+                (pos[order], allele[order], qual[order], strand[order])
+            )
+        for w0 in range(1, seq_len + 1, WINDOW):
+            w1 = min(seq_len, w0 + WINDOW - 1)
+            ref_win = np.full(WINDOW, 4, dtype=np.int8)
+            ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
+            results = []
+            any_calls = False
+            for s in range(n_samples):
+                pos, allele, qual, strand = sorted_calls[s]
+                lo = np.searchsorted(pos, w0, side="left")
+                hi = np.searchsorted(pos, w1, side="right")
+                n = hi - lo
+                if n == 0:
+                    results.append(None)
+                    continue
+                any_calls = True
+                cap = max(1024, 1 << int(np.ceil(np.log2(n))))
+                rel = np.full(cap, -1, np.int32)
+                rel[:n] = (pos[lo:hi] - w0).astype(np.int32)
+                al = np.full(cap, -1, np.int8)
+                al[:n] = allele[lo:hi]
+                qu = np.zeros(cap, np.int8)
+                qu[:n] = qual[lo:hi]
+                st = np.zeros(cap, np.int8)
+                st[:n] = strand[lo:hi]
+                results.append(
+                    window_genotype_snv(
+                        rel, al, qu, st, ref_win, contribution, het, minq,
+                        out_size=WINDOW,
+                    )
+                )
+            if not any_calls:
+                continue
+            # union of flagged sites across samples
+            union: set[int] = set()
+            for res in results:
+                if res is None:
+                    continue
+                k = int(res["n_sites"])
+                if k:
+                    union.update(int(x) for x in np.asarray(res["site_idx"][:k]))
+            if not union:
+                continue
+            sites = np.array(sorted(union), dtype=np.int64)
+            # gather per-sample genotype data at union sites (device gathers)
+            gathered = []
+            for res in results:
+                if res is None:
+                    gathered.append(None)
+                    continue
+                gathered.append(
+                    {
+                        "bi": np.asarray(res["bi_full"][sites]),
+                        "bj": np.asarray(res["bj_full"][sites]),
+                        "gq": np.asarray(res["gq_full"][sites]),
+                        "total": np.asarray(res["total_full"][sites]),
+                        "depths": np.asarray(res["depths_full"][sites]),
+                        "ref_prob": np.asarray(res["ref_prob_full"][sites]),
+                    }
+                )
+            for k, p in enumerate(sites):
+                rec = self._build_population_record(
+                    seq_name, w0 + int(p), int(ref_win[p]), gathered, samples, k
+                )
+                if rec is not None:
+                    out.append(rec)
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_population_record(
+        self, seq_name, position, ref_idx, gathered, samples, k
+    ) -> VCFRecord | None:
+        bases = "ACGT"
+        if ref_idx >= 4:
+            return None
+        # allele set: reference first, then alt alleles in called order
+        alleles = [bases[ref_idx]]
+        allele_index: dict[int, int] = {ref_idx: 0}
+        sample_calls: list[CalledGenomicVariant] = []
+        variant_qs = 0
+        for s, g in enumerate(gathered):
+            if g is None or int(g["total"][k]) == 0:
+                sample_calls.append((s, None, 0, 0, None))
+                continue
+            bi, bj = int(g["bi"][k]), int(g["bj"][k])
+            gq = int(g["gq"][k])
+            for a in (bi, bj):
+                if a not in allele_index:
+                    allele_index[a] = len(alleles)
+                    alleles.append(bases[a])
+            sample_calls.append((s, (bi, bj), gq, int(g["total"][k]), g["depths"][k]))
+            if (bi, bj) != (ref_idx, ref_idx) and gq > variant_qs:
+                variant_qs = gq
+        if variant_qs == 0 or variant_qs < self.min_quality or len(alleles) < 2:
+            return None
+        vtype = TYPE_BIALLELIC_SNV if len(alleles) == 2 else TYPE_MULTIALLELIC_SNV
+        calls = []
+        for s, genotype, gq, total, depths in sample_calls:
+            call = CalledGenomicVariant(
+                sequence_name=seq_name,
+                first=position,
+                alleles=alleles,
+                variant_type=vtype,
+                quality=variant_qs,
+                sample_id=samples[s],
+                genotype_quality=gq,
+                total_read_depth=total,
+                copy_number=self.ploidy,
+            )
+            if genotype is not None:
+                call.indexes_called_alleles = sorted(
+                    {allele_index[genotype[0]], allele_index[genotype[1]]}
+                )
+                call.acgt_depths = [int(x) for x in depths]
+                call.allele_depths = [
+                    int(depths[bases.index(a)]) for a in alleles
+                ]
+            calls.append(call)
+        variant = CalledGenomicVariant(
+            sequence_name=seq_name,
+            first=position,
+            alleles=alleles,
+            variant_type=vtype,
+            quality=variant_qs,
+        )
+        info = {"NS": sum(1 for c in calls if not c.is_undecided)}
+        return VCFRecord(variant=variant, calls=calls, info=info)

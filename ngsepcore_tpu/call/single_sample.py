@@ -147,8 +147,12 @@ class SingleSampleVariantsDetector:
                 rel, al, qu, st, ref_win, contribution, het, minq, out_size=WINDOW
             )
             pending.append((w0, ref_win, res))
+        compact_keys = (
+            "site_idx", "n_sites", "bi", "bj", "gq", "ref_prob",
+            "depths", "total", "logcond", "strand_counts",
+        )
         for w0, ref_win, res in pending:
-            res = jax.device_get(res)
+            res = jax.device_get({k: res[k] for k in compact_keys})
             k = int(res["n_sites"])
             if k == 0:
                 continue

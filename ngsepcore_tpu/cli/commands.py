@@ -82,15 +82,29 @@ def _run_reads_aligner(opts: dict, args: list[str]) -> None:
     if not genome_path or not args:
         raise SystemExit("Usage: ReadsAligner -r <genome.fa> -o <out.sam> <reads.fastq>")
     genome = ReferenceGenome.load(genome_path)
+    paired = bool(opts.pop("paired", False)) or len(args) == 2
     aligner = ReadsAligner(genome, **opts)
     n_out = 0
     with ReadAlignmentFileWriter(genome.sequences, out or "-", sample_id=sample) as w:
-        for path in args:
-            for batch in FastqFileReader(path).iter_batches(4096):
-                for alns in aligner.align_batch(batch):
+        if paired and len(args) == 2:
+            from ..align.paired import PairedReadsAligner
+
+            pa = PairedReadsAligner(aligner)
+            it1 = FastqFileReader(args[0]).iter_batches(4096)
+            it2 = FastqFileReader(args[1]).iter_batches(4096)
+            for b1, b2 in zip(it1, it2):
+                for alns in pa.align_batch(b1, b2):
                     for a in alns:
                         w.write(a)
                         n_out += 1
+            print(f"Proper pairs: {pa.proper_pairs}/{pa.pairs}", file=sys.stderr)
+        else:
+            for path in args:
+                for batch in FastqFileReader(path).iter_batches(4096):
+                    for alns in aligner.align_batch(batch):
+                        for a in alns:
+                            w.write(a)
+                            n_out += 1
     print(
         f"Reads: {aligner.total_reads} Aligned: {aligner.aligned_reads} "
         f"records: {n_out}",
@@ -111,12 +125,115 @@ register(
             Option("k", "kmer_length", "int", 25, "Seed k-mer length"),
             Option("w", "window_length", "int", 20, "Minimizer window"),
             Option("a", "max_alns_per_read", "int", 1, "Max alignments per read"),
+            Option("p", "paired", "bool", False, "Paired-end (two fastq files)"),
         ],
     )
 )
 
 
 # ---- Discovery group -----------------------------------------------------
+
+def _run_multisample_detector(opts: dict, args: list[str]) -> None:
+    from ..call.multisample import MultisampleVariantsDetector
+    from ..core.genome import ReferenceGenome
+
+    genome_path = opts.pop("genome", None)
+    out = opts.pop("output_file", None)
+    if not genome_path or not out or not args:
+        raise SystemExit(
+            "Usage: MultisampleVariantsDetector -r <genome.fa> -o <out.vcf> <s1.sam> <s2.sam> ..."
+        )
+    genome = ReferenceGenome.load(genome_path)
+    det = MultisampleVariantsDetector(genome, **opts)
+    n = det.run(args, out)
+    print(f"Called {n} population variants -> {out}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="MultisampleVariantsDetector",
+        group="Discovery",
+        description="Joint population variant calling from multiple samples",
+        runner=_run_multisample_detector,
+        options=[
+            Option("r", "genome", "str", None, "Reference genome FASTA"),
+            Option("o", "output_file", "str", None, "Output VCF"),
+            Option("h", "heterozygosity_rate", "float", 0.001, "Heterozygosity rate"),
+            Option("minQuality", "min_quality", "int", 40, "Min variant quality"),
+            Option("minMQ", "min_mq", "int", 20, "Min mapping quality"),
+            Option("ploidy", "ploidy", "int", 2, "Sample ploidy"),
+        ],
+    )
+)
+
+def _run_coverage_stats(opts: dict, args: list[str]) -> None:
+    from ..call.coverage import CoverageStatisticsCalculator
+    from ..core.genome import ReferenceGenome
+    from ..io.sam import ReadAlignmentFileReader
+
+    genome_path = opts.pop("genome", None)
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not genome_path or not inp:
+        raise SystemExit("Usage: CoverageStats -r <genome.fa> -i <alns.sam> [-o out]")
+    genome = ReferenceGenome.load(genome_path)
+    calc = CoverageStatisticsCalculator(genome)
+    calc.process_alignments(list(ReadAlignmentFileReader(inp)))
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    calc.print_report(fh)
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="CoverageStats",
+        group="Discovery",
+        description="Coverage uniformity statistics from alignments",
+        runner=_run_coverage_stats,
+        options=[
+            Option("r", "genome", "str", None, "Reference genome FASTA"),
+            Option("i", "input_file", "str", None, "Input SAM"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_bpqual_stats(opts: dict, args: list[str]) -> None:
+    from ..call.coverage import BasePairQualityStatisticsCalculator
+    from ..core.genome import ReferenceGenome
+    from ..io.sam import ReadAlignmentFileReader
+
+    genome_path = opts.pop("genome", None)
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not genome_path or not inp:
+        raise SystemExit("Usage: BasePairQualStats -r <genome.fa> -i <alns.sam>")
+    genome = ReferenceGenome.load(genome_path)
+    calc = BasePairQualityStatisticsCalculator(genome)
+    calc.process_alignments(list(ReadAlignmentFileReader(inp)))
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    calc.print_report(fh)
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="BasePairQualStats",
+        former_id="QualStats",
+        group="Discovery",
+        description="Per-read-position mismatch rates vs the genome",
+        runner=_run_bpqual_stats,
+        options=[
+            Option("r", "genome", "str", None, "Reference genome FASTA"),
+            Option("i", "input_file", "str", None, "Input SAM"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
 
 def _run_single_sample_detector(opts: dict, args: list[str]) -> None:
     from ..call.single_sample import SingleSampleVariantsDetector
@@ -599,9 +716,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
     "IndividualGenomeBuilder": ("Reads", "Applies VCF variants to a genome FASTA"),
     # Discovery
-    "BasePairQualStats": ("Discovery", "Per-read-position error bias from alignments"),
-    "CoverageStats": ("Discovery", "Coverage uniformity histogram"),
-    "MultisampleVariantsDetector": ("Discovery", "Joint population variant calling"),
     "SIH": ("Discovery", "Single individual haplotyping"),
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),

@@ -221,6 +221,15 @@ def window_genotype_snv(
         "total": total[idx],
         "logcond": logcond[idx],
         "strand_counts": strand_counts[idx],
+        # full per-position arrays stay device-resident; callers (e.g. the
+        # multisample detector) gather sparse rows without bulk transfers
+        "bi_full": bi.astype(jnp.int8),
+        "bj_full": bj.astype(jnp.int8),
+        "gq_full": gq,
+        "ref_prob_full": ref_prob,
+        "total_full": total,
+        "depths_full": depths,
+        "logcond_full": logcond,
     }
 
 
