@@ -56,6 +56,7 @@ class SingleSampleVariantsDetector:
         ploidy: int = 2,
         calc_strand_bias: bool = False,
         max_alns_per_start: int = 5,
+        find_cnvs: bool = False,
     ):
         self.genome = genome
         self.sample_id = sample_id
@@ -65,19 +66,50 @@ class SingleSampleVariantsDetector:
         self.ploidy = ploidy
         self.calc_strand_bias = calc_strand_bias
         self.max_alns_per_start = max_alns_per_start
+        self.find_cnvs = find_cnvs
         self._contribution = snv_contribution_table(4, 0.5)
 
     # ------------------------------------------------------------------
     def run(self, alignments_file: str, output_vcf: str) -> int:
+        """Orchestration mirrors SingleSampleVariantsDetector.run
+        (:589-656): read-depth CNV analysis (optional), then SNV/indel
+        pileup genotyping; SVs additionally land in a GFF next to the VCF.
+        """
         reader = ReadAlignmentFileReader(
             alignments_file, min_mq=self.min_mq, skip_secondary=True
         )
         alns = list(reader)
         records = self.find_variants(alns)
+        svs = []
+        if self.find_cnvs:
+            svs = self.find_cnv_calls(alns)
+            for c in svs:
+                c.sample_id = self.sample_id
+                records.append(VCFRecord(variant=c, calls=[c], info={
+                    "END": c.last, "SVTYPE": "DUP" if c.copy_number > self.ploidy else "DEL",
+                    "SVLEN": c.length(),
+                }))
+            records.sort(key=lambda r: (r.variant.sequence_name, r.variant.first))
         with VCFFileWriter(output_vcf, [self.sample_id]) as w:
             for r in records:
                 w.write(r)
+        if svs:
+            gff = output_vcf.rsplit(".", 1)[0] + "_SV.gff"
+            from ..io.gff_sv import write_sv_gff
+
+            write_sv_gff(svs, gff)
         return len(records)
+
+    # ------------------------------------------------------------------
+    def find_cnv_calls(self, alns: list[ReadAlignment]):
+        """Read-depth CNV analysis (ref: runRDAnalysis :615-623)."""
+        from .read_depth import PoissonHMMReadDepthAlgorithm, ReadDepthDistribution
+
+        dist = ReadDepthDistribution(self.genome)
+        dist.process_alignments(alns)
+        dist.correct_depth_by_gc_content()
+        dist.fit()
+        return PoissonHMMReadDepthAlgorithm(normal_ploidy=self.ploidy).call_cnvs(dist)
 
     # ------------------------------------------------------------------
     def find_variants(self, alignments: list[ReadAlignment]) -> list[VCFRecord]:

@@ -166,6 +166,47 @@ register(
     )
 )
 
+def _run_read_depth_comparator(opts: dict, args: list[str]) -> None:
+    from ..call.read_depth import cnv_seq_compare
+    from ..core.genome import ReferenceGenome
+    from ..io.sam import ReadAlignmentFileReader
+
+    genome_path = opts.pop("genome", None)
+    out = opts.pop("output_file", None)
+    if not genome_path or len(args) < 2:
+        raise SystemExit(
+            "Usage: ReadDepthComparator -r <genome.fa> <case.sam> <control.sam> [-o out]"
+        )
+    genome = ReferenceGenome.load(genome_path)
+    case = list(ReadAlignmentFileReader(args[0]))
+    control = list(ReadAlignmentFileReader(args[1]))
+    cnvs = cnv_seq_compare(genome, case, control, **opts)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("CHROM\tFIRST\tLAST\tCOPY_NUMBER\tQUALITY\n")
+    for c in cnvs:
+        fh.write(f"{c.sequence_name}\t{c.first}\t{c.last}\t{c.copy_number}\t{c.quality}\n")
+    if out:
+        fh.close()
+    print(f"Called {len(cnvs)} CNVs", file=sys.stderr)
+
+
+register(
+    Command(
+        id="ReadDepthComparator",
+        former_id="CompareRD",
+        group="Discovery",
+        description="Case-control read-depth CNV detection (CNV-seq)",
+        runner=_run_read_depth_comparator,
+        options=[
+            Option("r", "genome", "str", None, "Reference genome FASTA"),
+            Option("o", "output_file", "str", None, "Output file"),
+            Option("b", "bin_size", "int", 100, "Bin size"),
+            Option("x", "min_ratio", "float", 2.0, "Minimum depth ratio"),
+        ],
+    )
+)
+
+
 def _run_coverage_stats(opts: dict, args: list[str]) -> None:
     from ..call.coverage import CoverageStatisticsCalculator
     from ..core.genome import ReferenceGenome
@@ -268,6 +309,7 @@ register(
             Option("minQuality", "min_quality", "int", 40, "Min genotype quality"),
             Option("minMQ", "min_mq", "int", 20, "Min mapping quality"),
             Option("ploidy", "ploidy", "int", 2, "Sample ploidy"),
+            Option("cnvs", "find_cnvs", "bool", False, "Run read-depth CNV detection"),
         ],
     )
 )
@@ -720,7 +762,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
     "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
-    "ReadDepthComparator": ("Discovery", "Case-control read-depth CNV"),
     # Genomes
     "TranscriptomeAnalyzer": ("Genomes", "Transcriptome statistics"),
     "TranscriptomeFilter": ("Genomes", "Filter gene annotations"),
