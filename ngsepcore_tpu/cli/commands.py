@@ -131,6 +131,120 @@ register(
 )
 
 
+def _run_errors_corrector(opts: dict, args: list[str]) -> None:
+    from ..index.error_correction import ReadsFileErrorsCorrector
+
+    if len(args) < 2:
+        raise SystemExit("Usage: ReadsFileErrorsCorrector <in.fastq> <out.fastq>")
+    c = ReadsFileErrorsCorrector(**opts)
+    c.run(args[0], args[1])
+    print(
+        f"Corrected {c.corrected_errors} errors in {c.corrected_reads} reads",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="ReadsFileErrorsCorrector",
+        group="Reads",
+        description="K-mer spectrum read error correction",
+        runner=_run_errors_corrector,
+        options=[
+            Option("k", "kmer_length", "int", 15, "K-mer length"),
+            Option("m", "min_kmer_count", "int", 5, "Min k-mer count"),
+        ],
+    )
+)
+
+
+def _run_demultiplex(opts: dict, args: list[str]) -> None:
+    from ..sequencing.demultiplex import BarcodeMap, ReadsDemultiplex, load_barcode_file
+
+    barcodes_file = opts.pop("barcodes_file", None)
+    out = opts.pop("output_prefix", None) or "demux"
+    if not barcodes_file or not args:
+        raise SystemExit("Usage: Demultiplex -b <barcodes.txt> -o <prefix> <lane.fastq>")
+    bm = BarcodeMap(load_barcode_file(barcodes_file))
+    d = ReadsDemultiplex(bm, **opts)
+    for path in args:
+        d.demultiplex_file(path, out)
+    print(
+        f"Assigned {d.stats.assigned}/{d.stats.total} reads to "
+        f"{len(d.stats.per_sample)} samples",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="Demultiplex",
+        group="Reads",
+        description="Demultiplexes pooled reads by barcodes",
+        runner=_run_demultiplex,
+        options=[
+            Option("b", "barcodes_file", "str", None, "Barcode->sample file"),
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("a", "adapter", "str", None, "Adapter to trim"),
+            Option("l", "min_read_length", "int", 40, "Min read length after trim"),
+        ],
+    )
+)
+
+
+def _run_individual_genome_builder(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..genome.builders import build_individual_genome
+    from ..io.fasta import save_fasta
+    from ..vcf.io import VCFFileReader
+
+    if len(args) < 3:
+        raise SystemExit(
+            "Usage: IndividualGenomeBuilder <genome.fa> <variants.vcf> <out.fa>"
+        )
+    genome = ReferenceGenome.load(args[0])
+    records = VCFFileReader(args[1]).load_all()
+    seqs = build_individual_genome(genome, records, **opts)
+    save_fasta(seqs, args[2])
+    print(f"Applied variants to genome -> {args[2]}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="IndividualGenomeBuilder",
+        group="Reads",
+        description="Applies VCF variants to a genome FASTA",
+        runner=_run_individual_genome_builder,
+        options=[Option("p", "haplotype", "int", 0, "Haplotype index for het calls")],
+    )
+)
+
+
+def _run_genome_mask(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..genome.builders import load_regions_file, mask_genome_regions
+    from ..io.fasta import save_fasta
+
+    if len(args) < 3:
+        raise SystemExit("Usage: GenomeAssemblyMask <genome.fa> <regions.txt> <out.fa>")
+    genome = ReferenceGenome.load(args[0])
+    regions = load_regions_file(args[1])
+    seqs = mask_genome_regions(genome, regions)
+    save_fasta(seqs, args[2])
+    print(f"Masked {len(regions)} regions -> {args[2]}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="GenomeAssemblyMask",
+        group="Genomes",
+        description="Masks genome regions with N",
+        runner=_run_genome_mask,
+        options=[],
+    )
+)
+
+
 # ---- Discovery group -----------------------------------------------------
 
 def _run_multisample_detector(opts: dict, args: list[str]) -> None:
@@ -751,12 +865,9 @@ register(
 
 _PENDING: dict[str, tuple[str, str]] = {
     # Reads
-    "Demultiplex": ("Reads", "Demultiplexes pooled reads by barcodes"),
-    "ReadsFileErrorsCorrector": ("Reads", "K-mer spectrum read error correction"),
     "DeNovoGBS": ("Reads", "De-novo GBS clustering and variant calling"),
     "Assembler": ("Reads", "De-novo long-read assembly"),
     "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
-    "IndividualGenomeBuilder": ("Reads", "Applies VCF variants to a genome FASTA"),
     # Discovery
     "SIH": ("Discovery", "Single individual haplotyping"),
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
@@ -768,7 +879,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "GenomesAligner": ("Genomes", "Whole-genome ortholog/synteny comparison"),
     "CDNACatalogAligner": ("Genomes", "Orthogroups from cDNA catalogs"),
     "TransposonsFinder": ("Genomes", "Transposable element annotation"),
-    "GenomeAssemblyMask": ("Genomes", "Mask genome regions"),
     # VariantsDownstream
     "VCFAnnotate": ("VariantsDownstream", "Functional annotation vs gene models"),
     "VCFAlleleSharingStats": ("VariantsDownstream", "Allele sharing statistics"),
