@@ -532,6 +532,78 @@ register(
 )
 
 
+def _run_vcf_annotate(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..transcriptome.annotator import VariantFunctionalAnnotator
+    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..vcf.io import VCFFileReader, VCFFileWriter
+
+    genome_path = opts.pop("genome", None)
+    gff = opts.pop("transcriptome", None)
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    out = opts.pop("output_file", None) or (args[1] if len(args) > 1 else None)
+    if not genome_path or not gff or not inp or not out:
+        raise SystemExit(
+            "Usage: VCFAnnotate -r <genome.fa> -t <genes.gff3> -i <in.vcf> -o <out.vcf>"
+        )
+    genome = ReferenceGenome.load(genome_path)
+    transcriptome = load_transcriptome_gff3(gff)
+    reader = VCFFileReader(inp)
+    records = reader.load_all()
+    VariantFunctionalAnnotator(genome, transcriptome).annotate_records(records)
+    with VCFFileWriter(out, reader.sample_ids) as w:
+        for r in records:
+            w.write(r)
+    print(f"Annotated {len(records)} records -> {out}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="VCFAnnotate",
+        former_id="Annotate",
+        group="VariantsDownstream",
+        description="Functional annotation of variants vs gene models (SO terms)",
+        runner=_run_vcf_annotate,
+        options=[
+            Option("r", "genome", "str", None, "Reference genome FASTA"),
+            Option("t", "transcriptome", "str", None, "Gene models GFF3"),
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("o", "output_file", "str", None, "Output VCF"),
+        ],
+    )
+)
+
+
+def _run_transcriptome_analyzer(opts: dict, args: list[str]) -> None:
+    from ..transcriptome.gff3 import load_transcriptome_gff3
+
+    inp = opts.pop("transcriptome", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: TranscriptomeAnalyzer <genes.gff3>")
+    t = load_transcriptome_gff3(inp)
+    coding = sum(1 for tr in t.transcripts.values() if tr.coding)
+    lengths = [tr.last - tr.first + 1 for tr in t.transcripts.values()]
+    import numpy as np
+
+    print(f"Genes\t{len(t.genes)}")
+    print(f"Transcripts\t{len(t.transcripts)}")
+    print(f"Coding transcripts\t{coding}")
+    if lengths:
+        print(f"Mean transcript length\t{np.mean(lengths):.1f}")
+        print(f"Median transcript length\t{np.median(lengths):.1f}")
+
+
+register(
+    Command(
+        id="TranscriptomeAnalyzer",
+        group="Genomes",
+        description="Gene-model statistics from a GFF3",
+        runner=_run_transcriptome_analyzer,
+        options=[Option("t", "transcriptome", "str", None, "Gene models GFF3")],
+    )
+)
+
+
 def _load_vcf(path: str):
     from ..vcf.io import VCFFileReader
 
@@ -874,13 +946,11 @@ _PENDING: dict[str, tuple[str, str]] = {
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
     "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
     # Genomes
-    "TranscriptomeAnalyzer": ("Genomes", "Transcriptome statistics"),
     "TranscriptomeFilter": ("Genomes", "Filter gene annotations"),
     "GenomesAligner": ("Genomes", "Whole-genome ortholog/synteny comparison"),
     "CDNACatalogAligner": ("Genomes", "Orthogroups from cDNA catalogs"),
     "TransposonsFinder": ("Genomes", "Transposable element annotation"),
     # VariantsDownstream
-    "VCFAnnotate": ("VariantsDownstream", "Functional annotation vs gene models"),
     "VCFAlleleSharingStats": ("VariantsDownstream", "Allele sharing statistics"),
     "VCFIntrogressionAnalysis": ("VariantsDownstream", "Window introgression detection"),
     "VCFRelativeCoordinatesTranslator": ("VariantsDownstream", "GBS coordinate translation"),
