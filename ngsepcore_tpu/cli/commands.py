@@ -532,6 +532,78 @@ register(
 )
 
 
+def _run_sih(opts: dict, args: list[str]) -> None:
+    from ..haplotyping.sih import SingleIndividualHaplotyper
+    from ..io.sam import ReadAlignmentFileReader
+    from ..vcf.io import VCFFileReader, VCFFileWriter
+
+    vcf_in = opts.pop("input_file", None) or (args[0] if args else None)
+    sam_in = opts.pop("alignments_file", None) or (args[1] if len(args) > 1 else None)
+    out = opts.pop("output_file", None)
+    if not vcf_in or not sam_in or not out:
+        raise SystemExit("Usage: SIH -i <calls.vcf> -b <alns.sam> -o <phased.vcf>")
+    reader = VCFFileReader(vcf_in)
+    records = reader.load_all()
+    alns = list(ReadAlignmentFileReader(sam_in))
+    sih = SingleIndividualHaplotyper(**opts)
+    blocks = sih.phase(records, alns)
+    with VCFFileWriter(out, reader.sample_ids) as w:
+        for r in records:
+            w.write(r)
+    print(
+        f"Phased {sum(len(b.var_indices) for b in blocks)} variants in "
+        f"{len(blocks)} blocks (MEC {sum(b.mec for b in blocks)})",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="SIH",
+        group="Discovery",
+        description="Single individual haplotyping (RefHap-style MEC search)",
+        runner=_run_sih,
+        options=[
+            Option("i", "input_file", "str", None, "Single-sample VCF"),
+            Option("b", "alignments_file", "str", None, "Alignments SAM"),
+            Option("o", "output_file", "str", None, "Output phased VCF"),
+            Option("a", "algorithm", "str", "Refhap", "Phasing algorithm"),
+        ],
+    )
+)
+
+
+def _run_gold_standard_comparator(opts: dict, args: list[str]) -> None:
+    from ..benchmark.gold_standard import VCFGoldStandardComparator
+    from ..vcf.io import VCFFileReader
+
+    if len(args) < 2:
+        raise SystemExit("Usage: VCFGoldStandardComparator <gold.vcf> <test.vcf>")
+    gold = VCFFileReader(args[0]).load_all()
+    test = VCFFileReader(args[1]).load_all()
+    comp = VCFGoldStandardComparator(**opts)
+    comp.compare(gold, test)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    comp.print_report(fh)
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFGoldStandardComparator",
+        group="Benchmark",
+        description="Genotype-aware TP/FP/FN vs a gold standard per quality bin",
+        runner=_run_gold_standard_comparator,
+        options=[
+            Option("t", "position_tolerance", "int", 0, "Position match tolerance"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
 def _run_vcf_annotate(opts: dict, args: list[str]) -> None:
     from ..core.genome import ReferenceGenome
     from ..transcriptome.annotator import VariantFunctionalAnnotator
@@ -941,7 +1013,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "Assembler": ("Reads", "De-novo long-read assembly"),
     "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
     # Discovery
-    "SIH": ("Discovery", "Single individual haplotyping"),
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
     "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
@@ -957,7 +1028,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "MutatedPeptidesExtractor": ("VariantsDownstream", "Mutated peptide extraction"),
     # Benchmark
     "TillingPopulationSimulator": ("Benchmark", "Simulate TILLING pools"),
-    "VCFGoldStandardComparator": ("Benchmark", "TP/FP/FN vs gold standard"),
 }
 
 

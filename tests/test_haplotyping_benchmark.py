@@ -1,0 +1,120 @@
+import io
+
+import numpy as np
+import pytest
+
+from ngsepcore_tpu.align.read_alignment import ReadAlignment
+from ngsepcore_tpu.benchmark.gold_standard import VCFGoldStandardComparator
+from ngsepcore_tpu.haplotyping.sih import (
+    RefhapSIHAlgorithm,
+    SingleIndividualHaplotyper,
+    build_fragment_matrix,
+)
+from ngsepcore_tpu.variants.model import CalledGenomicVariant
+from ngsepcore_tpu.vcf.io import VCFRecord
+
+
+def _rec(pos, alleles, idxs, gq=60, seq="chr1"):
+    c = CalledGenomicVariant(
+        sequence_name=seq, first=pos, alleles=list(alleles),
+        indexes_called_alleles=list(idxs), genotype_quality=gq, sample_id="s",
+    )
+    return VCFRecord(variant=c, calls=[c])
+
+
+# ---- gold standard comparator --------------------------------------------
+
+def test_gold_standard_comparator():
+    gold = [
+        _rec(10, "AC", [0, 1]),
+        _rec(20, "AG", [1, 1]),
+        _rec(30, "AT", [0, 1]),
+    ]
+    test = [
+        _rec(10, "AC", [0, 1], gq=80),   # TP het
+        _rec(20, "AG", [0, 1], gq=70),   # genotype error (het vs hom)
+        _rec(40, "AC", [1, 1], gq=90),   # FP
+    ]
+    comp = VCFGoldStandardComparator()
+    c = comp.compare(gold, test)
+    s = c.stats_at(0)
+    assert s["tp"] == 1
+    assert s["fp"] == 2  # genotype error at 20 + unmatched call at 40
+    assert s["fn"] == 1  # gold site 30 never called
+    assert c.genotype_errors == 1
+
+
+def test_gold_standard_quality_binning():
+    gold = [_rec(10, "AC", [0, 1])]
+    test = [_rec(10, "AC", [0, 1], gq=30)]
+    comp = VCFGoldStandardComparator()
+    comp.compare(gold, test)
+    assert comp.counts.stats_at(0)["tp"] == 1
+    s40 = comp.counts.stats_at(40)
+    assert s40["tp"] == 0 and s40["fn"] == 1  # low-quality TP becomes FN
+    buf = io.StringIO()
+    comp.print_report(buf)
+    assert "MinGQ" in buf.getvalue()
+
+
+# ---- haplotyping -----------------------------------------------------------
+
+def _simulate_fragments(hap, n_frags, span, error_rate, rng):
+    V = len(hap)
+    frags = np.full((n_frags, V), -1, np.int8)
+    for i in range(n_frags):
+        s = int(rng.integers(0, max(1, V - span)))
+        side = rng.random() < 0.5
+        h = hap if not side else 1 - hap
+        calls = h[s : s + span].copy()
+        errs = rng.random(len(calls)) < error_rate
+        calls = np.where(errs, 1 - calls, calls)
+        frags[i, s : s + len(calls)] = calls
+    return frags
+
+
+def test_refhap_recovers_haplotype():
+    rng = np.random.default_rng(42)
+    hap = rng.integers(0, 2, size=40).astype(np.int8)
+    frags = _simulate_fragments(hap, 200, 6, 0.02, rng)
+    algo = RefhapSIHAlgorithm(seed=3)
+    phased, mec = algo.phase(frags)
+    agree = np.mean(phased == hap)
+    assert agree > 0.95 or agree < 0.05  # phase or its complement
+    assert mec < 0.05 * (frags >= 0).sum()
+
+
+def test_sih_end_to_end_blocks():
+    # 4 het SNVs at 100,200,300,400; reads covering pairs
+    records = [_rec(p, "AC", [0, 1]) for p in (100, 200, 300, 400)]
+    hap = [0, 1, 1, 0]  # haplotype0 alleles (0=A, 1=C)
+    alns = []
+    positions = [100, 200, 300, 400]
+    for i in range(60):
+        vi = i % 3  # covers variants vi, vi+1
+        side = (i // 3) % 2
+        first = positions[vi]
+        span = positions[vi + 1] - first + 1
+        chars = []
+        for p in range(first, first + span):
+            if p in positions:
+                j = positions.index(p)
+                a = hap[j] if side == 0 else 1 - hap[j]
+                chars.append("AC"[a])
+            else:
+                chars.append("G")
+        alns.append(
+            ReadAlignment(
+                "chr1", first, [(span, "M")], read_chars="".join(chars),
+                read_name=f"f{i}",
+            )
+        )
+    sih = SingleIndividualHaplotyper()
+    blocks = sih.phase(records, alns)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert sorted(b.var_indices) == [0, 1, 2, 3]
+    h = list(b.haplotype)
+    assert h == hap or h == [1 - x for x in hap]
+    assert b.mec == 0
+    assert all(r.calls[0].phased for r in records)
