@@ -131,6 +131,45 @@ register(
 )
 
 
+def _run_assembler(opts: dict, args: list[str]) -> None:
+    from ..assembly.assembler import Assembler, n_statistics
+    from ..io.fasta import FastaFileReader, save_fasta
+    from ..io.fastq import FastqFileReader
+
+    if len(args) < 2:
+        raise SystemExit("Usage: Assembler <reads.fastq|fa> <out_prefix>")
+    path = args[0]
+    if path.lower().endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+        reads = [r.codes for r in FastqFileReader(path)]
+    else:
+        reads = [s.codes for s in FastaFileReader(path)]
+    asm = Assembler(**opts)
+    contigs = asm.assemble(reads)
+    save_fasta(contigs, args[1] + "_contigs.fa")
+    stats = n_statistics([len(c) for c in contigs])
+    print(
+        f"Assembled {stats['count']} contigs, total {stats['total']} bp, "
+        f"N50 {stats.get('N50', 0)}, max {stats['max']}",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="Assembler",
+        group="Reads",
+        description="De-novo long-read assembly (minimizer overlap graph)",
+        runner=_run_assembler,
+        options=[
+            Option("k", "kmer_length", "int", 15, "K-mer length"),
+            Option("w", "window_length", "int", 10, "Minimizer window"),
+            Option("m", "min_shared_minimizers", "int", 6, "Min shared minimizers"),
+            Option("l", "min_overlap", "int", 200, "Minimum overlap length"),
+        ],
+    )
+)
+
+
 def _run_errors_corrector(opts: dict, args: list[str]) -> None:
     from ..index.error_correction import ReadsFileErrorsCorrector
 
@@ -1010,7 +1049,6 @@ register(
 _PENDING: dict[str, tuple[str, str]] = {
     # Reads
     "DeNovoGBS": ("Reads", "De-novo GBS clustering and variant calling"),
-    "Assembler": ("Reads", "De-novo long-read assembly"),
     "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
     # Discovery
     "MergeVariants": ("Discovery", "Merge variant lists across samples"),
