@@ -685,6 +685,80 @@ register(
 )
 
 
+def _run_genomes_aligner(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..genome.genomes_aligner import GenomesAligner
+    from ..transcriptome.gff3 import load_transcriptome_gff3
+
+    out = opts.pop("output_prefix", None) or "genomes_aln"
+    if len(args) < 4 or len(args) % 2 != 0:
+        raise SystemExit(
+            "Usage: GenomesAligner -o <prefix> <g1.fa> <g1.gff3> <g2.fa> <g2.gff3> ..."
+        )
+    ga = GenomesAligner(**opts)
+    for i in range(0, len(args), 2):
+        genome = ReferenceGenome.load(args[i])
+        transcriptome = load_transcriptome_gff3(args[i + 1])
+        ga.add_genome(genome, transcriptome)
+    groups, blocks = ga.run()
+    ga.write_outputs(out, groups, blocks)
+    print(
+        f"{len(groups)} orthogroups, {len(blocks)} synteny blocks -> {out}_*",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="GenomesAligner",
+        group="Genomes",
+        description="Whole-genome ortholog and synteny comparison",
+        runner=_run_genomes_aligner,
+        options=[
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("k", "k", "int", 6, "Protein k-mer length"),
+            Option("p", "min_pct", "float", 11.0, "Min % shared k-mers"),
+            Option("m", "min_block_genes", "int", 3, "Min genes per synteny block"),
+        ],
+    )
+)
+
+
+def _run_cdna_catalog_aligner(opts: dict, args: list[str]) -> None:
+    from ..genome.homologs import calculate_orthogroups
+    from ..io.fasta import FastaFileReader
+
+    out = opts.pop("output_prefix", None) or "catalogs"
+    if not args:
+        raise SystemExit("Usage: CDNACatalogAligner -o <prefix> <cat1.fa> [cat2.fa ...]")
+    names = []
+    seqs = []
+    for ci, path in enumerate(args):
+        for s in FastaFileReader(path):
+            names.append(f"c{ci}:{s.name}")
+            seqs.append(s.characters)
+    groups = calculate_orthogroups(seqs, **opts)
+    with open(out + "_orthogroups.txt", "w") as fh:
+        for i, g in enumerate(groups):
+            fh.write(f"OG{i + 1}\t" + "\t".join(names[x] for x in g) + "\n")
+    print(f"{len(groups)} orthogroups from {len(seqs)} sequences", file=sys.stderr)
+
+
+register(
+    Command(
+        id="CDNACatalogAligner",
+        group="Genomes",
+        description="Orthogroups from cDNA/protein catalogs",
+        runner=_run_cdna_catalog_aligner,
+        options=[
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("k", "k", "int", 6, "K-mer length"),
+            Option("p", "min_pct", "float", 11.0, "Min % shared k-mers"),
+        ],
+    )
+)
+
+
 def _run_transcriptome_analyzer(opts: dict, args: list[str]) -> None:
     from ..transcriptome.gff3 import load_transcriptome_gff3
 
@@ -1056,8 +1130,6 @@ _PENDING: dict[str, tuple[str, str]] = {
     "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
     # Genomes
     "TranscriptomeFilter": ("Genomes", "Filter gene annotations"),
-    "GenomesAligner": ("Genomes", "Whole-genome ortholog/synteny comparison"),
-    "CDNACatalogAligner": ("Genomes", "Orthogroups from cDNA catalogs"),
     "TransposonsFinder": ("Genomes", "Transposable element annotation"),
     # VariantsDownstream
     "VCFAlleleSharingStats": ("VariantsDownstream", "Allele sharing statistics"),

@@ -1,0 +1,130 @@
+"""GenomesAligner — whole-genome ortholog/synteny comparison.
+
+Ref: src/ngsep/genome/GenomesAligner.java (command `GenomesAligner`):
+per-genome annotated units (gene -> cDNA/protein), ortholog/paralog
+detection via 6-mer similarity (HomologRelationshipsFinder), orthogroup
+clustering via MCL (HomologClustersCalculator), pairwise synteny blocks
+(LCS family of finders), text + D3 visualization outputs.  This engine
+produces the orthogroups and synteny text outputs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.genome import ReferenceGenome
+from ..core.sequences import decode_dna, reverse_complement
+from ..transcriptome.model import Transcriptome
+from ..transcriptome.protein import ProteinTranslator
+from .homologs import HomologRelationshipsFinder, calculate_orthogroups
+from .synteny import SyntenyBlock, find_synteny_blocks
+
+
+@dataclass
+class AnnotatedGene:
+    genome_idx: int
+    gene_id: str
+    sequence_name: str
+    position: int
+    protein: str
+
+
+def extract_proteins(
+    genome: ReferenceGenome, transcriptome: Transcriptome, genome_idx: int
+) -> list[AnnotatedGene]:
+    """Longest-transcript protein per gene (ref: AnnotatedReferenceGenome)."""
+    translator = ProteinTranslator()
+    best: dict[str, AnnotatedGene] = {}
+    for t in transcriptome.transcripts.values():
+        cds_pos = t.cds_genomic_positions()
+        if len(cds_pos) < 3:
+            continue
+        si = genome.index_of(t.sequence_name)
+        if si < 0:
+            continue
+        bases = []
+        for p in cds_pos if not t.negative_strand else cds_pos:
+            b = genome.reference_string(si, p, p)
+            bases.append(b)
+        dna = "".join(bases)
+        if t.negative_strand:
+            dna = "".join(reverse_complement(b) for b in bases)
+        protein = translator.translate(dna)
+        gid = t.gene_id or t.transcript_id
+        prev = best.get(gid)
+        if prev is None or len(protein) > len(prev.protein):
+            best[gid] = AnnotatedGene(
+                genome_idx=genome_idx,
+                gene_id=gid,
+                sequence_name=t.sequence_name,
+                position=t.first,
+                protein=protein,
+            )
+    return list(best.values())
+
+
+class GenomesAligner:
+    def __init__(self, k: int = 6, min_pct: float = 11.0, min_block_genes: int = 3):
+        self.k = k
+        self.min_pct = min_pct
+        self.min_block_genes = min_block_genes
+        self.genes: list[AnnotatedGene] = []
+        self.genome_offsets: list[int] = []
+
+    def add_genome(self, genome: ReferenceGenome, transcriptome: Transcriptome):
+        self.genome_offsets.append(len(self.genes))
+        self.genes.extend(extract_proteins(genome, transcriptome, len(self.genome_offsets) - 1))
+
+    def run(self) -> tuple[list[list[int]], list[SyntenyBlock]]:
+        """Returns (orthogroups over global gene indices, synteny blocks
+        between genome 0 and genome 1)."""
+        seqs = [g.protein for g in self.genes]
+        groups = calculate_orthogroups(seqs, self.k, self.min_pct)
+        blocks: list[SyntenyBlock] = []
+        if len(self.genome_offsets) >= 2:
+            rels = HomologRelationshipsFinder(self.k, self.min_pct).find_homologs(seqs)
+            g1_range = range(
+                self.genome_offsets[0],
+                self.genome_offsets[1] if len(self.genome_offsets) > 1 else len(self.genes),
+            )
+            lim1 = (
+                self.genome_offsets[1]
+                if len(self.genome_offsets) > 1
+                else len(self.genes)
+            )
+            lim2 = (
+                self.genome_offsets[2]
+                if len(self.genome_offsets) > 2
+                else len(self.genes)
+            )
+            pairs = []
+            for r in rels:
+                a, b = r.seq1, r.seq2
+                if a >= lim1:
+                    a, b = b, a
+                if a < lim1 <= b < lim2:
+                    pairs.append((a, b - lim1))
+            gp1 = [
+                (g.sequence_name, g.position) for g in self.genes[: lim1]
+            ]
+            gp2 = [
+                (g.sequence_name, g.position) for g in self.genes[lim1:lim2]
+            ]
+            blocks = find_synteny_blocks(
+                gp1, gp2, pairs, min_block_genes=self.min_block_genes
+            )
+        return groups, blocks
+
+    def write_outputs(self, prefix: str, groups, blocks) -> None:
+        with open(prefix + "_orthogroups.txt", "w") as fh:
+            for i, g in enumerate(groups):
+                names = [f"g{self.genes[x].genome_idx}:{self.genes[x].gene_id}" for x in g]
+                fh.write(f"OG{i + 1}\t" + "\t".join(names) + "\n")
+        with open(prefix + "_synteny.txt", "w") as fh:
+            fh.write("SEQ1\tFIRST1\tLAST1\tSEQ2\tFIRST2\tLAST2\tGENES\tSTRAND\n")
+            for b in blocks:
+                fh.write(
+                    f"{b.seq1}\t{b.first1}\t{b.last1}\t{b.seq2}\t{b.first2}\t"
+                    f"{b.last2}\t{b.n_orthologs}\t{'+' if b.same_strand else '-'}\n"
+                )
