@@ -1118,22 +1118,242 @@ register(
 )
 
 
+def _run_denovo_gbs(opts: dict, args: list[str]) -> None:
+    from ..gbs.denovo import KmerPrefixReadsClusteringAlgorithm
+
+    out = opts.pop("output_prefix", None) or "gbs"
+    if not args:
+        raise SystemExit("Usage: DeNovoGBS -o <prefix> <s1.fastq> <s2.fastq> ...")
+    sample_ids = [p.rsplit("/", 1)[-1].split(".")[0] for p in args]
+    algo = KmerPrefixReadsClusteringAlgorithm(**opts)
+    n = algo.run(args, sample_ids, out)
+    print(f"Called {n} de-novo GBS variants -> {out}.vcf", file=sys.stderr)
+
+
+register(
+    Command(
+        id="DeNovoGBS",
+        group="Reads",
+        description="De-novo GBS read clustering and variant calling",
+        runner=_run_denovo_gbs,
+        options=[
+            Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("q", "min_quality", "int", 40, "Min variant quality"),
+        ],
+    )
+)
+
+
+def _run_transposons_finder(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..genome.transposons import (
+        find_repeats_by_library,
+        find_repeats_denovo,
+        write_transposons_gff,
+    )
+    from ..io.fasta import load_fasta
+
+    out = opts.pop("output_file", None) or "transposons.gff"
+    library = opts.pop("library", None)
+    if not args:
+        raise SystemExit("Usage: TransposonsFinder <genome.fa> [-d library.fa] [-o out.gff]")
+    genome = ReferenceGenome.load(args[0])
+    if library:
+        anns = find_repeats_by_library(genome, list(load_fasta(library)), **opts)
+    else:
+        anns = find_repeats_denovo(genome, **opts)
+    write_transposons_gff(anns, out)
+    print(f"Annotated {len(anns)} repeat regions -> {out}", file=sys.stderr)
+
+
+register(
+    Command(
+        id="TransposonsFinder",
+        group="Genomes",
+        description="Transposable element / repeat annotation",
+        runner=_run_transposons_finder,
+        options=[
+            Option("o", "output_file", "str", None, "Output GFF"),
+            Option("d", "library", "str", None, "Known TE library FASTA"),
+            Option("k", "k", "int", 15, "K-mer length"),
+        ],
+    )
+)
+
+
+def _run_merge_variants(opts: dict, args: list[str]) -> None:
+    from ..vcf.io import VCFFileWriter, VCFRecord
+
+    out = opts.pop("output_file", None)
+    if not out or len(args) < 1:
+        raise SystemExit("Usage: MergeVariants -o <out.vcf> <v1.vcf> <v2.vcf> ...")
+    sites = {}
+    for path in args:
+        _, records = _load_vcf(path)
+        for r in records:
+            key = (r.variant.sequence_name, r.variant.first, tuple(r.variant.alleles))
+            if key not in sites:
+                sites[key] = r.variant
+    with VCFFileWriter(out, []) as w:
+        for key in sorted(sites, key=lambda k: (k[0], k[1])):
+            w.write(VCFRecord(variant=sites[key], calls=[]))
+    print(f"Merged {len(sites)} variant sites", file=sys.stderr)
+
+
+register(
+    Command(
+        id="MergeVariants",
+        group="Discovery",
+        description="Merges variant site lists across samples (no genotypes)",
+        runner=_run_merge_variants,
+        options=[Option("o", "output_file", "str", None, "Output VCF")],
+    )
+)
+
+
+def _run_relative_allele_counts(opts: dict, args: list[str]) -> None:
+    from ..call.pileup import expand_batch_calls
+    from ..io.sam import ReadAlignmentFileReader
+    import numpy as np
+    from ..vcf.popgen import relative_allele_counts
+
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp:
+        raise SystemExit("Usage: RelativeAlleleCountsCalculator <alns.sam>")
+    alns = list(ReadAlignmentFileReader(inp))
+    pos, allele, qual, strand, _ = expand_batch_calls(alns)
+    order = np.argsort(pos, kind="stable")
+    pos, allele = pos[order], allele[order]
+    depths = []
+    starts = np.nonzero(np.concatenate([[True], pos[1:] != pos[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(pos)]])
+    for s, e in zip(starts, ends):
+        counts = np.bincount(np.clip(allele[s:e], 0, 4), minlength=5)[:4]
+        top = np.sort(counts)[::-1]
+        if top[1] > 0:
+            depths.append((int(top[0]), int(top[1])))
+    hist = relative_allele_counts(depths)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("MinorFraction\tSites\n")
+    for i, c in enumerate(hist):
+        fh.write(f"{i / (len(hist) - 1):.3f}\t{int(c)}\n")
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="RelativeAlleleCountsCalculator",
+        former_id="RelativeAlleleCounts",
+        group="Discovery",
+        description="Relative allele-count distribution (ploidy/contamination QC)",
+        runner=_run_relative_allele_counts,
+        options=[
+            Option("i", "input_file", "str", None, "Input SAM"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _load_groups_file(path: str) -> dict:
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
+def _run_allele_sharing(opts: dict, args: list[str]) -> None:
+    from ..vcf.popgen import allele_sharing_stats
+
+    groups_file = opts.pop("groups_file", None)
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp or not groups_file:
+        raise SystemExit("Usage: VCFAlleleSharingStats -i <in.vcf> -g <groups.txt>")
+    _, records = _load_vcf(inp)
+    stats = allele_sharing_stats(records, _load_groups_file(groups_file),
+                                 window=int(opts.pop("window", 100000) or 100000))
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("SEQ\tFIRST\tSITES\tWITHIN_A\tWITHIN_B\tBETWEEN\n")
+    for s in stats:
+        fh.write(
+            f"{s['sequence']}\t{s['first']}\t{s['sites']}\t{s['within_a']:.4f}"
+            f"\t{s['within_b']:.4f}\t{s['between']:.4f}\n"
+        )
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFAlleleSharingStats",
+        former_id="AlleleSharingStats",
+        group="VariantsDownstream",
+        description="Window allele-sharing diversity between sample groups",
+        runner=_run_allele_sharing,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("g", "groups_file", "str", None, "Sample->group file"),
+            Option("w", "window", "int", 100000, "Window size"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_introgression(opts: dict, args: list[str]) -> None:
+    from ..vcf.popgen import introgression_analysis
+
+    groups_file = opts.pop("groups_file", None)
+    inp = opts.pop("input_file", None) or (args[0] if args else None)
+    if not inp or not groups_file:
+        raise SystemExit("Usage: VCFIntrogressionAnalysis -i <in.vcf> -g <groups.txt>")
+    _, records = _load_vcf(inp)
+    hits = introgression_analysis(
+        records, _load_groups_file(groups_file),
+        window=int(opts.pop("window", 100000) or 100000),
+    )
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("SAMPLE\tSEQ\tFIRST\tSCORE\tSITES\n")
+    for h in hits:
+        fh.write(f"{h['sample']}\t{h['sequence']}\t{h['first']}\t{h['score']:.3f}\t{h['sites']}\n")
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="VCFIntrogressionAnalysis",
+        former_id="IntrogressionAnalysis",
+        group="VariantsDownstream",
+        description="Window-based haplotype introgression detection",
+        runner=_run_introgression,
+        options=[
+            Option("i", "input_file", "str", None, "Input VCF"),
+            Option("g", "groups_file", "str", None, "Sample->population file"),
+            Option("w", "window", "int", 100000, "Window size"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
 # ---- not-yet-implemented command ids (full parity checklist) -------------
 
 _PENDING: dict[str, tuple[str, str]] = {
     # Reads
-    "DeNovoGBS": ("Reads", "De-novo GBS clustering and variant calling"),
     "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
     # Discovery
-    "MergeVariants": ("Discovery", "Merge variant lists across samples"),
     "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
-    "RelativeAlleleCountsCalculator": ("Discovery", "Relative allele count stats"),
     # Genomes
     "TranscriptomeFilter": ("Genomes", "Filter gene annotations"),
-    "TransposonsFinder": ("Genomes", "Transposable element annotation"),
     # VariantsDownstream
-    "VCFAlleleSharingStats": ("VariantsDownstream", "Allele sharing statistics"),
-    "VCFIntrogressionAnalysis": ("VariantsDownstream", "Window introgression detection"),
     "VCFRelativeCoordinatesTranslator": ("VariantsDownstream", "GBS coordinate translation"),
     "MutatedPeptidesExtractor": ("VariantsDownstream", "Mutated peptide extraction"),
     # Benchmark
