@@ -200,6 +200,67 @@ class ReadAlignment:
         return fields + tags
 
 
+def left_align_indels(
+    cigar: list[tuple[int, str]],
+    read_codes,
+    ref_codes,
+    ref_offset: int = 0,
+) -> list[tuple[int, str]]:
+    """Shift I/D runs to their leftmost equivalent placement.
+
+    The reference realigns indels across reads so all reads place the same
+    event at the same (leftmost) position
+    (IndelRealignerPileupListener.moveIndelStarts:274); normalizing each
+    CIGAR at alignment time achieves the same consistency.  ref_codes is
+    the subject window; ref_offset is where the alignment starts inside it.
+    """
+    # expand to op runs with absolute query/ref cursors
+    runs = [list(r) for r in cigar]
+    # compute run start positions
+    changed = True
+    while changed:
+        changed = False
+        qi = 0
+        sj = ref_offset
+        for i, (l, op) in enumerate([tuple(r) for r in runs]):
+            if op in ("I", "D") and i > 0 and runs[i - 1][1] == "M" and runs[i - 1][0] > 0:
+                if op == "I":
+                    seq = read_codes[qi : qi + l]
+                    prev_q = read_codes[qi - 1] if qi > 0 else -1
+                    can = qi > 0 and len(seq) > 0 and prev_q == seq[-1]
+                else:
+                    seq = ref_codes[sj : sj + l]
+                    prev_s = ref_codes[sj - 1] if sj > 0 else -1
+                    can = sj > 0 and len(seq) > 0 and prev_s == seq[-1]
+                if can:
+                    runs[i - 1][0] -= 1
+                    if i + 1 < len(runs) and runs[i + 1][1] == "M":
+                        runs[i + 1][0] += 1
+                    else:
+                        runs.insert(i + 1, [1, "M"])
+                    if runs[i - 1][0] == 0:
+                        del runs[i - 1]
+                    changed = True
+                    break
+            if op in ("M", "=", "X"):
+                qi += l
+                sj += l
+            elif op in ("I", "S"):
+                qi += l
+            elif op in ("D", "N"):
+                sj += l
+    # merge adjacent equal ops
+    merged: list[tuple[int, str]] = []
+    for l, op in runs:
+        if l == 0:
+            continue
+        if merged and merged[-1][1] == op:
+            merged[-1] = (merged[-1][0] + l, op)
+        else:
+            merged.append((l, op))
+    return merged
+
+
 def cigar_from_string(s: str) -> list[tuple[int, str]]:
     if s == "*" or not s:
         return []

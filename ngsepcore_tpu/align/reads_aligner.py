@@ -321,6 +321,11 @@ class ReadsAligner:
             )
             if mism > 0.1 * qlen:
                 continue
+            # normalize indel placement so all reads report the same event
+            # position (ref: IndelRealignerPileupListener.moveIndelStarts)
+            from .read_alignment import left_align_indels
+
+            cigar = left_align_indels(cigar, qcodes, window, int(start_j[i]))
             aln_first_concat = first + int(start_j[i])
             seq_idx, pos1 = self.genome.split_concat_pos(aln_first_concat)
             aln = ReadAlignment(

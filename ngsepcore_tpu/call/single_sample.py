@@ -57,6 +57,8 @@ class SingleSampleVariantsDetector:
         calc_strand_bias: bool = False,
         max_alns_per_start: int = 5,
         find_cnvs: bool = False,
+        find_svs: bool = False,
+        known_strs_file: str | None = None,
     ):
         self.genome = genome
         self.sample_id = sample_id
@@ -67,6 +69,15 @@ class SingleSampleVariantsDetector:
         self.calc_strand_bias = calc_strand_bias
         self.max_alns_per_start = max_alns_per_start
         self.find_cnvs = find_cnvs
+        self.find_svs = find_svs
+        self.known_strs: dict[str, list] = {}
+        if known_strs_file:
+            from ..genome.builders import load_regions_file
+
+            for r in load_regions_file(known_strs_file):
+                self.known_strs.setdefault(r.sequence_name, []).append(r)
+            for lst in self.known_strs.values():
+                lst.sort(key=lambda r: r.first)
         self._contribution = snv_contribution_table(4, 0.5)
 
     # ------------------------------------------------------------------
@@ -81,14 +92,33 @@ class SingleSampleVariantsDetector:
         alns = list(reader)
         records = self.find_variants(alns)
         svs = []
+        if self.find_svs:
+            from .read_pair_sv import ReadPairAnalyzer
+
+            for c in ReadPairAnalyzer().find_variants(alns):
+                c.sample_id = self.sample_id
+                svs.append(c)
+                records.append(
+                    VCFRecord(
+                        variant=c,
+                        calls=[c],
+                        info={
+                            "END": c.last,
+                            "SVTYPE": c.variant_type,
+                            "SVLEN": c.length(),
+                        },
+                    )
+                )
         if self.find_cnvs:
-            svs = self.find_cnv_calls(alns)
-            for c in svs:
+            cnvs = self.find_cnv_calls(alns)
+            svs.extend(cnvs)
+            for c in cnvs:
                 c.sample_id = self.sample_id
                 records.append(VCFRecord(variant=c, calls=[c], info={
                     "END": c.last, "SVTYPE": "DUP" if c.copy_number > self.ploidy else "DEL",
                     "SVLEN": c.length(),
                 }))
+        if svs:
             records.sort(key=lambda r: (r.variant.sequence_name, r.variant.first))
         with VCFFileWriter(output_vcf, [self.sample_id]) as w:
             for r in records:
@@ -231,25 +261,43 @@ class SingleSampleVariantsDetector:
         from .indels import SpanningCall, call_indel, cluster_allele_calls
         from ..core.sequences import qualities_to_phred
 
-        if not indel_events:
+        str_regions = self.known_strs.get(seq_name, [])
+        if not indel_events and not str_regions:
             return []
+        # known STR regions become explicit spanning sites genotyped with
+        # is_str=True, anchored one base on each side so left-aligned indels
+        # at the region boundary stay inside the spanning call
+        # (ref: IndelRealignerPileupListener input-STR handling)
+        str_sites = [(r.first - 1, r.last - r.first + 3, True) for r in str_regions]
+
+        def _in_str(pos: int) -> bool:
+            # events anchored up to 4bp before the region belong to the STR
+            # (indels inside a repeat left-align to its boundary)
+            import bisect
+
+            firsts = [r.first - 4 for r in str_regions]
+            i = bisect.bisect_right(firsts, pos) - 1
+            return i >= 0 and str_regions[i].first - 4 <= pos <= str_regions[i].last
+
         # group events within 3bp into candidate sites (simplified stand-in
         # for IndelRealignerPileupListener.conciliateIndels:165-274)
         events = sorted(indel_events, key=lambda e: e.ref_pos)
-        sites: list[tuple[int, int]] = []  # (first, span)
+        sites: list[tuple[int, int, bool]] = []  # (first, span, is_str)
         cur_pos = None
         cur_maxdel = 0
-        support: dict[int, int] = {}
         for e in events:
+            if _in_str(e.ref_pos):
+                continue  # covered by the explicit STR site
             if cur_pos is None or e.ref_pos - cur_pos > 3:
                 if cur_pos is not None:
-                    sites.append((cur_pos, cur_maxdel + 2))
+                    sites.append((cur_pos, cur_maxdel + 2, False))
                 cur_pos = e.ref_pos
                 cur_maxdel = e.length
             else:
                 cur_maxdel = max(cur_maxdel, e.length)
         if cur_pos is not None:
-            sites.append((cur_pos, cur_maxdel + 2))
+            sites.append((cur_pos, cur_maxdel + 2, False))
+        sites = sorted(sites + str_sites)
         seq_len = self.genome.sequence_length(seq_idx)
         # interval lookup over alignments
         firsts = np.array([a.first for a in alns])
@@ -258,7 +306,7 @@ class SingleSampleVariantsDetector:
         firsts_s = firsts[order]
         records: list[VCFRecord] = []
         last_indel_end = 0
-        for first, span in sites:
+        for first, span, is_str in sites:
             if first < 1 or first + span - 1 > seq_len or first <= last_indel_end:
                 continue
             last = first + span - 1
@@ -273,6 +321,13 @@ class SingleSampleVariantsDetector:
                 rp_f = a.read_position_at(first)
                 rp_l = a.read_position_at(last)
                 if rp_f < 0 or rp_l < 0 or rp_l < rp_f:
+                    continue
+                # a spanning call bordering a soft clip is unreliable: the
+                # clipped tail may hide part of the event (ref: ignore-borders
+                # handling in ReadAlignment.getAlleleCall:1008-1016)
+                if a.soft_clip_start and rp_f <= a.soft_clip_start + 2:
+                    continue
+                if a.soft_clip_end and rp_l >= len(a.read_chars) - a.soft_clip_end - 3:
                     continue
                 allele_str = a.read_chars[rp_f : rp_l + 1]
                 if not allele_str:
@@ -293,7 +348,8 @@ class SingleSampleVariantsDetector:
                 continue
             alleles = cluster_allele_calls(calls, reference)
             called = call_indel(
-                seq_name, first, calls, alleles, self.heterozygosity_rate
+                seq_name, first, calls, alleles, self.heterozygosity_rate,
+                is_str=is_str,
             )
             if (
                 called is None

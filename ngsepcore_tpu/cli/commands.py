@@ -463,6 +463,8 @@ register(
             Option("minMQ", "min_mq", "int", 20, "Min mapping quality"),
             Option("ploidy", "ploidy", "int", 2, "Sample ploidy"),
             Option("cnvs", "find_cnvs", "bool", False, "Run read-depth CNV detection"),
+            Option("svs", "find_svs", "bool", False, "Run read-pair SV detection"),
+            Option("knownSTRs", "known_strs_file", "str", None, "Known STRs file"),
         ],
     )
 )

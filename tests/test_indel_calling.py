@@ -111,3 +111,61 @@ def test_indel_detector_e2e():
     precision = tp / max(1, len(indel_recs))
     assert recall > 0.7, f"recall {recall} ({tp}/{len(sim.calls)})"
     assert precision > 0.7, f"precision {precision} ({tp}/{len(indel_recs)})"
+
+
+def test_known_str_genotyping(tmp_path):
+    """Config #4 surface: genotype an STR region given a known-STRs file."""
+    from ngsepcore_tpu.align.reads_aligner import ReadsAligner
+    from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import QualifiedSequence, QualifiedSequenceList
+    from ngsepcore_tpu.io.sam import ReadAlignmentFileWriter
+    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+    from ngsepcore_tpu.io.fasta import save_fasta
+
+    rng = np.random.default_rng(19)
+    left = "".join(rng.choice(list("ACGT"), size=5000))
+    right = "".join(rng.choice(list("ACGT"), size=5000))
+    str_unit = "AT"
+    ref_seq = left + str_unit * 10 + right  # STR at 5001..5020
+    genome = ReferenceGenome(
+        QualifiedSequenceList([QualifiedSequence.from_string("chr1", ref_seq)])
+    )
+    # individual has 12 repeats (4bp insertion) homozygous
+    indiv_seq = left + str_unit * 12 + right
+    indiv = ReferenceGenome(
+        QualifiedSequenceList([QualifiedSequence.from_string("chr1", indiv_seq)])
+    )
+    reads = SingleReadsSimulator(
+        indiv, read_length=100, substitution_error_rate=0.0, seed=30
+    ).simulate(4000)
+    aligner = ReadsAligner(genome)
+    alns = []
+    for i in range(0, len(reads), 4096):
+        for r in aligner.align_batch(reads[i : i + 4096]):
+            alns.extend(r)
+    strs_file = tmp_path / "strs.txt"
+    strs_file.write_text("chr1\t5001\t5020\n")
+    sam = str(tmp_path / "alns.sam")
+    with ReadAlignmentFileWriter(genome.sequences, sam, sample_id="s") as w:
+        for a in alns:
+            w.write(a)
+    det = SingleSampleVariantsDetector(
+        genome, sample_id="s", known_strs_file=str(strs_file)
+    )
+    n = det.run(sam, str(tmp_path / "out.vcf"))
+    from ngsepcore_tpu.vcf.io import VCFFileReader
+
+    records = VCFFileReader(str(tmp_path / "out.vcf")).load_all()
+    strs = [r for r in records if r.variant.variant_type == "STR"]
+    assert strs, "no STR call produced"
+    s = strs[0]
+    assert 4995 <= s.variant.first <= 5005
+    call = s.calls[0]
+    assert not call.is_undecided and not call.is_homozygous_reference
+    # the called allele should be 4bp longer than the reference allele
+    ref_len = len(s.variant.alleles[0])
+    alt_lens = {len(a) for a in call.called_alleles()}
+    assert any(al - ref_len == 4 for al in alt_lens), (
+        s.variant.alleles, call.called_alleles()
+    )
