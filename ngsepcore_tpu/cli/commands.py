@@ -1346,20 +1346,230 @@ register(
 )
 
 
+def _run_transcriptome_filter(opts: dict, args: list[str]) -> None:
+    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.tools import filter_transcriptome, write_transcriptome_gff3
+
+    if len(args) < 2:
+        raise SystemExit("Usage: TranscriptomeFilter <in.gff3> <out.gff3> [-c] [-l minLen]")
+    t = load_transcriptome_gff3(args[0])
+    f = filter_transcriptome(
+        t,
+        only_coding=bool(opts.pop("only_coding", False)),
+        min_length=int(opts.pop("min_length", 0) or 0),
+    )
+    write_transcriptome_gff3(f, args[1])
+    print(f"Kept {len(f.transcripts)}/{len(t.transcripts)} transcripts", file=sys.stderr)
+
+
+register(
+    Command(
+        id="TranscriptomeFilter",
+        group="Genomes",
+        description="Filters gene annotations",
+        runner=_run_transcriptome_filter,
+        options=[
+            Option("c", "only_coding", "bool", False, "Keep only coding"),
+            Option("l", "min_length", "int", 0, "Min transcript length"),
+        ],
+    )
+)
+
+
+def _run_mutated_peptides(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.tools import extract_mutated_peptides
+    from ..vcf.io import VCFFileReader
+
+    if len(args) < 3:
+        raise SystemExit(
+            "Usage: MutatedPeptidesExtractor <genome.fa> <genes.gff3> <vars.vcf> [-o out]"
+        )
+    genome = ReferenceGenome.load(args[0])
+    t = load_transcriptome_gff3(args[1])
+    variants = [r.variant for r in VCFFileReader(args[2])]
+    peps = extract_mutated_peptides(genome, t, variants)
+    out = opts.pop("output_file", None)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("TRANSCRIPT\tPOS\tCHANGE\tPEPTIDE\n")
+    for p in peps:
+        fh.write(f"{p.transcript_id}\t{p.variant_pos}\t{p.aa_change}\t{p.peptide}\n")
+    if out:
+        fh.close()
+
+
+register(
+    Command(
+        id="MutatedPeptidesExtractor",
+        group="VariantsDownstream",
+        description="Mutated peptides from missense variants + gene models",
+        runner=_run_mutated_peptides,
+        hidden=True,
+        options=[Option("o", "output_file", "str", None, "Output file")],
+    )
+)
+
+
+def _run_relative_coords_translator(opts: dict, args: list[str]) -> None:
+    from ..gbs.translator import translate_records
+    from ..io.sam import ReadAlignmentFileReader
+    from ..vcf.io import VCFFileReader, VCFFileWriter
+
+    if len(args) < 3:
+        raise SystemExit(
+            "Usage: VCFRelativeCoordinatesTranslator <cluster.vcf> <consensus.sam> <out.vcf>"
+        )
+    reader = VCFFileReader(args[0])
+    records = reader.load_all()
+    alns = {
+        a.read_name: a
+        for a in ReadAlignmentFileReader(args[1], skip_secondary=True)
+    }
+    out, missed = translate_records(records, alns)
+    with VCFFileWriter(args[2], reader.sample_ids) as w:
+        for r in out:
+            w.write(r)
+    print(f"Translated {len(out)} records; {missed} unmapped", file=sys.stderr)
+
+
+register(
+    Command(
+        id="VCFRelativeCoordinatesTranslator",
+        group="VariantsDownstream",
+        description="Maps de-novo GBS cluster variants to reference coordinates",
+        runner=_run_relative_coords_translator,
+        options=[],
+    )
+)
+
+
+def _run_tilling_simulator(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
+    from ..simulation.tilling import TillingPopulationSimulator
+    from ..vcf.io import VCFFileWriter
+
+    if len(args) < 2:
+        raise SystemExit("Usage: TillingPopulationSimulator <genome.fa> <out_prefix>")
+    genome = ReferenceGenome.load(args[0])
+    sim = TillingPopulationSimulator(genome, **opts)
+    sim.build_design()
+    sim.simulate_mutations()
+    per_pool = sim.pool_variant_records()
+    with open(args[1] + "_design.txt", "w") as fh:
+        for ind, pools in sim.design.pools_per_individual.items():
+            fh.write(f"{ind}\t{','.join(sorted(pools))}\n")
+    for pool, recs in per_pool.items():
+        with VCFFileWriter(f"{args[1]}_{pool}.vcf", [pool]) as w:
+            for r in recs:
+                w.write(r)
+    print(
+        f"Simulated {len(sim.mutations)} mutations across {len(per_pool)} pools",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="TillingPopulationSimulator",
+        group="Benchmark",
+        description="Simulates a TILLING population arranged in pools",
+        runner=_run_tilling_simulator,
+        options=[
+            Option("n", "n_individuals", "int", 96, "Number of individuals"),
+            Option("s", "seed", "int", 1, "Random seed"),
+        ],
+    )
+)
+
+
+def _run_tilling_genotyper(opts: dict, args: list[str]) -> None:
+    from ..simulation.tilling import TillingDesign, TillingPoolsIndividualGenotyper
+    from ..vcf.io import VCFFileReader
+
+    design_file = opts.pop("design_file", None)
+    out = opts.pop("output_file", None)
+    if not design_file or not args:
+        raise SystemExit(
+            "Usage: TillingPoolsIndividualGenotyper -d <design.txt> <pool1.vcf> ..."
+        )
+    pools_per_ind = {}
+    with open(design_file) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                pools_per_ind[parts[0]] = frozenset(parts[1].split(","))
+    design = TillingDesign(pools_per_ind)
+    pool_records = {}
+    for path in args:
+        reader = VCFFileReader(path)
+        recs = reader.load_all()
+        pool = reader.sample_ids[0] if reader.sample_ids else path
+        pool_records[pool] = recs
+    assigned = TillingPoolsIndividualGenotyper(design).genotype(pool_records)
+    fh = open(out, "w") if out else sys.stdout
+    fh.write("INDIVIDUAL\tCHROM\tPOS\tREF\tALT\n")
+    for ind, r in assigned:
+        v = r.variant
+        fh.write(f"{ind}\t{v.sequence_name}\t{v.first}\t{v.alleles[0]}\t{v.alleles[1]}\n")
+    if out:
+        fh.close()
+    print(f"Assigned {len(assigned)} variants to individuals", file=sys.stderr)
+
+
+register(
+    Command(
+        id="TillingPoolsIndividualGenotyper",
+        group="Discovery",
+        description="Assigns pooled TILLING variants to individuals",
+        runner=_run_tilling_genotyper,
+        options=[
+            Option("d", "design_file", "str", None, "Individual->pools design file"),
+            Option("o", "output_file", "str", None, "Output file"),
+        ],
+    )
+)
+
+
+def _run_assembly_graph_stats(opts: dict, args: list[str]) -> None:
+    from ..assembly.assembler import n_statistics
+    from ..io.fasta import load_fasta
+
+    if not args:
+        raise SystemExit("Usage: AssemblyGraphStatistics <contigs.fa> [truth.fa]")
+    contigs = load_fasta(args[0])
+    stats = n_statistics([len(c) for c in contigs])
+    print(f"Contigs\t{stats['count']}")
+    print(f"Total\t{stats['total']}")
+    print(f"Max\t{stats['max']}")
+    print(f"N50\t{stats.get('N50', 0)}")
+    if len(args) > 1:
+        truth = load_fasta(args[1])
+        truth_len = sum(len(t) for t in truth)
+        print(f"TruthLength\t{truth_len}")
+        print(f"TotalVsTruth\t{stats['total'] / max(1, truth_len):.3f}")
+
+
+register(
+    Command(
+        id="AssemblyGraphStatistics",
+        group="Reads",
+        description="Assembly statistics (N50, totals, truth comparison)",
+        runner=_run_assembly_graph_stats,
+        hidden=True,
+        options=[],
+    )
+)
+
+
 # ---- not-yet-implemented command ids (full parity checklist) -------------
 
 _PENDING: dict[str, tuple[str, str]] = {
     # Reads
-    "AssemblyGraphStatistics": ("Reads", "Assembly graph benchmark statistics"),
     # Discovery
-    "TillingPoolsIndividualGenotyper": ("Discovery", "TILLING pool genotyping"),
     # Genomes
-    "TranscriptomeFilter": ("Genomes", "Filter gene annotations"),
     # VariantsDownstream
-    "VCFRelativeCoordinatesTranslator": ("VariantsDownstream", "GBS coordinate translation"),
-    "MutatedPeptidesExtractor": ("VariantsDownstream", "Mutated peptide extraction"),
     # Benchmark
-    "TillingPopulationSimulator": ("Benchmark", "Simulate TILLING pools"),
 }
 
 

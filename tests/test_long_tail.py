@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from ngsepcore_tpu.core.genome import ReferenceGenome
+from ngsepcore_tpu.core.sequences import QualifiedSequence, QualifiedSequenceList
+
+
+def test_glm_association():
+    from ngsepcore_tpu.gwas.glm import GeneralLinearModel
+    from ngsepcore_tpu.variants.model import CalledGenomicVariant
+    from ngsepcore_tpu.vcf.io import VCFRecord
+
+    rng = np.random.default_rng(11)
+    n = 60
+    samples = [f"s{i}" for i in range(n)]
+    causal = rng.integers(0, 3, size=n)
+    neutral = rng.integers(0, 3, size=n)
+    pheno = {s: float(2.5 * causal[i] + rng.normal(0, 0.5)) for i, s in enumerate(samples)}
+
+    def rec(pos, dosages):
+        calls = []
+        for i, g in enumerate(dosages):
+            idxs = [0, 0] if g == 0 else [0, 1] if g == 1 else [1, 1]
+            calls.append(
+                CalledGenomicVariant(
+                    sequence_name="chr1", first=pos, alleles=["A", "C"],
+                    sample_id=samples[i], indexes_called_alleles=idxs,
+                )
+            )
+        return VCFRecord(variant=calls[0], calls=calls)
+
+    res = GeneralLinearModel().run_association(
+        [rec(100, causal), rec(200, neutral)], pheno
+    )
+    by_pos = {r["position"]: r for r in res}
+    assert by_pos[100]["p"] < 1e-8
+    assert by_pos[200]["p"] > 0.001
+    assert by_pos[100]["beta"] > 1.5
+
+
+def test_transcriptome_filter_roundtrip(tmp_path):
+    from ngsepcore_tpu.transcriptome.gff3 import load_transcriptome_gff3
+    from ngsepcore_tpu.transcriptome.tools import (
+        filter_transcriptome,
+        write_transcriptome_gff3,
+    )
+
+    gff = tmp_path / "in.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "chr1\tx\tgene\t100\t900\t.\t+\t.\tID=gene1\n"
+        "chr1\tx\tmRNA\t100\t900\t.\t+\t.\tID=t1;Parent=gene1\n"
+        "chr1\tx\tCDS\t100\t400\t.\t+\t0\tID=c1;Parent=t1\n"
+        "chr1\tx\tmRNA\t2000\t2100\t.\t-\t.\tID=t2;Parent=gene2\n"
+        "chr1\tx\texon\t2000\t2100\t.\t-\t.\tParent=t2\n"
+    )
+    t = load_transcriptome_gff3(str(gff))
+    f = filter_transcriptome(t, only_coding=True)
+    assert "t1" in f.transcripts and "t2" not in f.transcripts
+    out = tmp_path / "out.gff3"
+    write_transcriptome_gff3(f, str(out))
+    t2 = load_transcriptome_gff3(str(out))
+    assert "t1" in t2.transcripts
+
+
+def test_mutated_peptides():
+    from ngsepcore_tpu.transcriptome.gff3 import load_transcriptome_gff3
+    from ngsepcore_tpu.transcriptome.tools import extract_mutated_peptides
+    from ngsepcore_tpu.variants.model import GenomicVariant
+    import tempfile, os
+
+    # gene 1..30 coding: ATG AAA CCC GGG TTT ...
+    seq = "ATGAAACCCGGGTTTACGGATCATTAGAAA"
+    g = ReferenceGenome(
+        QualifiedSequenceList([QualifiedSequence.from_string("chr1", seq)])
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".gff3", delete=False) as fh:
+        fh.write(
+            "##gff-version 3\nchr1\tx\tgene\t1\t27\t.\t+\t.\tID=g1\n"
+            "chr1\tx\tmRNA\t1\t27\t.\t+\t.\tID=t1;Parent=g1\n"
+            "chr1\tx\tCDS\t1\t27\t.\t+\t0\tParent=t1\n"
+        )
+        path = fh.name
+    t = load_transcriptome_gff3(path)
+    os.unlink(path)
+    # variant at pos 4 (A->C): codon2 AAA->CAA = K2Q missense
+    v = GenomicVariant("chr1", 4, ["A", "C"])
+    peps = extract_mutated_peptides(g, t, [v])
+    assert len(peps) == 1
+    assert peps[0].aa_change == "K2Q"
+    assert "Q" in peps[0].peptide
+
+
+def test_gbs_coordinate_translation():
+    from ngsepcore_tpu.align.read_alignment import ReadAlignment
+    from ngsepcore_tpu.gbs.translator import translate_records
+    from ngsepcore_tpu.variants.model import CalledGenomicVariant
+    from ngsepcore_tpu.vcf.io import VCFRecord
+
+    call = CalledGenomicVariant(
+        sequence_name="Cluster_1", first=10, alleles=["A", "G"],
+        indexes_called_alleles=[0, 1],
+    )
+    rec = VCFRecord(variant=call, calls=[call])
+    aln = ReadAlignment(
+        "chr2", 5000, [(80, "M")], read_chars="A" * 80, read_name="Cluster_1"
+    )
+    out, missed = translate_records([rec], {"Cluster_1": aln})
+    assert missed == 0
+    assert out[0].variant.sequence_name == "chr2"
+    assert out[0].variant.first == 5009  # 5000 + (10-1)
+
+
+def test_tilling_roundtrip():
+    from ngsepcore_tpu.simulation.tilling import (
+        TillingPoolsIndividualGenotyper,
+        TillingPopulationSimulator,
+    )
+
+    rng = np.random.default_rng(2)
+    seq = "".join(rng.choice(list("ACGT"), size=20000))
+    g = ReferenceGenome(
+        QualifiedSequenceList([QualifiedSequence.from_string("chr1", seq)])
+    )
+    sim = TillingPopulationSimulator(g, n_individuals=96, seed=5)
+    sim.build_design()
+    sim.simulate_mutations(2.0)
+    pools = sim.pool_variant_records()
+    genotyper = TillingPoolsIndividualGenotyper(sim.design)
+    assigned = genotyper.genotype(pools)
+    truth = {(ind, pos) for ind, seq_, pos, ref, alt in sim.mutations}
+    got = {(ind, r.variant.first) for ind, r in assigned}
+    # most unambiguous mutations should be recovered (collisions where two
+    # individuals share pools at the same site are expected to be dropped)
+    recovered = len(got & truth)
+    assert recovered / max(1, len(truth)) > 0.9
+    assert not (got - truth), "false assignments"
