@@ -32,7 +32,7 @@ from ..variants.model import (
 )
 from ..vcf.io import VCFFileWriter, VCFRecord
 from .pileup import cap_alignments_per_start, expand_batch_calls
-from .single_sample import DEF_MIN_MQ, DEF_MIN_QUALITY, WINDOW
+from .single_sample import DEF_MIN_MQ, DEF_MIN_QUALITY, _window_for
 
 
 class MultisampleVariantsDetector:
@@ -113,9 +113,10 @@ class MultisampleVariantsDetector:
             sorted_calls.append(
                 (pos[order], allele[order], qual[order], strand[order])
             )
-        for w0 in range(1, seq_len + 1, WINDOW):
-            w1 = min(seq_len, w0 + WINDOW - 1)
-            ref_win = np.full(WINDOW, 4, dtype=np.int8)
+        window = _window_for(seq_len)
+        for w0 in range(1, seq_len + 1, window):
+            w1 = min(seq_len, w0 + window - 1)
+            ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
             results = []
             any_calls = False
@@ -140,7 +141,7 @@ class MultisampleVariantsDetector:
                 results.append(
                     window_genotype_snv(
                         rel, al, qu, st, ref_win, contribution, het, minq,
-                        out_size=WINDOW,
+                        out_size=window,
                     )
                 )
             if not any_calls:

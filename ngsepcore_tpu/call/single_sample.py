@@ -42,7 +42,19 @@ from .pileup import cap_alignments_per_start, expand_batch_calls
 
 DEF_MIN_QUALITY = 40  # ref: SingleSampleVariantPileupListener.java:50
 DEF_MIN_MQ = 20  # ref: ReadAlignment.DEF_MIN_MQ_UNIQUE_ALIGNMENT
-WINDOW = 1 << 16
+# one device call covers up to 1M reference positions: per-window dispatch
+# over the TPU tunnel dominates wall-clock at smaller windows (counts tensor
+# at this size is 1M x 4 x 31 x 4B = 0.5 GiB HBM, well within a v5e chip).
+# Short sequences use a smaller power-of-two window so tiny genomes don't
+# pay 1M-position kernels.
+WINDOW = 1 << 20
+
+
+def _window_for(seq_len: int) -> int:
+    w = 1 << 16
+    while w < seq_len and w < WINDOW:
+        w <<= 1
+    return w
 
 
 class SingleSampleVariantsDetector:
@@ -184,8 +196,9 @@ class SingleSampleVariantsDetector:
         # then fetch compacted per-window results — this pipelines device
         # roundtrips instead of paying one sync per window
         pending: list[tuple[int, np.ndarray, dict]] = []
-        for w0 in range(1, seq_len + 1, WINDOW):
-            w1 = min(seq_len, w0 + WINDOW - 1)
+        window = _window_for(seq_len)
+        for w0 in range(1, seq_len + 1, window):
+            w1 = min(seq_len, w0 + window - 1)
             lo = np.searchsorted(pos, w0, side="left")
             hi = np.searchsorted(pos, w1, side="right")
             if hi <= lo:
@@ -203,10 +216,10 @@ class SingleSampleVariantsDetector:
             qu[:n] = qual[lo:hi]
             st = np.zeros(cap, np.int8)
             st[:n] = strand[lo:hi]
-            ref_win = np.full(WINDOW, 4, dtype=np.int8)
+            ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
             res = window_genotype_snv(
-                rel, al, qu, st, ref_win, contribution, het, minq, out_size=WINDOW
+                rel, al, qu, st, ref_win, contribution, het, minq, out_size=window
             )
             pending.append((w0, ref_win, res))
         compact_keys = (

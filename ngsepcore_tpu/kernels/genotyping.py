@@ -153,7 +153,7 @@ def window_genotype_snv(
     het_rate: jnp.ndarray,  # scalar float64 (traced: no recompile per value)
     min_quality: jnp.ndarray,  # scalar int32 (traced)
     n_alleles: int = 4,
-    max_sites: int = 4096,
+    max_sites: int = 16384,
     *,
     out_size: int,
 ):
