@@ -22,6 +22,11 @@ class HitsCluster:
     all_consistent: bool
     query_evidence_start: int
     query_evidence_end: int
+    # member hit arrays sorted by query position (filled only when
+    # cluster_hits(..., with_members=True); used by the long-read
+    # anchor-chaining aligner)
+    member_qpos: np.ndarray | None = None
+    member_spos: np.ndarray | None = None
 
 
 def cluster_hits(
@@ -29,6 +34,7 @@ def cluster_hits(
     query_pos: np.ndarray,
     query_length: int,
     tolerance: int | None = None,
+    with_members: bool = False,
 ) -> list[HitsCluster]:
     """Group hits by estimated subject start (subject_pos - query_pos)."""
     if len(subject_pos) == 0:
@@ -58,6 +64,11 @@ def cluster_hits(
         # consistent = hits appear in the same order on query and subject
         sub_order = np.argsort(subject_pos[order][a:b], kind="stable")
         consistent = bool(np.all(np.diff(seg_q[sub_order]) >= 0))
+        mq = ms = None
+        if with_members:
+            qorder = np.lexsort((sub_s[a:b], seg_q))
+            mq = seg_q[qorder]
+            ms = sub_s[a:b][qorder]
         clusters.append(
             HitsCluster(
                 subject_concat_start=start,
@@ -66,6 +77,8 @@ def cluster_hits(
                 all_consistent=consistent,
                 query_evidence_start=int(distinct_q[0]),
                 query_evidence_end=int(distinct_q[-1]),
+                member_qpos=mq,
+                member_spos=ms,
             )
         )
     return clusters

@@ -52,6 +52,61 @@ def _row_bucket(n: int, minimum: int = 256) -> int:
     return b
 
 
+def select_final_alignments(
+    reads: list[RawRead],
+    candidates: list["_Candidate"],
+    max_alns_per_read: int,
+) -> tuple[list[list[ReadAlignment]], int]:
+    """Per-read combine + filter of finished candidates into primary and
+    secondary alignments (ref: SingleReadsAligner.filterAlignments:118-143).
+    Shared by the short- and long-read aligners."""
+    B = len(reads)
+    out: list[list[ReadAlignment]] = [[] for _ in range(B)]
+    finals: dict[int, list["_Candidate"]] = {}
+    n_aligned = 0
+    for c in candidates:
+        if c.aln is not None:
+            finals.setdefault(c.read_idx, []).append(c)
+    for ridx, cands in finals.items():
+        read = reads[ridx]
+        cands.sort(key=lambda c: -c.quality)
+        best = cands[0].quality
+        threshold = int(0.8 * best)
+        kept = []
+        for i, c in enumerate(cands):
+            if c.quality <= threshold and i > 0:
+                break
+            if i == 0 and c.quality <= threshold:
+                break
+            kept.append(c)
+        n = len(kept)
+        for i, c in enumerate(kept):
+            aln = c.aln
+            aln.read_name = read.name
+            if c.reverse:
+                aln.flags |= FLAG_READ_REVERSE
+                aln.read_chars = decode_dna(reverse_complement_codes(read.codes))
+                aln.qualities = (
+                    read.qualities[::-1]
+                    if read.qualities
+                    else "5" * len(read.sequence)
+                )
+            else:
+                aln.read_chars = read.sequence
+                aln.qualities = read.qualities or "5" * len(read.sequence)
+            if i > 0:
+                aln.set_secondary(True)
+            q = c.quality
+            if n > 1:
+                q = int(round(0.3 * q / n))
+            aln.alignment_quality = max(0, min(255, q))
+        kept = kept[:max_alns_per_read]
+        out[ridx] = [c.aln for c in kept]
+        if out[ridx]:
+            n_aligned += 1
+    return out, n_aligned
+
+
 @dataclass
 class _Candidate:
     read_idx: int
@@ -152,50 +207,8 @@ class ReadsAligner:
         self._tier3(dp_cands, all_codes)
 
         # stage 5: per-read combine + filter (ref: filterAlignments:118-143)
-        out: list[list[ReadAlignment]] = [[] for _ in range(B)]
-        finals: dict[int, list[_Candidate]] = {}
-        for c in selected:
-            if c.aln is not None:
-                finals.setdefault(c.read_idx, []).append(c)
-        for ridx, cands in finals.items():
-            read = reads[ridx]
-            cands.sort(key=lambda c: -c.quality)
-            best = cands[0].quality
-            threshold = int(0.8 * best)
-            kept = []
-            for i, c in enumerate(cands):
-                if c.quality <= threshold and i > 0:
-                    break
-                if i == 0 and c.quality <= threshold:
-                    break
-                kept.append(c)
-            n = len(kept)
-            for i, c in enumerate(kept):
-                aln = c.aln
-                aln.read_name = read.name
-                if c.reverse:
-                    aln.flags |= FLAG_READ_REVERSE
-                    aln.read_chars = decode_dna(
-                        reverse_complement_codes(read.codes)
-                    )
-                    aln.qualities = (
-                        read.qualities[::-1]
-                        if read.qualities
-                        else "5" * len(read.sequence)
-                    )
-                else:
-                    aln.read_chars = read.sequence
-                    aln.qualities = read.qualities or "5" * len(read.sequence)
-                if i > 0:
-                    aln.set_secondary(True)
-                q = c.quality
-                if n > 1:
-                    q = int(round(0.3 * q / n))
-                aln.alignment_quality = max(0, min(255, q))
-            kept = kept[: self.max_alns_per_read]
-            out[ridx] = [c.aln for c in kept]
-            if out[ridx]:
-                self.aligned_reads += 1
+        out, n_aligned = select_final_alignments(reads, selected, self.max_alns_per_read)
+        self.aligned_reads += n_aligned
         return out
 
     # ------------------------------------------------------------------

@@ -70,6 +70,8 @@ class SingleSampleVariantsDetector:
         max_alns_per_start: int = 5,
         find_cnvs: bool = False,
         find_svs: bool = False,
+        run_long_read_svs: bool = False,
+        min_sv_quality: int = 0,
         known_strs_file: str | None = None,
     ):
         self.genome = genome
@@ -82,6 +84,8 @@ class SingleSampleVariantsDetector:
         self.max_alns_per_start = max_alns_per_start
         self.find_cnvs = find_cnvs
         self.find_svs = find_svs
+        self.run_long_read_svs = run_long_read_svs
+        self.min_sv_quality = min_sv_quality
         self.known_strs: dict[str, list] = {}
         if known_strs_file:
             from ..genome.builders import load_regions_file
@@ -121,6 +125,34 @@ class SingleSampleVariantsDetector:
                         },
                     )
                 )
+        if self.run_long_read_svs:
+            # ref: runLongReadSVAnalysis (SingleSampleVariantsDetector
+            # .java:1061-1069) — dedicated VCF next to the main one
+            from ..vcf.io import VCFFileWriter as _W
+            from .long_read_sv import LongReadStructuralVariantDetector
+
+            det = LongReadStructuralVariantDetector(self.genome, min_mq=self.min_mq)
+            lr_svs = [
+                v
+                for v in det.find_variants(alns)
+                if v.genotype_quality >= self.min_sv_quality
+            ]
+            prefix = output_vcf.rsplit(".", 1)[0]
+            with _W(prefix + "_SVsLongReads.vcf", [self.sample_id]) as w:
+                for v in lr_svs:
+                    v.sample_id = self.sample_id
+                    w.write(
+                        VCFRecord(
+                            variant=v,
+                            calls=[v],
+                            info={
+                                "END": v.last,
+                                "SVTYPE": v.variant_type,
+                                "SVLEN": v.length(),
+                            },
+                        )
+                    )
+            svs.extend(lr_svs)
         if self.find_cnvs:
             cnvs = self.find_cnv_calls(alns)
             svs.extend(cnvs)

@@ -82,8 +82,15 @@ def _run_reads_aligner(opts: dict, args: list[str]) -> None:
     if not genome_path or not args:
         raise SystemExit("Usage: ReadsAligner -r <genome.fa> -o <out.sam> <reads.fastq>")
     genome = ReferenceGenome.load(genome_path)
+    platform = (opts.pop("platform", None) or "ILLUMINA").upper()
     paired = bool(opts.pop("paired", False)) or len(args) == 2
-    aligner = ReadsAligner(genome, **opts)
+    if platform in ("PACBIO", "ONT"):
+        from ..align.long_reads import LongReadsAligner
+
+        aligner = LongReadsAligner(genome, **opts)
+        paired = False
+    else:
+        aligner = ReadsAligner(genome, **opts)
     n_out = 0
     with ReadAlignmentFileWriter(genome.sequences, out or "-", sample_id=sample) as w:
         if paired and len(args) == 2:
@@ -125,7 +132,9 @@ register(
             Option("k", "kmer_length", "int", 25, "Seed k-mer length"),
             Option("w", "window_length", "int", 20, "Minimizer window"),
             Option("a", "max_alns_per_read", "int", 1, "Max alignments per read"),
-            Option("p", "paired", "bool", False, "Paired-end (two fastq files)"),
+            Option("p", "platform", "str", "ILLUMINA",
+                   "Platform: ILLUMINA, IONTORRENT, PACBIO, ONT"),
+            Option("paired", "paired", "bool", False, "Paired-end (two fastq files)"),
         ],
     )
 )
@@ -464,6 +473,10 @@ register(
             Option("ploidy", "ploidy", "int", 2, "Sample ploidy"),
             Option("cnvs", "find_cnvs", "bool", False, "Run read-depth CNV detection"),
             Option("svs", "find_svs", "bool", False, "Run read-pair SV detection"),
+            Option("runLongReadSVs", "run_long_read_svs", "bool", False,
+                   "Detect structural variants from long-read alignments"),
+            Option("minSVQuality", "min_sv_quality", "int", 0,
+                   "Min genotype quality for SV calls"),
             Option("knownSTRs", "known_strs_file", "str", None, "Known STRs file"),
         ],
     )

@@ -40,6 +40,9 @@ class GenomicVariant:
     quality: int = 0  # phred-scaled variant QS
     var_id: str | None = None
     last_: int | None = None  # explicit end for SVs
+    length_: int | None = None  # explicit event length (e.g. insertions,
+    # where last==first+1 but the inserted span is longer; ref:
+    # GenomicVariantImpl.setLength)
 
     @property
     def last(self) -> int:
@@ -60,6 +63,8 @@ class GenomicVariant:
         return len(self.alleles) == 2
 
     def length(self) -> int:
+        if self.length_ is not None:
+            return self.length_
         return self.last - self.first + 1
 
 
