@@ -27,6 +27,14 @@ class ReadAlignmentFileWriter:
         platform: str = "ILLUMINA",
         sort_order: str = "unsorted",
     ):
+        self._bam = None
+        if isinstance(path_or_fh, str) and path_or_fh.endswith(".bam"):
+            from .bam import BAMWriter
+
+            self._bam = BAMWriter(
+                sequences, path_or_fh, sample_id, platform, sort_order
+            )
+            return
         self._own = isinstance(path_or_fh, str)
         self.fh = _open_write(path_or_fh) if self._own else path_or_fh
         self.sample_id = sample_id
@@ -38,13 +46,18 @@ class ReadAlignmentFileWriter:
         self.fh.write("@PG\tID:ngsepcore_tpu\tPN:ngsepcore_tpu\n")
 
     def write(self, aln: ReadAlignment) -> None:
+        if self._bam is not None:
+            self._bam.write(aln)
+            return
         if self.sample_id and aln.read_group is None:
             aln.read_group = self.sample_id
         self.fh.write("\t".join(aln.to_sam_fields()))
         self.fh.write("\n")
 
     def close(self) -> None:
-        if self._own:
+        if self._bam is not None:
+            self._bam.close()
+        elif self._own:
             self.fh.close()
 
     def __enter__(self):
@@ -93,6 +106,22 @@ class ReadAlignmentFileReader:
             )
 
     def __iter__(self) -> Iterator[ReadAlignment]:
+        if self.path.endswith(".bam"):
+            from .bam import BAMReader
+
+            r = BAMReader(
+                self.path,
+                min_mq=self.min_mq,
+                skip_secondary=self.skip_secondary,
+                skip_unmapped=self.skip_unmapped,
+            )
+            # share the header containers: BAMReader fills them in place
+            # while records stream, so early consumers still see them
+            self.sequence_names = r.sequence_names
+            self.sequence_lengths = r.sequence_lengths
+            self.read_groups = r.read_groups
+            yield from r
+            return
         with _open_text(self.path) as fh:
             for line in fh:
                 if line.startswith("@"):
