@@ -44,12 +44,22 @@ class Assembler:
         min_shared_minimizers: int = DEF_MIN_SHARED_MINIMIZERS,
         min_overlap: int = DEF_MIN_OVERLAP,
         batch_rows: int = 512,
+        polish_rounds: int = 1,
+        merge_ends: bool = True,
+        circular: bool = False,
+        ploidy: int = 1,
     ):
         self.kmer_length = kmer_length
         self.window_length = window_length
         self.min_shared = min_shared_minimizers
         self.min_overlap = min_overlap
         self.batch_rows = batch_rows
+        self.polish_rounds = polish_rounds
+        self.merge_ends = merge_ends
+        self.circular = circular
+        self.ploidy = ploidy
+        self.corrections = 0
+        self.circularized = 0
 
     # ------------------------------------------------------------------
     def _read_minimizers(self, reads: list[np.ndarray]):
@@ -262,11 +272,90 @@ class Assembler:
 
     # ------------------------------------------------------------------
     def assemble(self, reads: list[np.ndarray]) -> QualifiedSequenceList:
+        """Full pipeline: graph -> layout -> end merge -> polish ->
+        circularize (ref: Assembler.run stages :285-545); for ploidy>=2 a
+        phase-filter pass re-assembles each haplotype read cluster
+        (ref: ploidy loop :461-484)."""
+        if self.ploidy >= 2:
+            return self._assemble_phased(reads)
         graph = self.build_graph(reads)
         contigs = self.layout_and_consensus(reads, graph)
+        if self.merge_ends and len(contigs) > 1:
+            from .polishing import merge_contig_ends
+
+            contigs = merge_contig_ends(contigs, min_overlap=self.min_overlap)
+        if self.polish_rounds > 0 and contigs:
+            from ..core.sequences import RawRead
+            from .polishing import polish_contigs
+
+            raw = [
+                RawRead(name=f"r{i}", sequence=decode_dna(r))
+                for i, r in enumerate(reads)
+            ]
+            contigs, self.corrections = polish_contigs(
+                contigs, raw, rounds=self.polish_rounds
+            )
+        if self.circular:
+            from .polishing import circularize
+
+            done = []
+            for c in contigs:
+                c2, was = circularize(c)
+                self.circularized += was
+                done.append(c2)
+            contigs = done
+        contigs = sorted(contigs, key=len, reverse=True)
         out = QualifiedSequenceList()
         for i, c in enumerate(contigs):
             out.add(QualifiedSequence(name=f"contig_{i + 1}", codes=c))
+        return out
+
+    # ------------------------------------------------------------------
+    def _assemble_phased(self, reads: list[np.ndarray]) -> QualifiedSequenceList:
+        """Diploid assembly: draft -> phase reads into haplotype clusters ->
+        assemble each cluster."""
+        from ..core.sequences import RawRead
+        from .phasing import phase_reads
+
+        draft_asm = Assembler(
+            self.kmer_length,
+            self.window_length,
+            self.min_shared,
+            self.min_overlap,
+            self.batch_rows,
+            polish_rounds=0,
+            merge_ends=self.merge_ends,
+        )
+        draft = draft_asm.assemble(reads)
+        raw = [
+            RawRead(name=f"r{i}", sequence=decode_dna(r))
+            for i, r in enumerate(reads)
+        ]
+        clusters = phase_reads([s.codes for s in draft], raw)
+        out = QualifiedSequenceList()
+        for h, cluster in enumerate(clusters):
+            sub_reads = [reads[i] for i in sorted(cluster)]
+            if not sub_reads:
+                continue
+            sub = Assembler(
+                self.kmer_length,
+                self.window_length,
+                self.min_shared,
+                self.min_overlap,
+                self.batch_rows,
+                polish_rounds=self.polish_rounds,
+                merge_ends=self.merge_ends,
+                circular=self.circular,
+            )
+            contigs = sub.assemble(sub_reads)
+            self.corrections += sub.corrections
+            self.circularized += sub.circularized
+            for i, s in enumerate(contigs):
+                out.add(
+                    QualifiedSequence(
+                        name=f"contig_{i + 1}_hap{h}", codes=s.codes
+                    )
+                )
         return out
 
 

@@ -174,6 +174,12 @@ register(
             Option("w", "window_length", "int", 10, "Minimizer window"),
             Option("m", "min_shared_minimizers", "int", 6, "Min shared minimizers"),
             Option("l", "min_overlap", "int", 200, "Minimum overlap length"),
+            Option("polish", "polish_rounds", "int", 1,
+                   "Consensus polishing rounds (0 = off)"),
+            Option("circular", "circular", "bool", False,
+                   "Detect and trim circular contigs"),
+            Option("ploidy", "ploidy", "int", 1,
+                   "Sample ploidy (2 = phased diploid assembly)"),
         ],
     )
 )
