@@ -1076,9 +1076,20 @@ def _run_vcf_converter(opts: dict, args: list[str]) -> None:
                 parts = line.split()
                 if len(parts) >= 2:
                     populations[parts[0]] = parts[1]
+    parent1 = opts.pop("parent1", None)
+    parent2 = opts.pop("parent2", None)
+    seq_name = opts.pop("sequence_name", None)
     _, records = _load_vcf(inp)
     for f in formats:
-        if f in CONVERTERS:
+        if f == "JoinMap":
+            from ..vcf.converter import convert_joinmap
+
+            convert_joinmap(records, out, parent1=parent1, parent2=parent2)
+        elif f == "FineStructure":
+            from ..vcf.converter import convert_finestructure
+
+            convert_finestructure(records, out, sequence_name=seq_name)
+        elif f in CONVERTERS:
             CONVERTERS[f](records, out)
         elif f in POPULATION_CONVERTERS:
             POPULATION_CONVERTERS[f](records, populations, out)
@@ -1102,6 +1113,10 @@ register(
             Option("o", "output_prefix", "str", None, "Output prefix"),
             Option("f", "formats", "str", "Matrix", "Comma-separated formats"),
             Option("p", "populations_file", "str", None, "Sample->population map"),
+            Option("p1", "parent1", "str", None, "Parent 1 sample id (JoinMap)"),
+            Option("p2", "parent2", "str", None, "Parent 2 sample id (JoinMap)"),
+            Option("seq", "sequence_name", "str", None,
+                   "Sequence name (FineStructure)"),
         ],
     )
 )

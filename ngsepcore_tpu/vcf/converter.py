@@ -284,6 +284,176 @@ def convert_phase(records, out_prefix: str) -> None:
             fh.write(" ".join(rows[1]) + "\n")
 
 
+def convert_gwaspoly(records, out_prefix: str) -> None:
+    """GWASPoly CSV: genotype = called alleles repeated by copy number
+    (ref: printGWASPoly:814-835)."""
+    recs = _biallelic_snvs(records)
+    dos, samples = dosage_matrix(recs)
+    with open(out_prefix + "_GWASPoly.csv", "w") as fh:
+        fh.write("Marker,Chrom,Position," + ",".join(samples) + "\n")
+        for i, r in enumerate(recs):
+            ref, alt = r.variant.alleles[:2]
+            vals = []
+            for s in range(len(samples)):
+                d = int(dos[i, s])
+                vals.append(
+                    {0: ref + ref, 1: ref + alt, 2: alt + alt}.get(d, "NA")
+                )
+            fh.write(
+                f"{i + 1},{r.variant.sequence_name},{r.variant.first},"
+                + ",".join(vals)
+                + "\n"
+            )
+
+
+def convert_spagedi(records, out_prefix: str) -> None:
+    """SPAGeDi input (ref: printSpagedi:703-738)."""
+    recs = _biallelic_snvs(records)
+    dos, samples = dosage_matrix(recs)
+    with open(out_prefix + "_spagedi.in", "w") as fh:
+        fh.write(f"{len(samples)}\t0\t0\t{len(recs)}\t1\t2\n0\n")
+        fh.write("Ind" + "".join(f"\tSNP_{i + 1}" for i in range(len(recs))) + "\n")
+        for s, name in enumerate(samples):
+            vals = []
+            for i in range(len(recs)):
+                d = int(dos[i, s])
+                vals.append({0: "1,1", 1: "1,2", 2: "2,2"}.get(d, "0,0"))
+            fh.write(name + "\t" + "\t".join(vals) + "\n")
+        fh.write("END\n")
+
+
+def convert_powermarker(records, out_prefix: str) -> None:
+    """PowerMarker .in + .snp files (ref: printPowerMarker:566-605)."""
+    recs = _biallelic_snvs(records)
+    dos, samples = dosage_matrix(recs)
+    with open(out_prefix + "_powermarker.snp", "w") as snp:
+        for i, r in enumerate(recs):
+            snp.write(f"{i + 1}\t{r.variant.sequence_name}\t{r.variant.first}\n")
+    with open(out_prefix + "_powermarker.in", "w") as fh:
+        fh.write(
+            "Sample"
+            + "".join(f"\t{i + 1}\t{i + 1}" for i in range(len(recs)))
+            + "\n"
+        )
+        for s, name in enumerate(samples):
+            vals = []
+            for i in range(len(recs)):
+                d = int(dos[i, s])
+                vals.append({0: "0\t0", 1: "0\t1", 2: "1\t1"}.get(d, "-9\t-9"))
+            fh.write(name + "\t" + "\t".join(vals) + "\n")
+
+
+def convert_haploview(records, out_prefix: str) -> None:
+    """Haploview = PLINK-style ped with a .info map without chromosome
+    numbers (ref: VCFConverter.java:514 printPlink(...,false))."""
+    recs = _biallelic_snvs(records)
+    dos, samples = dosage_matrix(recs)
+    with open(out_prefix + "_haploview.info", "w") as fh:
+        for r in recs:
+            v = r.variant
+            fh.write(f"{v.sequence_name}_{v.first}\t{v.first}\n")
+    with open(out_prefix + "_haploview.ped", "w") as fh:
+        for s, name in enumerate(samples):
+            fields = [name, name, "0", "0", "0", "0"]
+            for i, r in enumerate(recs):
+                ref, alt = r.variant.alleles[:2]
+                d = int(dos[i, s])
+                pair = {0: (ref, ref), 1: (ref, alt), 2: (alt, alt)}.get(
+                    d, ("0", "0")
+                )
+                fields.append(pair[0] + " " + pair[1])
+            fh.write("\t".join(fields) + "\n")
+
+
+def convert_joinmap(
+    records, out_prefix: str, parent1: str | None = None, parent2: str | None = None
+) -> None:
+    """JoinMap CP-population segregation file (ref: printJoinMap:1176-1235).
+
+    Only variants where at least one parent is heterozygous segregate;
+    codes lm/ll (P1 het), nn/np (P2 het), hk/hh/kk (both het)."""
+    recs = _biallelic_snvs(records)
+    dos, samples = dosage_matrix(recs)
+    if not samples:
+        return
+    i1 = samples.index(parent1) if parent1 in samples else 0
+    i2 = samples.index(parent2) if parent2 in samples else min(1, len(samples) - 1)
+    with open(out_prefix + "_joinmap.txt", "w") as fh:
+        others = [s for s in range(len(samples)) if s not in (i1, i2)]
+        fh.write(
+            "SNPID\tSegregation\tClasification\t"
+            + samples[i1]
+            + "\t"
+            + samples[i2]
+            + "".join("\t" + samples[s] for s in others)
+            + "\n"
+        )
+        for i, r in enumerate(recs):
+            d1, d2 = int(dos[i, i1]), int(dos[i, i2])
+            if d1 < 0 or d2 < 0:
+                continue
+            if d1 != 1 and d2 != 1:
+                continue  # both homozygous: not segregating
+            v = r.variant
+            # the homozygous parent's allele class maps to ll/nn; offspring
+            # homozygous for the OTHER allele are inconsistent -> unknown
+            # (ref warns and prints the unknown code)
+            if d1 == 1 and d2 != 1:
+                seg, cls = "<lmxll>", "(ll,lm)"
+                p1s, p2s = "lm", "ll"
+                if d2 == 0:
+                    mapping = {1: "lm", 0: "ll", 2: "--"}
+                else:
+                    mapping = {1: "lm", 0: "--", 2: "ll"}
+            elif d2 == 1 and d1 != 1:
+                seg, cls = "<nnxnp>", "(nn,np)"
+                p1s, p2s = "nn", "np"
+                if d1 == 0:
+                    mapping = {1: "np", 0: "nn", 2: "--"}
+                else:
+                    mapping = {1: "np", 0: "--", 2: "nn"}
+            else:
+                seg, cls = "<hkxhk>", "(hh,hk,kk)"
+                p1s = p2s = "hk"
+                mapping = {1: "hk", 0: "hh", 2: "kk"}
+            row = [f"{v.sequence_name}_{v.first}", seg, cls, p1s, p2s]
+            for s in others:
+                d = int(dos[i, s])
+                row.append(mapping.get(d, "--") if d >= 0 else "--")
+            fh.write("\t".join(row) + "\n")
+
+
+def convert_finestructure(
+    records, out_prefix: str, sequence_name: str | None = None
+) -> None:
+    """fineSTRUCTURE/ChromoPainter haplotype input for one chromosome
+    (ref: printFineStructure:1033-1088); unphased hets default to 0|1."""
+    recs = _biallelic_snvs(records)
+    if sequence_name is None and recs:
+        sequence_name = recs[0].variant.sequence_name
+    recs = [r for r in recs if r.variant.sequence_name == sequence_name]
+    if not recs:
+        raise ValueError("No biallelic variants found for the given sequence")
+    dos, samples = dosage_matrix(recs)
+    n = len(samples)
+    rows = [[] for _ in range(2 * n)]
+    positions = []
+    for i, r in enumerate(recs):
+        positions.append(str(r.variant.first))
+        for s in range(n):
+            d = int(dos[i, s])
+            a1, a2 = {0: ("0", "0"), 1: ("0", "1"), 2: ("1", "1")}.get(
+                d, ("0", "0")
+            )
+            rows[2 * s].append(a1)
+            rows[2 * s + 1].append(a2)
+    with open(out_prefix + "_fineStructure.phase", "w") as fh:
+        fh.write(f"{2 * n}\n{len(recs)}\n")
+        fh.write("P " + " ".join(positions) + "\n")
+        for row in rows:
+            fh.write("".join(row) + "\n")
+
+
 CONVERTERS = {
     "Matrix": convert_matrix,
     "Fasta": convert_fasta,
@@ -296,6 +466,12 @@ CONVERTERS = {
     "Darwin": convert_darwin,
     "Flapjack": convert_flapjack,
     "Phase": convert_phase,
+    "GWASPoly": convert_gwaspoly,
+    "Spagedi": convert_spagedi,
+    "PowerMarker": convert_powermarker,
+    "Haploview": convert_haploview,
+    "JoinMap": convert_joinmap,
+    "FineStructure": convert_finestructure,
 }
 
 POPULATION_CONVERTERS = {

@@ -67,3 +67,71 @@ def test_treemix_counts(tmp_path):
     assert lines[0].split() == ["p1", "p2"]
     # site 100: p1 = s0(0)+s1(1) -> ref 3, alt 1 ; p2 = s2(2) -> ref 0 alt 2
     assert lines[1].split() == ["3,1", "0,2"]
+
+
+def test_gwaspoly_contents(tmp_path):
+    recs = _records()
+    CONVERTERS["GWASPoly"](recs, str(tmp_path / "g"))
+    lines = (tmp_path / "g_GWASPoly.csv").read_text().splitlines()
+    assert lines[0] == "Marker,Chrom,Position,s0,s1,s2"
+    assert lines[1] == "1,chr1,100,AA,AG,GG"
+    assert lines[3].endswith("AG,NA,AA")
+
+
+def test_spagedi_contents(tmp_path):
+    recs = _records()
+    CONVERTERS["Spagedi"](recs, str(tmp_path / "sp"))
+    lines = (tmp_path / "sp_spagedi.in").read_text().splitlines()
+    assert lines[0] == "3\t0\t0\t3\t1\t2"
+    assert lines[-1] == "END"
+    s1 = [l for l in lines if l.startswith("s1\t")][0]
+    assert s1 == "s1\t1,2\t2,2\t0,0"
+
+
+def test_powermarker_contents(tmp_path):
+    recs = _records()
+    CONVERTERS["PowerMarker"](recs, str(tmp_path / "pm"))
+    snp = (tmp_path / "pm_powermarker.snp").read_text().splitlines()
+    assert snp == ["1\tchr1\t100", "2\tchr1\t200", "3\tchr1\t300"]
+    rows = (tmp_path / "pm_powermarker.in").read_text().splitlines()
+    s2 = [l for l in rows if l.startswith("s2\t")][0]
+    assert s2 == "s2\t1\t1\t0\t0\t0\t0"
+
+
+def test_joinmap_contents(tmp_path):
+    recs = _records()
+    from ngsepcore_tpu.vcf.converter import convert_joinmap
+
+    convert_joinmap(recs, str(tmp_path / "jm"), parent1="s0", parent2="s1")
+    lines = (tmp_path / "jm_joinmap.txt").read_text().splitlines()
+    assert lines[0].startswith("SNPID\tSegregation\tClasification\ts0\ts1\ts2")
+    # pos100: P1 homref, P2 het -> <nnxnp>; s2 homalt is inconsistent with
+    # the cross (nn x np offspring can only be nn or np) -> unknown "--"
+    l100 = [l for l in lines if l.startswith("chr1_100")][0]
+    assert "<nnxnp>" in l100 and l100.split("\t")[3:] == ["nn", "np", "--"]
+    # pos200: both parents hom -> not segregating
+    assert not any(l.startswith("chr1_200") for l in lines)
+    # pos300: P2 undecided -> skipped
+    assert not any(l.startswith("chr1_300") for l in lines)
+
+
+def test_finestructure_contents(tmp_path):
+    recs = _records()
+    from ngsepcore_tpu.vcf.converter import convert_finestructure
+
+    convert_finestructure(recs, str(tmp_path / "fs"))
+    lines = (tmp_path / "fs_fineStructure.phase").read_text().splitlines()
+    assert lines[0] == "6"
+    assert lines[1] == "3"
+    assert lines[2] == "P 100 200 300"
+    assert lines[3] == "010"  # s0 hap1: homref, homalt, het(0)
+    assert lines[4] == "011"  # s0 hap2
+
+
+def test_haploview_contents(tmp_path):
+    recs = _records()
+    CONVERTERS["Haploview"](recs, str(tmp_path / "hv"))
+    info = (tmp_path / "hv_haploview.info").read_text().splitlines()
+    assert info[0] == "chr1_100\t100"
+    ped = (tmp_path / "hv_haploview.ped").read_text().splitlines()
+    assert len(ped) == 3
