@@ -44,6 +44,11 @@ class ReadAlignment:
     mate_first: int = 0
     inferred_insert_size: int = 0
     read_group: str | None = None
+    # read bases excluded from pileup calls at each end, mirrors
+    # ReadAlignment.basesToIgnore5P/3P set by the indel realigner
+    # (IndelRealignerPileupListener.java:478-486,520-526)
+    bases_to_ignore_start: int = 0
+    bases_to_ignore_end: int = 0
 
     # ---- flags -----------------------------------------------------------
     @property
@@ -168,6 +173,75 @@ class ReadAlignment:
             if cr:
                 read_idx += l
         return -1
+
+    def indel_calls(self) -> list[tuple[int, int, int]]:
+        """All indels as (first, last, length) with the reference's event
+        coordinates (ReadAlignment.getIndelCalls, ReadAlignment.java:1050):
+        `first` = last reference base before the event, `last` = first
+        reference base after it (so a deletion of d bases spans d+2 and an
+        insertion spans 2), `length` = inserted/deleted base count.
+        Border I/D runs (no M on both sides) are not calls.
+        """
+        out: list[tuple[int, int, int]] = []
+        pos = self.first
+        for k, (l, op) in enumerate(self.cigar):
+            if op in ("I", "D", "N"):
+                interior = (
+                    any(o == "M" for _, o in self.cigar[:k])
+                    and any(o == "M" for _, o in self.cigar[k + 1 :])
+                )
+                if op == "I":
+                    if interior:
+                        out.append((pos - 1, pos, l))
+                else:
+                    if interior:
+                        out.append((pos - 1, pos + l, l))
+                    pos += l
+            elif op in _CONSUMES_REF:
+                pos += l
+        return out
+
+    def indel_call_at(self, ref_pos: int) -> tuple[int, int, int] | None:
+        """Indel call whose event start equals ref_pos (getIndelCall)."""
+        for c in self.indel_calls():
+            if c[0] == ref_pos:
+                return c
+        return None
+
+    def has_indel_calls(self, first: int, last: int) -> bool:
+        return any(first <= c[0] <= last for c in self.indel_calls())
+
+    def move_indel_start(self, indel_first: int, new_first: int) -> bool:
+        """Move the indel whose call-start is `indel_first` so it starts at
+        `new_first`, transferring matched bases across the event
+        (ReadAlignment.moveIndelStart semantics).  Returns False if the move
+        is not possible (not enough M bases on the shrinking side).
+        """
+        if new_first == indel_first:
+            return True
+        shift = new_first - indel_first
+        pos = self.first
+        for k, (l, op) in enumerate(self.cigar):
+            if op in ("I", "D", "N") and k > 0 and k + 1 < len(self.cigar):
+                if pos - 1 == indel_first:
+                    prev_l, prev_op = self.cigar[k - 1]
+                    next_l, next_op = self.cigar[k + 1]
+                    if prev_op != "M" or next_op != "M":
+                        return False
+                    if shift > 0:
+                        if next_l <= shift:
+                            return False
+                        self.cigar[k - 1] = (prev_l + shift, "M")
+                        self.cigar[k + 1] = (next_l - shift, "M")
+                    else:
+                        if prev_l <= -shift:
+                            return False
+                        self.cigar[k - 1] = (prev_l + shift, "M")
+                        self.cigar[k + 1] = (next_l - shift, "M")
+                    return True
+            if op in _CONSUMES_REF:
+                pos += l
+        return False
 
     def to_sam_fields(self) -> list[str]:
         seq = self.read_chars or "*"

@@ -139,6 +139,65 @@ def _split_by_variant_sites(
     return out
 
 
+def spanning_call_for(a, first: int, last: int) -> SpanningCall | None:
+    """Spanning allele call of one alignment over [first,last], or None if
+    the read does not reliably span it (soft-clip borders, realigner-trimmed
+    ends — ref: ReadAlignment.getAlleleCall:1008-1016 ignore handling)."""
+    from ..core.sequences import qualities_to_phred
+
+    if a.first > first or a.last < last:
+        return None
+    rp_f = a.read_position_at(first)
+    rp_l = a.read_position_at(last)
+    if rp_f < 0 or rp_l < 0 or rp_l < rp_f:
+        return None
+    if a.soft_clip_start and rp_f <= a.soft_clip_start + 2:
+        return None
+    if a.soft_clip_end and rp_l >= len(a.read_chars) - a.soft_clip_end - 3:
+        return None
+    if rp_f < a.bases_to_ignore_start:
+        return None
+    if rp_l >= len(a.read_chars) - a.bases_to_ignore_end:
+        return None
+    allele_str = a.read_chars[rp_f : rp_l + 1]
+    if not allele_str:
+        return None
+    q = (
+        qualities_to_phred(a.qualities[rp_f : rp_l + 1])
+        if a.qualities
+        else np.full(len(allele_str), 10, dtype=np.int8)
+    )
+    return SpanningCall(
+        allele=allele_str.upper(), qualities=q, negative_strand=a.is_negative_strand
+    )
+
+
+def genotype_indel_site(
+    calls: list[SpanningCall],
+    alleles: list[str],
+    het_rate: float,
+    max_base_qs: int = 30,
+) -> tuple[int, int, int, int, IndelCountsHelper] | None:
+    """Genotype one sample's calls against a fixed allele set.
+    Returns (bi, bj, gq, variant_qs_phred, helper) or None if no calls."""
+    helper = IndelCountsHelper(alleles, 0.5, max_base_qs)
+    for c in calls:
+        helper.update(c)
+    if helper.total == 0:
+        return None
+    post = helper.posteriors(het_rate)
+    n = len(alleles)
+    bi = bj = 0
+    best = post[0][0]
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[i][j] + (post[j][i] if i != j else 0.0)
+            if prob > best + 0.01:
+                best, bi, bj = prob, i, j
+    gq = phred_score(max(0.0, 1.0 - best))
+    return bi, bj, gq, phred_score(post[0][0]), helper
+
+
 class IndelCountsHelper:
     """Port of the indel side of CountsHelper (updateCountsIndel)."""
 

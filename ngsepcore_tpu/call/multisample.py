@@ -100,6 +100,13 @@ class MultisampleVariantsDetector:
     # ------------------------------------------------------------------
     def _process_sequence(self, seq_idx, seq_name, per_sample, samples):
         n_samples = len(per_sample)
+        # conciliate indels across ALL samples jointly (the reference wires
+        # one IndelRealignerPileupListener on the shared pileup bus, :449)
+        from .realigner import IndelRealigner
+
+        pooled = [a for alns in per_sample for a in alns]
+        sites = IndelRealigner(self.genome, seq_idx).realign(pooled)
+        indel_records = self._call_indels(seq_idx, seq_name, per_sample, samples, sites)
         expanded = [expand_batch_calls(alns) for alns in per_sample]
         seq_len = self.genome.sequence_length(seq_idx)
         ref_codes = self.genome.sequences[seq_idx].codes
@@ -179,7 +186,97 @@ class MultisampleVariantsDetector:
                 )
                 if rec is not None:
                     out.append(rec)
+        # suppress SNVs inside indel spans, then merge (listener semantics)
+        if indel_records:
+            spans = [(r.variant.first, r.variant.last) for r in indel_records]
+            out = [
+                rec
+                for rec in out
+                if not any(f <= rec.variant.first <= l for f, l in spans)
+            ] + indel_records
+            out.sort(key=lambda r: r.variant.first)
         return out
+
+    # ------------------------------------------------------------------
+    def _call_indels(self, seq_idx, seq_name, per_sample, samples, sites):
+        """Population indel genotyping: the allele set is clustered from the
+        POOLED spanning calls, then each sample is genotyped against it
+        (MultisampleVariantsDetector.java:522-560 indel path)."""
+        from .indels import (
+            cluster_allele_calls,
+            genotype_indel_site,
+            spanning_call_for,
+        )
+
+        if not sites:
+            return []
+        seq_len = self.genome.sequence_length(seq_idx)
+        records: list[VCFRecord] = []
+        for site in sites:
+            first, span = site.first, site.span
+            last = first + span - 1
+            if first < 1 or last > seq_len:
+                continue
+            reference = self.genome.reference_string(seq_idx, first, last)
+            calls_by_sample: list[list] = []
+            pooled = []
+            for alns in per_sample:
+                cs = []
+                for a in alns:
+                    c = spanning_call_for(a, first, last)
+                    if c is not None:
+                        cs.append(c)
+                calls_by_sample.append(cs)
+                pooled.extend(cs)
+            if not pooled:
+                continue
+            alleles = cluster_allele_calls(pooled, reference)
+            if len(alleles) < 2 and not site.is_str:
+                continue
+            ref_len = len(reference)
+            length_change = any(len(a) != ref_len for a in alleles)
+            if not length_change and not site.is_str:
+                continue
+            variant_qs = 0
+            genos = []
+            for cs in calls_by_sample:
+                g = genotype_indel_site(cs, alleles, self.heterozygosity_rate)
+                genos.append(g)
+                if g is not None and (g[0], g[1]) != (0, 0):
+                    variant_qs = max(variant_qs, g[2])
+            if variant_qs < self.min_quality:
+                continue
+            from ..variants.model import TYPE_INDEL, TYPE_STR
+
+            vtype = TYPE_STR if site.is_str else TYPE_INDEL
+            calls = []
+            for s, g in enumerate(genos):
+                call = CalledGenomicVariant(
+                    sequence_name=seq_name,
+                    first=first,
+                    alleles=alleles,
+                    variant_type=vtype,
+                    quality=variant_qs,
+                    sample_id=samples[s],
+                    copy_number=self.ploidy,
+                )
+                if g is not None:
+                    bi, bj, gq, _, helper = g
+                    call.indexes_called_alleles = sorted({bi, bj})
+                    call.genotype_quality = gq
+                    call.total_read_depth = helper.total
+                    call.allele_depths = [int(x) for x in helper.counts]
+                calls.append(call)
+            variant = CalledGenomicVariant(
+                sequence_name=seq_name,
+                first=first,
+                alleles=alleles,
+                variant_type=vtype,
+                quality=variant_qs,
+            )
+            info = {"NS": sum(1 for c in calls if not c.is_undecided)}
+            records.append(VCFRecord(variant=variant, calls=calls, info=info))
+        return records
 
     # ------------------------------------------------------------------
     def _build_population_record(

@@ -98,6 +98,14 @@ def expand_alignment_calls(
     else:
         rp = np.empty(0, np.int64)
         ri = np.empty(0, np.int64)
+    # exclude read-end bases marked by the indel realigner (ref:
+    # ReadAlignment.getAlleleCall honors basesToIgnore5P/3P)
+    if aln.bases_to_ignore_start or aln.bases_to_ignore_end:
+        n = len(codes)
+        keep = (ri >= aln.bases_to_ignore_start) & (
+            ri < n - aln.bases_to_ignore_end
+        )
+        rp, ri = rp[keep], ri[keep]
     return rp, codes[ri], quals[ri], indels
 
 

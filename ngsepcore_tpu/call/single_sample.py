@@ -207,10 +207,18 @@ class SingleSampleVariantsDetector:
     def _process_sequence(
         self, seq_idx: int, seq_name: str, alns: list[ReadAlignment]
     ) -> list[VCFRecord]:
-        pos, allele, qual, strand, indel_events = expand_batch_calls(alns)
+        # listener #1: conciliate indel placements across reads and derive
+        # the spanning-call sites (IndelRealignerPileupListener analog)
+        from .realigner import IndelRealigner
+
+        realigner = IndelRealigner(
+            self.genome, seq_idx, self.known_strs.get(seq_name)
+        )
+        sites = realigner.realign(alns)
+        pos, allele, qual, strand, _ = expand_batch_calls(alns)
         if len(pos) == 0:
             return []
-        indel_records = self._call_indels(seq_idx, seq_name, alns, indel_events)
+        indel_records = self._call_indels(seq_idx, seq_name, alns, sites)
         order = np.argsort(pos, kind="stable")
         pos, allele, qual, strand = (
             pos[order],
@@ -300,49 +308,15 @@ class SingleSampleVariantsDetector:
         seq_idx: int,
         seq_name: str,
         alns: list[ReadAlignment],
-        indel_events,
+        sites,
     ) -> list[VCFRecord]:
-        """Discover indel variants at observed in-read indel event sites."""
-        from .indels import SpanningCall, call_indel, cluster_allele_calls
-        from ..core.sequences import qualities_to_phred
+        """Genotype the realigner's conciliated indel sites as spanning
+        calls (SingleSampleVariantPileupListener indel path)."""
+        from .indels import call_indel, cluster_allele_calls, spanning_call_for
 
-        str_regions = self.known_strs.get(seq_name, [])
-        if not indel_events and not str_regions:
+        if not sites:
             return []
-        # known STR regions become explicit spanning sites genotyped with
-        # is_str=True, anchored one base on each side so left-aligned indels
-        # at the region boundary stay inside the spanning call
-        # (ref: IndelRealignerPileupListener input-STR handling)
-        str_sites = [(r.first - 1, r.last - r.first + 3, True) for r in str_regions]
-
-        def _in_str(pos: int) -> bool:
-            # events anchored up to 4bp before the region belong to the STR
-            # (indels inside a repeat left-align to its boundary)
-            import bisect
-
-            firsts = [r.first - 4 for r in str_regions]
-            i = bisect.bisect_right(firsts, pos) - 1
-            return i >= 0 and str_regions[i].first - 4 <= pos <= str_regions[i].last
-
-        # group events within 3bp into candidate sites (simplified stand-in
-        # for IndelRealignerPileupListener.conciliateIndels:165-274)
-        events = sorted(indel_events, key=lambda e: e.ref_pos)
-        sites: list[tuple[int, int, bool]] = []  # (first, span, is_str)
-        cur_pos = None
-        cur_maxdel = 0
-        for e in events:
-            if _in_str(e.ref_pos):
-                continue  # covered by the explicit STR site
-            if cur_pos is None or e.ref_pos - cur_pos > 3:
-                if cur_pos is not None:
-                    sites.append((cur_pos, cur_maxdel + 2, False))
-                cur_pos = e.ref_pos
-                cur_maxdel = e.length
-            else:
-                cur_maxdel = max(cur_maxdel, e.length)
-        if cur_pos is not None:
-            sites.append((cur_pos, cur_maxdel + 2, False))
-        sites = sorted(sites + str_sites)
+        sites = [(s.first, s.span, s.is_str) for s in sites]
         seq_len = self.genome.sequence_length(seq_idx)
         # interval lookup over alignments
         firsts = np.array([a.first for a in alns])
@@ -358,37 +332,11 @@ class SingleSampleVariantsDetector:
             reference = self.genome.reference_string(seq_idx, first, last)
             # candidate spanning reads
             hi = np.searchsorted(firsts_s, first, side="right")
-            calls: list[SpanningCall] = []
+            calls = []
             for oi in order[:hi]:
-                a = alns[oi]
-                if a.last < last:
-                    continue
-                rp_f = a.read_position_at(first)
-                rp_l = a.read_position_at(last)
-                if rp_f < 0 or rp_l < 0 or rp_l < rp_f:
-                    continue
-                # a spanning call bordering a soft clip is unreliable: the
-                # clipped tail may hide part of the event (ref: ignore-borders
-                # handling in ReadAlignment.getAlleleCall:1008-1016)
-                if a.soft_clip_start and rp_f <= a.soft_clip_start + 2:
-                    continue
-                if a.soft_clip_end and rp_l >= len(a.read_chars) - a.soft_clip_end - 3:
-                    continue
-                allele_str = a.read_chars[rp_f : rp_l + 1]
-                if not allele_str:
-                    continue
-                q = (
-                    qualities_to_phred(a.qualities[rp_f : rp_l + 1])
-                    if a.qualities
-                    else np.full(len(allele_str), 10, dtype=np.int8)
-                )
-                calls.append(
-                    SpanningCall(
-                        allele=allele_str.upper(),
-                        qualities=q,
-                        negative_strand=a.is_negative_strand,
-                    )
-                )
+                c = spanning_call_for(alns[oi], first, last)
+                if c is not None:
+                    calls.append(c)
             if len(calls) == 0:
                 continue
             alleles = cluster_allele_calls(calls, reference)

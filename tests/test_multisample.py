@@ -73,3 +73,47 @@ def test_multisample_joint_genotyping():
     assert concordant / checked > 0.95, f"{concordant}/{checked}"
     # every record carries one call per sample
     assert all(len(r.calls) == 3 for r in records)
+
+
+def test_multisample_indel_genotyping():
+    """A deletion present in sample B but not sample A is discovered from
+    the pooled spanning calls and genotyped per sample."""
+    from ngsepcore_tpu.align.read_alignment import ReadAlignment, cigar_from_string
+    from ngsepcore_tpu.core.sequences import encode_dna
+
+    rng = np.random.default_rng(5)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, size=400))
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=encode_dna(ref)))
+    genome = ReferenceGenome(seqs)
+
+    def mk(first, cigar, read, name):
+        return ReadAlignment(
+            sequence_name="chr1", first=first, cigar=cigar_from_string(cigar),
+            read_chars=read, qualities="I" * len(read), read_name=name,
+            alignment_quality=60,
+        )
+
+    # sample A: reads matching the reference across pos 100-199
+    alns_a = [
+        mk(60 + 7 * i, "100M", ref[59 + 7 * i : 159 + 7 * i], f"a{i}")
+        for i in range(12)
+    ]
+    # sample B: same span but with a 3bp deletion of ref[120:123] (1-based
+    # 121-123), event call first=120
+    alns_b = []
+    for i in range(12):
+        first = 60 + 7 * (i % 6)
+        pre = 120 - first + 1
+        read = ref[first - 1 : 120] + ref[123 : first + 102]
+        cig = f"{pre}M3D{len(read) - pre}M"
+        alns_b.append(mk(first, cig, read, f"b{i}"))
+    det = MultisampleVariantsDetector(genome, min_quality=20)
+    recs = det.find_variants([alns_a, alns_b], ["A", "B"])
+    indels = [r for r in recs if any(len(a) != len(r.variant.alleles[0]) for a in r.variant.alleles)]
+    assert len(indels) == 1
+    rec = indels[0]
+    assert rec.variant.first == 120
+    call_a, call_b = rec.calls
+    assert call_a.is_homozygous_reference
+    assert not call_b.is_homozygous_reference and not call_b.is_undecided
