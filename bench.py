@@ -61,10 +61,12 @@ def main() -> None:
     aligner = ReadsAligner(genome)
     detector = SingleSampleVariantsDetector(genome, sample_id="bench")
 
-    # warmup: compile all kernels on a small batch
+    # warmup: compile all kernels on a full-size batch; the chunked
+    # genotyping path keeps compile shapes coverage-independent, so one
+    # warm batch covers the whole run
     _ = aligner.align_batch(reads[:BATCH])
     warm_alns = [a for r in _ for a in r]
-    _ = detector.find_variants(warm_alns[:100])
+    _ = detector.find_variants(warm_alns)
 
     t0 = time.time()
     alns = []

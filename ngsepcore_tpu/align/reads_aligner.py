@@ -30,10 +30,7 @@ from ..core.sequences import (
     reverse_complement_codes,
 )
 from ..index.minimizer_table import MinimizerTable
-from ..kernels.minimizers import extract_minimizers
 from ..kernels.pairwise import affine_gap_align_batch, ops_to_cigar_and_strings
-from ..kernels.tier1 import tier1_stats
-from .hits_clustering import HitsCluster, cluster_hits
 from .read_alignment import FLAG_READ_REVERSE, ReadAlignment
 
 DEF_KMER_LENGTH = 25  # ref: ReadsAligner.java:62
@@ -111,12 +108,14 @@ def select_final_alignments(
 class _Candidate:
     read_idx: int
     reverse: bool
-    cluster: HitsCluster
     seq_idx: int
     # 0-based concat coords of predicted ungapped placement
     pred_start: int
+    weight: float = 0.0
     aln: ReadAlignment | None = None
     quality: int = 0
+    # full cluster object (host-path users: the long-read anchor chainer)
+    cluster: object = None
 
 
 class ReadsAligner:
@@ -145,145 +144,116 @@ class ReadsAligner:
 
     # ------------------------------------------------------------------
     def align_batch(self, reads: list[RawRead]) -> list[list[ReadAlignment]]:
+        """One fused device pass (seed -> cluster -> tier-1 screen) for the
+        whole fwd+rev batch, then host-side candidate selection, batched DP
+        fallback, and SAM emit."""
+        import jax
+
+        from ..kernels.seeding import seed_cluster_screen
+
         B = len(reads)
         self.total_reads += B
         fwd_codes = [r.codes for r in reads]
         rev_codes = [reverse_complement_codes(c) for c in fwd_codes]
         all_codes = fwd_codes + rev_codes
-        n_rows = len(all_codes)
-        bucket = _row_bucket(n_rows)
-        padded = all_codes + [np.empty(0, np.int8)] * (bucket - n_rows)
+        # the kernel expects fwd rows in [0, half) and rev rows in
+        # [half, 2*half): pad each strand block to the half-bucket
+        half = _row_bucket(B, minimum=128)
+        pad_blk = [np.empty(0, np.int8)] * (half - B)
+        padded = fwd_codes + pad_blk + rev_codes + pad_blk
         codes, lengths, _ = pack_reads(padded, pad_multiple=self.read_pad)
-        kcodes, sel, valid = extract_minimizers(
-            codes, lengths, self.kmer_length, self.window_length
+        hk, ec, ro, ep = self.table.device_arrays()
+        res = jax.device_get(
+            seed_cluster_screen(
+                codes,
+                lengths.astype(np.int32),
+                hk,
+                ec,
+                ro,
+                ep,
+                self.genome.device_concat(),
+                k=self.kmer_length,
+                window=self.window_length,
+            )
         )
-        kcodes = np.asarray(kcodes)
-        sel = np.asarray(sel)
+        pred = res["pred_start"]  # (B, C) — strands already merged on device
+        weight = res["weight"]
+        strand = res["strand"]
+        mm = res["mismatches"]
+        cs = res["clip_start"]
+        ce = res["clip_end"]
+        C = pred.shape[1]
+        offs = self.genome.offsets
+        # candidate bounds + sequence split, vectorized
+        valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
+        seq_idx_m = np.clip(
+            np.searchsorted(offs, np.clip(pred, 0, None), side="right") - 1,
+            0,
+            self.genome.num_sequences - 1,
+        )
 
-        # stage 2: seed lookup + clustering (host)
-        candidates: list[_Candidate] = []
-        for row in range(2 * B):
-            ridx = row % B
-            rev = row >= B
-            qlen = lengths[row]
-            qpos = np.nonzero(sel[row])[0]
-            if len(qpos) == 0:
-                continue
-            spos, qp = self.table.collect_hits(kcodes[row][qpos], qpos.astype(np.int64))
-            clusters = cluster_hits(spos, qp, int(qlen))
-            for cl in clusters:
-                seq_idx, _ = self.genome.split_concat_pos(
-                    min(max(cl.subject_concat_start, 0), self.genome.total_length - 1)
-                )
-                candidates.append(
-                    _Candidate(
-                        read_idx=ridx,
-                        reverse=rev,
-                        cluster=cl,
-                        seq_idx=seq_idx,
-                        pred_start=cl.subject_concat_start,
-                    )
-                )
-
-        # per-read candidate filtering by weighted count
-        # (ref: SingleReadsAligner.buildAlignments:84-99)
-        per_read: dict[int, list[_Candidate]] = {}
-        for c in candidates:
-            per_read.setdefault(c.read_idx, []).append(c)
         selected: list[_Candidate] = []
-        for ridx, cands in per_read.items():
-            cands.sort(key=lambda c: -c.cluster.weighted_count)
-            max_count = cands[0].cluster.weighted_count
+        for ridx in range(B):
+            qlen = len(fwd_codes[ridx])
+            cands = [
+                (float(weight[ridx, c]), c) for c in range(C) if valid_c[ridx, c]
+            ]
+            if not cands:
+                continue
+            max_count = cands[0][0]
             limit_count = min(MIN_WEIGHTED_COUNT, MIN_PROPORTION_BEST * max_count)
-            limit_clusters = min(len(cands), max(5, 3 * self.max_alns_per_read))
-            for i, c in enumerate(cands[:limit_clusters]):
-                if i > 0 and c.cluster.weighted_count < limit_count:
+            limit_clusters = max(5, 3 * self.max_alns_per_read)
+            for i, (w, c) in enumerate(cands[:limit_clusters]):
+                if i > 0 and w < limit_count:
                     break
-                selected.append(c)
+                p = int(pred[ridx, c])
+                si = int(seq_idx_m[ridx, c])
+                cand = _Candidate(
+                    read_idx=ridx,
+                    reverse=bool(strand[ridx, c]),
+                    seq_idx=si,
+                    pred_start=p,
+                    weight=w,
+                )
+                s0, s1 = int(offs[si]), int(offs[si + 1])
+                in_bounds = p >= s0 and p + qlen <= s1
+                t, tcs, tce = int(mm[ridx, c]), int(cs[ridx, c]), int(ce[ridx, c])
+                if (
+                    in_bounds
+                    and w > 2
+                    and t < 0.05 * qlen
+                    and tcs + tce < 0.1 * qlen
+                ):
+                    # tier-1 accept straight from the fused screen
+                    first_concat = p + tcs
+                    sidx2, first = self.genome.split_concat_pos(first_concat)
+                    cigar = []
+                    if tcs > 0:
+                        cigar.append((tcs, "S"))
+                    cigar.append((qlen - tcs - tce, "M"))
+                    if tce > 0:
+                        cigar.append((tce, "S"))
+                    cand.aln = ReadAlignment(
+                        sequence_name=self.genome.sequence_name(sidx2),
+                        first=first,
+                        cigar=cigar,
+                        num_mismatches=t,
+                    )
+                    cand.quality = int(round(100 - 5 * t))
+                    self.few_mismatches_alns += 1
+                elif in_bounds:
+                    cand.aln = None  # DP fallback below
+                else:
+                    continue
+                selected.append(cand)
 
-        # stage 3: tier-1 ungapped screen on device
-        dp_cands = self._tier1(selected, all_codes, lengths)
-        # stage 4: affine-gap DP for the rest
-        self._tier3(dp_cands, all_codes)
+        # stage 4: affine-gap DP for candidates the screen didn't accept
+        self._tier3([c for c in selected if c.aln is None], all_codes)
 
         # stage 5: per-read combine + filter (ref: filterAlignments:118-143)
         out, n_aligned = select_final_alignments(reads, selected, self.max_alns_per_read)
         self.aligned_reads += n_aligned
         return out
-
-    # ------------------------------------------------------------------
-    def _tier1(
-        self,
-        selected: list[_Candidate],
-        all_codes: list[np.ndarray],
-        lengths: np.ndarray,
-    ) -> list[_Candidate]:
-        """Run the ungapped screen; returns candidates needing DP."""
-        offs = self.genome.offsets
-        concat = self.genome.concat
-        applicable: list[_Candidate] = []
-        dp_needed: list[_Candidate] = []
-        rows_q: list[np.ndarray] = []
-        rows_s: list[np.ndarray] = []
-        for c in selected:
-            row_codes = all_codes[c.read_idx] if not c.reverse else None
-            qcodes = (
-                all_codes[c.read_idx]
-                if not c.reverse
-                else reverse_complement_codes(all_codes[c.read_idx])
-            )
-            qlen = len(qcodes)
-            s0, s1 = int(offs[c.seq_idx]), int(offs[c.seq_idx + 1])
-            p = c.pred_start
-            in_bounds = p >= s0 and p + qlen <= s1
-            if (
-                in_bounds
-                and c.cluster.weighted_count > 2
-                and c.cluster.all_consistent
-            ):
-                applicable.append(c)
-                rows_q.append(qcodes)
-                rows_s.append(concat[p : p + qlen])
-            elif in_bounds:
-                # ungapped placement exists but tier-1 rules don't apply
-                dp_needed.append(c)
-            else:
-                dp_needed.append(c)
-        if applicable:
-            L = max(len(q) for q in rows_q)
-            bucket = _row_bucket(len(rows_q))
-            pad_rows = [np.empty(0, np.int8)] * (bucket - len(rows_q))
-            qc, ql, _ = pack_reads(rows_q + pad_rows, pad_to=L, pad_multiple=self.read_pad)
-            sc, _, _ = pack_reads(rows_s + pad_rows, pad_to=L, pad_multiple=self.read_pad)
-            total, clip_s, clip_e = tier1_stats(qc, ql, sc)
-            total = np.asarray(total)
-            clip_s = np.asarray(clip_s)
-            clip_e = np.asarray(clip_e)
-            for i, c in enumerate(applicable):
-                qlen = int(ql[i])
-                t, cs, ce = int(total[i]), int(clip_s[i]), int(clip_e[i])
-                if t < 0.05 * qlen and cs + ce < 0.1 * qlen:
-                    first_concat = c.pred_start + cs
-                    seq_idx, first = self.genome.split_concat_pos(first_concat)
-                    cigar = []
-                    if cs > 0:
-                        cigar.append((cs, "S"))
-                    cigar.append((qlen - cs - ce, "M"))
-                    if ce > 0:
-                        cigar.append((ce, "S"))
-                    mism = t
-                    aln = ReadAlignment(
-                        sequence_name=self.genome.sequence_name(seq_idx),
-                        first=first,
-                        cigar=cigar,
-                        num_mismatches=mism,
-                    )
-                    c.aln = aln
-                    c.quality = int(round(100 - 5 * mism))
-                    self.few_mismatches_alns += 1
-                else:
-                    dp_needed.append(c)
-        return dp_needed
 
     # ------------------------------------------------------------------
     def _tier3(self, dp_cands: list[_Candidate], all_codes: list[np.ndarray]) -> None:

@@ -23,7 +23,7 @@ from ..io.sam import ReadAlignmentFileReader
 from ..kernels.genotyping import (
     HET_RATE_DIPLOID,
     snv_contribution_table,
-    window_genotype_snv,
+
 )
 from ..variants.model import (
     CalledGenomicVariant,
@@ -127,28 +127,42 @@ class MultisampleVariantsDetector:
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
             results = []
             any_calls = False
+            from ..kernels.genotyping import (
+                accumulate_allele_counts,
+                genotype_window_from_counts,
+                init_count_tensors,
+            )
+
+            CALL_CHUNK = 1 << 18
             for s in range(n_samples):
                 pos, allele, qual, strand = sorted_calls[s]
                 lo = np.searchsorted(pos, w0, side="left")
                 hi = np.searchsorted(pos, w1, side="right")
-                n = hi - lo
-                if n == 0:
+                if hi <= lo:
                     results.append(None)
                     continue
                 any_calls = True
-                cap = max(1024, 1 << int(np.ceil(np.log2(n))))
-                rel = np.full(cap, -1, np.int32)
-                rel[:n] = (pos[lo:hi] - w0).astype(np.int32)
-                al = np.full(cap, -1, np.int8)
-                al[:n] = allele[lo:hi]
-                qu = np.zeros(cap, np.int8)
-                qu[:n] = qual[lo:hi]
-                st = np.zeros(cap, np.int8)
-                st[:n] = strand[lo:hi]
+                counts, strand_counts, low_qual, total = init_count_tensors(window)
+                for c0 in range(lo, hi, CALL_CHUNK):
+                    c1 = min(hi, c0 + CALL_CHUNK)
+                    n = c1 - c0
+                    rel = np.full(CALL_CHUNK, -1, np.int32)
+                    rel[:n] = (pos[c0:c1] - w0).astype(np.int32)
+                    al = np.full(CALL_CHUNK, -1, np.int8)
+                    al[:n] = allele[c0:c1]
+                    qu = np.zeros(CALL_CHUNK, np.int8)
+                    qu[:n] = qual[c0:c1]
+                    st = np.zeros(CALL_CHUNK, np.int8)
+                    st[:n] = strand[c0:c1]
+                    counts, strand_counts, low_qual, total = (
+                        accumulate_allele_counts(
+                            counts, strand_counts, low_qual, total, rel, al, qu, st
+                        )
+                    )
                 results.append(
-                    window_genotype_snv(
-                        rel, al, qu, st, ref_win, contribution, het, minq,
-                        out_size=window,
+                    genotype_window_from_counts(
+                        counts, strand_counts, total, ref_win, contribution, het,
+                        minq,
                     )
                 )
             if not any_calls:

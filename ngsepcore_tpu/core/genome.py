@@ -71,6 +71,15 @@ class ReferenceGenome:
     def reference_string(self, seq, first: int, last: int) -> str:
         return decode_dna(self.codes(seq, first, last))
 
+
+    def device_concat(self):
+        """Device-resident concatenated genome codes (int8), uploaded once."""
+        if getattr(self, "_device_concat", None) is None:
+            import jax.numpy as jnp
+
+            self._device_concat = jnp.asarray(self.concat, jnp.int8)
+        return self._device_concat
+
     def concat_pos(self, seq_idx: int, pos: int) -> int:
         """Map (sequence idx, 1-based pos) to 0-based concatenated coordinate."""
         return int(self.offsets[seq_idx]) + pos - 1

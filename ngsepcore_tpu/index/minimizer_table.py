@@ -142,6 +142,63 @@ class MinimizerTable:
     def size(self) -> int:
         return len(self.entry_pos)
 
+    # multiplicative hash: top 32 bits of code * golden-ratio constant.
+    # Lets the device lookup searchsorted over native int32 keys (TPU int64
+    # compares are emulated); the exact int64 code is verified once per
+    # query.  Hash-colliding codes (~U^2/2^32, a handful per genome) are
+    # dropped at build time — equivalent to a slightly stricter
+    # max_hits_per_code cull.
+    HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def device_arrays(self):
+        """Device-resident (hash32 uint32 sorted, exact_codes int64,
+        row_offsets int32, entry_pos int32) for the fused seeding kernel —
+        uploaded once and cached.  int32 positions require a <2^31-bp
+        concatenated genome (the reference's int coordinates have the same
+        bound)."""
+        if getattr(self, "_device_arrays", None) is None:
+            import jax.numpy as jnp
+
+            assert len(self.entry_pos) == 0 or int(self.entry_pos.max()) < (
+                1 << 31
+            ), "genome too large for int32 seed positions"
+            with np.errstate(over="ignore"):
+                h = (
+                    (self.unique_codes.astype(np.uint64) * self.HASH_MULT)
+                    >> np.uint64(32)
+                ).astype(np.uint32)
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            dup = np.zeros(len(hs), bool)
+            if len(hs) > 1:
+                eq = hs[1:] == hs[:-1]
+                dup[1:] |= eq
+                dup[:-1] |= eq
+            keep = ~dup
+            counts = np.diff(self.row_offsets)
+            starts = self.row_offsets[:-1][order][keep]
+            cnts = counts[order][keep]
+            total = int(cnts.sum())
+            if total:
+                out_off = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                idx = (
+                    np.repeat(starts, cnts)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(out_off, cnts)
+                )
+                entries = self.entry_pos[idx]
+            else:
+                entries = np.empty(0, np.int64)
+            offs = np.zeros(keep.sum() + 1, np.int64)
+            np.cumsum(cnts, out=offs[1:])
+            self._device_arrays = (
+                jnp.asarray(hs[keep], jnp.uint32),
+                jnp.asarray(self.unique_codes[order][keep], jnp.int64),
+                jnp.asarray(offs, jnp.int32),
+                jnp.asarray(entries, jnp.int32),
+            )
+        return self._device_arrays
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,

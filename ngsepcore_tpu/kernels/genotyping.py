@@ -142,6 +142,123 @@ def genotype_posteriors(
     return p / total, logcond
 
 
+@partial(jax.jit, donate_argnames=("counts", "strand_counts", "low_qual", "total"))
+def accumulate_allele_counts(
+    counts: jnp.ndarray,  # (W, n, Q) int32
+    strand_counts: jnp.ndarray,  # (W, n, 2) int32
+    low_qual: jnp.ndarray,  # (W,) int32
+    total: jnp.ndarray,  # (W,) int32
+    positions: jnp.ndarray,  # (N,) int32 window-relative (<0 = skip)
+    alleles: jnp.ndarray,  # (N,) int8
+    quals: jnp.ndarray,  # (N,) int8
+    strands: jnp.ndarray,  # (N,) int8
+):
+    """Scatter one fixed-size chunk of allele calls into existing count
+    tensors (device-resident accumulation).  Chunked accumulation keeps
+    compile shapes independent of coverage: any number of calls streams
+    through the same executable."""
+    out_size = counts.shape[0]
+    valid = (alleles >= 0) & (positions >= 0) & (positions < out_size)
+    q = jnp.clip(quals, 0, MAX_BASE_QS).astype(jnp.int32)
+    low = valid & (quals <= MIN_BASE_QS)
+    ok = valid & (quals > MIN_BASE_QS)
+    pos = jnp.where(valid, positions, 0).astype(jnp.int32)
+    al = jnp.where(valid, alleles, 0).astype(jnp.int32)
+    counts = counts.at[pos, al, q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[pos, al, strands.astype(jnp.int32)].add(
+        ok.astype(jnp.int32)
+    )
+    low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
+    total = total.at[pos].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
+def init_count_tensors(out_size: int, n_alleles: int = 4):
+    import jax.numpy as jnp
+
+    return (
+        jnp.zeros((out_size, n_alleles, N_QBINS), jnp.int32),
+        jnp.zeros((out_size, n_alleles, 2), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_alleles", "max_sites"))
+def genotype_window_from_counts(
+    counts: jnp.ndarray,  # (W, n, Q) int32
+    strand_counts: jnp.ndarray,
+    total: jnp.ndarray,
+    ref_codes: jnp.ndarray,  # (W,) int8
+    contribution: jnp.ndarray,
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    n_alleles: int = 4,
+    max_sites: int = 16384,
+):
+    """Genotype every position of an accumulated count window; compact
+    flagged sites on device (same math/decision as window_genotype_snv)."""
+    P = counts.shape[0]
+    n = n_alleles
+    logcond = jnp.einsum("paq,aqij->pij", counts.astype(jnp.float64), contribution)
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    eye = jnp.eye(n, dtype=bool)
+    prior = jnp.where(eye, log_prior_homo, log_prior_hetero)
+    ev = logcond + prior[None, :, :]
+    logmax = jnp.max(ev.reshape(P, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    post = p / jnp.sum(p.reshape(P, -1), axis=1)[:, None, None]
+    ref = jnp.clip(ref_codes, 0, n - 1).astype(jnp.int32)
+    rows = jnp.arange(P)
+    best = post[rows, ref, ref]
+    bi = ref
+    bj = ref
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = jnp.where(upd, prob, best)
+            bi = jnp.where(upd, i, bi)
+            bj = jnp.where(upd, j, bj)
+    ref_prob = post[rows, ref, ref]
+    one_minus = 1.0 - best
+    gq = jnp.where(
+        one_minus <= 0,
+        255,
+        jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(one_minus, 1e-30))), 255),
+    ).astype(jnp.int32)
+    depths = counts.sum(axis=2)
+    interesting = (
+        ((bi != ref) | (bj != ref))
+        & (ref_codes < 4)
+        & (gq >= min_quality)
+        & (gq > 0)
+        & (total > 0)
+    )
+    idx = jnp.nonzero(interesting, size=max_sites, fill_value=P - 1)[0]
+    k_valid = jnp.sum(interesting.astype(jnp.int32))
+    return {
+        "site_idx": idx.astype(jnp.int32),
+        "n_sites": jnp.minimum(k_valid, max_sites),
+        "bi": bi[idx].astype(jnp.int8),
+        "bj": bj[idx].astype(jnp.int8),
+        "gq": gq[idx],
+        "ref_prob": ref_prob[idx],
+        "depths": depths[idx],
+        "total": total[idx],
+        "logcond": logcond[idx],
+        "strand_counts": strand_counts[idx],
+        "bi_full": bi.astype(jnp.int8),
+        "bj_full": bj.astype(jnp.int8),
+        "gq_full": gq,
+        "ref_prob_full": ref_prob,
+        "total_full": total,
+        "depths_full": depths,
+    }
+
+
 @partial(jax.jit, static_argnames=("out_size", "n_alleles", "max_sites"))
 def window_genotype_snv(
     positions: jnp.ndarray,

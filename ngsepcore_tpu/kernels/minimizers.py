@@ -28,8 +28,10 @@ DEFAULT_HASH_MOD = 1073676287  # ref: ShortKmerCodesTable hash modulus
 
 @jax.jit
 def default_kmer_hash(codes: jnp.ndarray) -> jnp.ndarray:
-    """(code+1) % 1073676287, the reference's analyzer-free hash."""
-    return ((codes.astype(jnp.int64) + 1) % DEFAULT_HASH_MOD).astype(jnp.int64)
+    """(code+1) % 1073676287, the reference's analyzer-free hash.
+
+    Result < 2^30, so int32 — native on TPU where int64 is emulated."""
+    return ((codes.astype(jnp.int64) + 1) % DEFAULT_HASH_MOD).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -43,7 +45,7 @@ def select_minimizers(hashes: jnp.ndarray, valid: jnp.ndarray, window: int):
     fully in-range, handled by the caller via `valid`).
     Returns bool (B, n_kmers).
     """
-    big = jnp.int64(1 << 62)
+    big = jnp.array(jnp.iinfo(hashes.dtype).max // 2, hashes.dtype)
     h = jnp.where(valid, hashes, big)
     nk = h.shape[-1]
     w = min(window, nk)

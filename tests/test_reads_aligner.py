@@ -94,3 +94,25 @@ def test_unmappable_read(toy_genome, aligner):
     reads = [RawRead("junk", "N" * 100, "I" * 100)]
     results = aligner.align_batch(reads)
     assert results[0] == []
+
+
+def test_tier1_vec_matches_scan():
+    """Closed-form tier-1 stats must equal the sequential-scan reference."""
+    import numpy as np
+    from ngsepcore_tpu.kernels.tier1 import tier1_stats, tier1_stats_vec
+
+    rng = np.random.default_rng(3)
+    B, L = 64, 96
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    s = q.copy()
+    # sprinkle mismatches incl. clustered ends
+    mask = rng.random((B, L)) < 0.08
+    s[mask] = (s[mask] + 1 + rng.integers(0, 3, size=mask.sum())) % 4
+    s[:8, :6] = (q[:8, :6] + 2) % 4  # bad starts
+    s[8:16, -7:] = (q[8:16, -7:] + 2) % 4  # bad ends
+    qlen = rng.integers(40, L + 1, size=B).astype(np.int32)
+    t0, c0, e0 = (np.asarray(x) for x in tier1_stats(q, qlen, s))
+    t1, c1, e1 = (np.asarray(x) for x in tier1_stats_vec(q, qlen, s))
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(e0, e1)
