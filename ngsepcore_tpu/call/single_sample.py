@@ -28,7 +28,7 @@ from ..kernels.genotyping import (
     HET_RATE_DIPLOID,
     MAX_BASE_QS,
     snv_contribution_table,
-    window_genotype_snv,
+
 )
 from ..math.fisher import fisher_exact_2x2
 from ..math.phred import phred_score
@@ -73,7 +73,9 @@ class SingleSampleVariantsDetector:
         run_long_read_svs: bool = False,
         min_sv_quality: int = 0,
         known_strs_file: str | None = None,
+        alg_cnv: str = "CNVnator",  # ref: DEF_ALGORITHM_CNV (:75), comma list
     ):
+        self.alg_cnv = alg_cnv
         self.genome = genome
         self.sample_id = sample_id
         self.heterozygosity_rate = heterozygosity_rate
@@ -176,14 +178,25 @@ class SingleSampleVariantsDetector:
 
     # ------------------------------------------------------------------
     def find_cnv_calls(self, alns: list[ReadAlignment]):
-        """Read-depth CNV analysis (ref: runRDAnalysis :615-623)."""
-        from .read_depth import PoissonHMMReadDepthAlgorithm, ReadDepthDistribution
+        """Read-depth CNV analysis (ref: runRDAnalysis :615-623; algorithm
+        list parsed from algCNV like :739)."""
+        from .read_depth import CNV_ALGORITHMS, ReadDepthDistribution
 
         dist = ReadDepthDistribution(self.genome)
         dist.process_alignments(alns)
         dist.correct_depth_by_gc_content()
         dist.fit()
-        return PoissonHMMReadDepthAlgorithm(normal_ploidy=self.ploidy).call_cnvs(dist)
+        by_lower = {k.lower(): v for k, v in CNV_ALGORITHMS.items()}
+        calls = []
+        for alg in self.alg_cnv.split(","):
+            cls = by_lower.get(alg.strip().lower())
+            if cls is None:
+                raise ValueError(
+                    f"Unknown CNV algorithm {alg!r}; options: "
+                    + ", ".join(CNV_ALGORITHMS)
+                )
+            calls.extend(cls(normal_ploidy=self.ploidy).call_cnvs(dist))
+        return calls
 
     # ------------------------------------------------------------------
     def find_variants(self, alignments: list[ReadAlignment]) -> list[VCFRecord]:
@@ -234,7 +247,16 @@ class SingleSampleVariantsDetector:
         out: list[VCFRecord] = []
         # dispatch all windows asynchronously (jax dispatch is non-blocking),
         # then fetch compacted per-window results — this pipelines device
-        # roundtrips instead of paying one sync per window
+        # roundtrips instead of paying one sync per window.  Calls stream
+        # through fixed-size chunks into device-resident count tensors, so
+        # compile shapes are independent of coverage.
+        from ..kernels.genotyping import (
+            accumulate_allele_counts,
+            genotype_window_from_counts,
+            init_count_tensors,
+        )
+
+        CALL_CHUNK = 1 << 18
         pending: list[tuple[int, np.ndarray, dict]] = []
         window = _window_for(seq_len)
         for w0 in range(1, seq_len + 1, window):
@@ -243,23 +265,25 @@ class SingleSampleVariantsDetector:
             hi = np.searchsorted(pos, w1, side="right")
             if hi <= lo:
                 continue
-            # pad call arrays to pow2 buckets so the fused kernel compiles
-            # once per bucket, not once per window
-            n = hi - lo
-            cap = max(1024, 1 << int(np.ceil(np.log2(n))))
-            rel = np.full(cap, -1, np.int32)
-            rel[:n] = (pos[lo:hi] - w0).astype(np.int32)
-            al = np.zeros(cap, np.int8)
-            al[:n] = allele[lo:hi]
-            al[n:] = -1
-            qu = np.zeros(cap, np.int8)
-            qu[:n] = qual[lo:hi]
-            st = np.zeros(cap, np.int8)
-            st[:n] = strand[lo:hi]
+            counts, strand_counts, low_qual, total = init_count_tensors(window)
+            for c0 in range(lo, hi, CALL_CHUNK):
+                c1 = min(hi, c0 + CALL_CHUNK)
+                n = c1 - c0
+                rel = np.full(CALL_CHUNK, -1, np.int32)
+                rel[:n] = (pos[c0:c1] - w0).astype(np.int32)
+                al = np.full(CALL_CHUNK, -1, np.int8)
+                al[:n] = allele[c0:c1]
+                qu = np.zeros(CALL_CHUNK, np.int8)
+                qu[:n] = qual[c0:c1]
+                st = np.zeros(CALL_CHUNK, np.int8)
+                st[:n] = strand[c0:c1]
+                counts, strand_counts, low_qual, total = accumulate_allele_counts(
+                    counts, strand_counts, low_qual, total, rel, al, qu, st
+                )
             ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
-            res = window_genotype_snv(
-                rel, al, qu, st, ref_win, contribution, het, minq, out_size=window
+            res = genotype_window_from_counts(
+                counts, strand_counts, total, ref_win, contribution, het, minq
             )
             pending.append((w0, ref_win, res))
         compact_keys = (

@@ -478,6 +478,8 @@ register(
             Option("minMQ", "min_mq", "int", 20, "Min mapping quality"),
             Option("ploidy", "ploidy", "int", 2, "Sample ploidy"),
             Option("cnvs", "find_cnvs", "bool", False, "Run read-depth CNV detection"),
+            Option("algCNV", "alg_cnv", "str", "CNVnator",
+                   "Comma-separated CNV algorithms: CNVnator,EWT,PoissonHMM,MAXIMUMLIKELIHOOD"),
             Option("svs", "find_svs", "bool", False, "Run read-pair SV detection"),
             Option("runLongReadSVs", "run_long_read_svs", "bool", False,
                    "Detect structural variants from long-read alignments"),

@@ -71,3 +71,62 @@ def test_cnvseq_case_control():
     best = max(cnvs, key=lambda c: c.length())
     assert best.copy_number > 2
     assert abs(best.first - 60000) < 3000
+
+
+def _dist_with_event(depth_mean=30.0, del_span=(200, 260), dup_span=(500, 580)):
+    """Synthetic distribution: flat depth with one deletion + one duplication."""
+    import numpy as np
+    from ngsepcore_tpu.call.read_depth import ReadDepthDistribution
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import QualifiedSequence, QualifiedSequenceList
+
+    rng = np.random.default_rng(11)
+    L = 100_000
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=rng.integers(0, 4, size=L).astype(np.int8)))
+    genome = ReferenceGenome(seqs)
+    dist = ReadDepthDistribution(genome)
+    nbins = len(dist.bins_per_seq[0])
+    depth = rng.poisson(depth_mean, size=nbins).astype(float)
+    depth[del_span[0]:del_span[1]] = rng.poisson(depth_mean / 2, size=del_span[1]-del_span[0])
+    depth[dup_span[0]:dup_span[1]] = rng.poisson(2 * depth_mean, size=dup_span[1]-dup_span[0])
+    dist.bins_per_seq[0] = depth
+    dist.fit()
+    return dist
+
+
+def _check_calls(calls, del_span, dup_span, bin_size=100):
+    dels = [c for c in calls if c.copy_number < 2]
+    dups = [c for c in calls if c.copy_number > 2]
+    assert any(abs(c.first - (del_span[0]*bin_size+1)) <= 5*bin_size for c in dels), dels
+    assert any(abs(c.first - (dup_span[0]*bin_size+1)) <= 5*bin_size for c in dups), dups
+
+
+def test_ewt_algorithm():
+    from ngsepcore_tpu.call.read_depth import EWTReadDepthAlgorithm
+
+    dist = _dist_with_event()
+    calls = EWTReadDepthAlgorithm().call_cnvs(dist)
+    _check_calls(calls, (200, 260), (500, 580))
+
+
+def test_cnvnator_algorithm():
+    from ngsepcore_tpu.call.read_depth import CNVnatorReadDepthAlgorithm
+
+    dist = _dist_with_event()
+    calls = CNVnatorReadDepthAlgorithm().call_cnvs(dist)
+    _check_calls(calls, (200, 260), (500, 580))
+
+
+def test_maximum_likelihood_algorithm():
+    from ngsepcore_tpu.call.read_depth import MaximumLikelihoodReadDepthAlgorithm
+
+    dist = _dist_with_event()
+    calls = MaximumLikelihoodReadDepthAlgorithm().call_cnvs(dist)
+    _check_calls(calls, (200, 260), (500, 580))
+
+
+def test_cnv_algorithm_registry_selection():
+    from ngsepcore_tpu.call.read_depth import CNV_ALGORITHMS
+
+    assert set(CNV_ALGORITHMS) == {"CNVnator", "EWT", "PoissonHMM", "MAXIMUMLIKELIHOOD"}
