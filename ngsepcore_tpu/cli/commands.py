@@ -629,7 +629,7 @@ register(
             Option("i", "input_file", "str", None, "Single-sample VCF"),
             Option("b", "alignments_file", "str", None, "Alignments SAM"),
             Option("o", "output_file", "str", None, "Output phased VCF"),
-            Option("a", "algorithm", "str", "Refhap", "Phasing algorithm"),
+            Option("a", "algorithm", "str", "Refhap", "Phasing algorithm: Refhap,Refhap2,Refhap3,DGS,Groups,HapChat,GenHap"),
         ],
     )
 )

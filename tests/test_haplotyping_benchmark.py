@@ -118,3 +118,28 @@ def test_sih_end_to_end_blocks():
     assert h == hap or h == [1 - x for x in hap]
     assert b.mec == 0
     assert all(r.calls[0].phased for r in records)
+
+
+def test_all_sih_algorithms_phase_correctly():
+    """Every registered algorithm recovers the planted phase on clean data."""
+    import numpy as np
+    from ngsepcore_tpu.haplotyping.sih import SIH_ALGORITHMS
+
+    rng = np.random.default_rng(9)
+    V, F = 20, 60
+    truth = rng.integers(0, 2, size=V).astype(np.int8)
+    frags = np.full((F, V), -1, np.int8)
+    for i in range(F):
+        a = rng.integers(0, V - 4)
+        b = a + rng.integers(3, 8)
+        side = rng.integers(0, 2)
+        row = truth[a:min(b, V)] if side == 0 else 1 - truth[a:min(b, V)]
+        frags[i, a:min(b, V)] = row
+    # sprinkle 2% errors
+    noise = rng.random((F, V)) < 0.02
+    frags = np.where((frags >= 0) & noise, 1 - frags, frags)
+    for name, cls in SIH_ALGORITHMS.items():
+        hap, mec = cls().phase(frags)
+        match = max((hap == truth).mean(), (hap == 1 - truth).mean())
+        assert match >= 0.9, f"{name}: phase accuracy {match}"
+        assert mec < 0.1 * (frags >= 0).sum(), f"{name}: mec {mec}"
