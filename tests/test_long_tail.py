@@ -135,3 +135,35 @@ def test_tilling_roundtrip():
     recovered = len(got & truth)
     assert recovered / max(1, len(truth)) > 0.9
     assert not (got - truth), "false assignments"
+
+
+def test_dbscan_standalone():
+    from ngsepcore_tpu.clustering.dbscan import DBSCANClusteringAlgorithm
+
+    # two dense components + one isolated noise point
+    adjacency = [
+        [1, 2], [0, 2], [0, 1],      # cluster A (0,1,2)
+        [4, 5], [3, 5], [3, 4],      # cluster B (3,4,5)
+        [],                           # noise (6)
+    ]
+    alg = DBSCANClusteringAlgorithm()
+    clusters = alg.run_dbscan_clustering(list(range(7)), adjacency, min_pts=2)
+    assert sorted(map(sorted, clusters)) == [[0, 1, 2], [3, 4, 5]]
+    assert alg.noise_points == [6]
+
+
+def test_best_star_msa():
+    from ngsepcore_tpu.clustering.msa import BestStarMultipleSequenceAlignmentAlgorithm
+
+    seqs = [
+        "ACGTACGTAC",
+        "ACGTACGAC",    # one deletion
+        "ACGTTACGTAC",  # one insertion
+        "ACGTACGTAC",
+    ]
+    msa = BestStarMultipleSequenceAlignmentAlgorithm()
+    aligned = msa.calculate_multiple_sequence_alignment(seqs)
+    assert len(aligned) == 4
+    width = len(aligned[0])
+    assert all(len(a) == width for a in aligned)
+    assert all(a.replace("-", "") == s for a, s in zip(aligned, seqs))
