@@ -669,7 +669,7 @@ register(
 def _run_vcf_annotate(opts: dict, args: list[str]) -> None:
     from ..core.genome import ReferenceGenome
     from ..transcriptome.annotator import VariantFunctionalAnnotator
-    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.io_formats import load_transcriptome
     from ..vcf.io import VCFFileReader, VCFFileWriter
 
     genome_path = opts.pop("genome", None)
@@ -681,7 +681,7 @@ def _run_vcf_annotate(opts: dict, args: list[str]) -> None:
             "Usage: VCFAnnotate -r <genome.fa> -t <genes.gff3> -i <in.vcf> -o <out.vcf>"
         )
     genome = ReferenceGenome.load(genome_path)
-    transcriptome = load_transcriptome_gff3(gff)
+    transcriptome = load_transcriptome(gff)
     reader = VCFFileReader(inp)
     records = reader.load_all()
     VariantFunctionalAnnotator(genome, transcriptome).annotate_records(records)
@@ -711,7 +711,7 @@ register(
 def _run_genomes_aligner(opts: dict, args: list[str]) -> None:
     from ..core.genome import ReferenceGenome
     from ..genome.genomes_aligner import GenomesAligner
-    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.io_formats import load_transcriptome
 
     out = opts.pop("output_prefix", None) or "genomes_aln"
     if len(args) < 4 or len(args) % 2 != 0:
@@ -721,7 +721,7 @@ def _run_genomes_aligner(opts: dict, args: list[str]) -> None:
     ga = GenomesAligner(**opts)
     for i in range(0, len(args), 2):
         genome = ReferenceGenome.load(args[i])
-        transcriptome = load_transcriptome_gff3(args[i + 1])
+        transcriptome = load_transcriptome(args[i + 1])
         ga.add_genome(genome, transcriptome)
     groups, blocks = ga.run()
     ga.write_outputs(out, groups, blocks)
@@ -783,12 +783,12 @@ register(
 
 
 def _run_transcriptome_analyzer(opts: dict, args: list[str]) -> None:
-    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.io_formats import load_transcriptome
 
     inp = opts.pop("transcriptome", None) or (args[0] if args else None)
     if not inp:
         raise SystemExit("Usage: TranscriptomeAnalyzer <genes.gff3>")
-    t = load_transcriptome_gff3(inp)
+    t = load_transcriptome(inp)
     coding = sum(1 for tr in t.transcripts.values() if tr.coding)
     lengths = [tr.last - tr.first + 1 for tr in t.transcripts.values()]
     import numpy as np
@@ -1383,12 +1383,12 @@ register(
 
 
 def _run_transcriptome_filter(opts: dict, args: list[str]) -> None:
-    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.io_formats import load_transcriptome
     from ..transcriptome.tools import filter_transcriptome, write_transcriptome_gff3
 
     if len(args) < 2:
         raise SystemExit("Usage: TranscriptomeFilter <in.gff3> <out.gff3> [-c] [-l minLen]")
-    t = load_transcriptome_gff3(args[0])
+    t = load_transcriptome(args[0])
     f = filter_transcriptome(
         t,
         only_coding=bool(opts.pop("only_coding", False)),
@@ -1414,7 +1414,7 @@ register(
 
 def _run_mutated_peptides(opts: dict, args: list[str]) -> None:
     from ..core.genome import ReferenceGenome
-    from ..transcriptome.gff3 import load_transcriptome_gff3
+    from ..transcriptome.io_formats import load_transcriptome
     from ..transcriptome.tools import extract_mutated_peptides
     from ..vcf.io import VCFFileReader
 
@@ -1423,7 +1423,7 @@ def _run_mutated_peptides(opts: dict, args: list[str]) -> None:
             "Usage: MutatedPeptidesExtractor <genome.fa> <genes.gff3> <vars.vcf> [-o out]"
         )
     genome = ReferenceGenome.load(args[0])
-    t = load_transcriptome_gff3(args[1])
+    t = load_transcriptome(args[1])
     variants = [r.variant for r in VCFFileReader(args[2])]
     peps = extract_mutated_peptides(genome, t, variants)
     out = opts.pop("output_file", None)
