@@ -128,3 +128,78 @@ class GenomesAligner:
                     f"{b.seq1}\t{b.first1}\t{b.last1}\t{b.seq2}\t{b.first2}\t"
                     f"{b.last2}\t{b.n_orthologs}\t{'+' if b.same_strand else '-'}\n"
                 )
+        if blocks:
+            self.write_linear_view(prefix + "_linearOrthologView.html", blocks)
+
+    def write_linear_view(self, path: str, blocks) -> None:
+        """Self-contained linear synteny visualization.
+
+        Ref: GenomesAligner.printD3Visualization (GenomesAligner.java:717-
+        884) emits an HTML page + JS data file rendered with d3 from a CDN.
+        This environment (and many analysis clusters) has no network, so
+        the equivalent here is a standalone SVG ribbon view: two genome
+        tracks with synteny blocks joined by colored ribbons — same
+        information, zero external dependencies.
+        """
+        # lay out sequences of each genome along x
+        seqs1: dict[str, int] = {}
+        seqs2: dict[str, int] = {}
+        for b in blocks:
+            seqs1[b.seq1] = max(seqs1.get(b.seq1, 0), b.last1)
+            seqs2[b.seq2] = max(seqs2.get(b.seq2, 0), b.last2)
+        W, H, GAP = 1200, 360, 8
+        y1, y2 = 80, 280
+
+        def layout(seqs):
+            total = sum(seqs.values()) or 1
+            scale = (W - 40 - GAP * max(0, len(seqs) - 1)) / total
+            offs, x = {}, 20.0
+            for name in sorted(seqs):
+                offs[name] = (x, scale)
+                x += seqs[name] * scale + GAP
+            return offs
+
+        offs1, offs2 = layout(seqs1), layout(seqs2)
+        palette = ["#4e79a7", "#f28e2b", "#e15759", "#76b7b2", "#59a14f",
+                   "#edc948", "#b07aa1", "#ff9da7", "#9c755f", "#bab0ac"]
+        colors = {n: palette[i % len(palette)] for i, n in enumerate(sorted(seqs2))}
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
+            f'font-family="sans-serif" font-size="11">'
+        ]
+        for name, (x, sc) in offs1.items():
+            w = seqs1[name] * sc
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y1 - 10}" width="{w:.1f}" height="14" '
+                f'fill="#ccc"/><text x="{x:.1f}" y="{y1 - 16}">{name}</text>'
+            )
+        for name, (x, sc) in offs2.items():
+            w = seqs2[name] * sc
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y2 - 4}" width="{w:.1f}" height="14" '
+                f'fill="{colors[name]}" fill-opacity="0.5"/>'
+                f'<text x="{x:.1f}" y="{y2 + 26}">{name}</text>'
+            )
+        for b in blocks:
+            x1a = offs1[b.seq1][0] + b.first1 * offs1[b.seq1][1]
+            x1b = offs1[b.seq1][0] + b.last1 * offs1[b.seq1][1]
+            x2a = offs2[b.seq2][0] + b.first2 * offs2[b.seq2][1]
+            x2b = offs2[b.seq2][0] + b.last2 * offs2[b.seq2][1]
+            if not b.same_strand:
+                x2a, x2b = x2b, x2a
+            c = colors[b.seq2]
+            parts.append(
+                f'<path d="M{x1a:.1f},{y1 + 4} L{x1b:.1f},{y1 + 4} '
+                f'L{x2b:.1f},{y2 - 4} L{x2a:.1f},{y2 - 4} Z" fill="{c}" '
+                f'fill-opacity="0.35" stroke="{c}" stroke-width="0.5">'
+                f"<title>{b.seq1}:{b.first1}-{b.last1} &#8596; "
+                f"{b.seq2}:{b.first2}-{b.last2} ({b.n_orthologs} genes)</title>"
+                f"</path>"
+            )
+        parts.append("</svg>")
+        with open(path, "w") as fh:
+            fh.write(
+                "<!DOCTYPE html>\n<html><head><meta charset='utf-8'>"
+                "<title>Linear ortholog view</title></head><body>\n"
+                "<h2>Synteny blocks</h2>\n" + "\n".join(parts) + "\n</body></html>\n"
+            )

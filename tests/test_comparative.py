@@ -91,3 +91,20 @@ def test_synteny_blocks():
     pairs_shuf = [(i, int(perm[i])) for i in range(10)]
     blocks_shuf = find_synteny_blocks(gp1, gp2, pairs_shuf, min_block_genes=6)
     assert len(blocks_shuf) == 0
+
+
+def test_linear_view_html(tmp_path):
+    from ngsepcore_tpu.genome.genomes_aligner import GenomesAligner
+    from ngsepcore_tpu.genome.synteny import SyntenyBlock
+
+    ga = GenomesAligner()
+    blocks = [
+        SyntenyBlock(seq1="chr1", first1=100, last1=5000, seq2="c2",
+                     first2=200, last2=5200, n_orthologs=12, same_strand=True),
+        SyntenyBlock(seq1="chr1", first1=6000, last1=9000, seq2="c3",
+                     first2=100, last2=3100, n_orthologs=5, same_strand=False),
+    ]
+    out = tmp_path / "viz.html"
+    ga.write_linear_view(str(out), blocks)
+    html = out.read_text()
+    assert "<svg" in html and "chr1" in html and "c3" in html
