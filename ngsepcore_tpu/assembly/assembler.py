@@ -197,9 +197,16 @@ class Assembler:
         junctions are keyed by physical (read, L/R) ends.
         """
         n = len(reads)
-        edges = sorted(
-            graph.filtered_edges(), key=lambda e: (-e.overlap, -e.score)
-        )
+        # edge priority per layout algorithm (ref: LayoutBuilderKruskalPath
+        # sorts by relationship score; LayoutBuilderGreedyMaxOverlap /
+        # MinCost are the greedy variants)
+        keys = {
+            "KruskalPath": lambda e: (-e.score, -e.overlap),
+            "MaxOverlap": lambda e: (-e.overlap, -e.score),
+            "MinCost": lambda e: (e.cost if hasattr(e, "cost") else -e.score),
+        }
+        algo = getattr(self, "layout_algorithm", "MaxOverlap")
+        edges = sorted(graph.filtered_edges(), key=keys.get(algo, keys["MaxOverlap"]))
         parent = list(range(n))
 
         def find(x):
