@@ -74,8 +74,12 @@ class SingleSampleVariantsDetector:
         min_sv_quality: int = 0,
         known_strs_file: str | None = None,
         alg_cnv: str = "CNVnator",  # ref: DEF_ALGORITHM_CNV (:75), comma list
+        find_repeats: bool = False,
+        known_repeats_file: str | None = None,
     ):
         self.alg_cnv = alg_cnv
+        self.find_repeats = find_repeats
+        self.known_repeats_file = known_repeats_file
         self.genome = genome
         self.sample_id = sample_id
         self.heterozygosity_rate = heterozygosity_rate
@@ -110,6 +114,38 @@ class SingleSampleVariantsDetector:
         alns = list(reader)
         records = self.find_variants(alns)
         svs = []
+        # stage 1 (ref: findRepeats :607-612): repeat regions from
+        # multi-mapping reads (or a known-repeats file) mask variant calls
+        repeat_regions = []
+        if self.known_repeats_file:
+            from ..genome.builders import load_regions_file
+
+            repeat_regions = [
+                (r.sequence_name, r.first, r.last)
+                for r in load_regions_file(self.known_repeats_file)
+            ]
+        elif self.find_repeats:
+            from .repeats import MultipleMappingRegionsCalculator
+
+            reps = MultipleMappingRegionsCalculator(
+                min_mq=self.min_mq
+            ).calculate_multiple_mapping_regions(alns)
+            for c in reps:
+                c.sample_id = self.sample_id
+            svs.extend(reps)
+            repeat_regions = [(c.sequence_name, c.first, c.last) for c in reps]
+        if repeat_regions:
+            by_seq: dict[str, list[tuple[int, int]]] = {}
+            for s, f, l in repeat_regions:
+                by_seq.setdefault(s, []).append((f, l))
+            records = [
+                r
+                for r in records
+                if not any(
+                    f <= r.variant.first <= l
+                    for f, l in by_seq.get(r.variant.sequence_name, [])
+                )
+            ]
         if self.find_svs:
             from .read_pair_sv import ReadPairAnalyzer
 

@@ -486,6 +486,10 @@ register(
             Option("minSVQuality", "min_sv_quality", "int", 0,
                    "Min genotype quality for SV calls"),
             Option("knownSTRs", "known_strs_file", "str", None, "Known STRs file"),
+            Option("noRep", "find_repeats", "bool", False,
+                   "Find repeats from multi-mapping reads and mask calls in them"),
+            Option("knownRepeats", "known_repeats_file", "str", None,
+                   "Known repeats file; calls inside repeats are masked"),
         ],
     )
 )

@@ -98,3 +98,23 @@ def test_vcf_write_read_roundtrip(pipeline_results, tmp_path):
         )
         assert rt.calls[0].genotype_quality == orig.calls[0].genotype_quality
         assert rt.calls[0].total_read_depth == orig.calls[0].total_read_depth
+
+
+def test_multiple_mapping_regions():
+    from ngsepcore_tpu.align.read_alignment import ReadAlignment, cigar_from_string
+    from ngsepcore_tpu.call.repeats import MultipleMappingRegionsCalculator
+
+    def mk(first, mq, name):
+        return ReadAlignment(
+            sequence_name="chr1", first=first, cigar=cigar_from_string("100M"),
+            read_chars="A" * 100, read_name=name, alignment_quality=mq,
+        )
+
+    alns = [mk(1000 + 10 * i, 0, f"m{i}") for i in range(8)]  # repeat cluster
+    alns += [mk(5000 + 50 * i, 60, f"u{i}") for i in range(10)]  # unique
+    calc = MultipleMappingRegionsCalculator()
+    reps = calc.calculate_multiple_mapping_regions(alns)
+    assert len(reps) == 1
+    r = reps[0]
+    assert r.first == 1000 and r.last == 1169
+    assert r.variant_type == "REPEAT"
