@@ -49,6 +49,17 @@ class ReadAlignment:
     # (IndelRealignerPileupListener.java:478-486,520-526)
     bases_to_ignore_start: int = 0
     bases_to_ignore_end: int = 0
+    # cached int8 codes of read_chars (as aligned); set by the aligner so
+    # downstream pileup expansion skips re-encoding strings
+    _read_codes: np.ndarray | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def read_codes(self) -> np.ndarray:
+        from ..core.sequences import encode_dna
+
+        if self._read_codes is None or len(self._read_codes) != len(self.read_chars):
+            self._read_codes = encode_dna(self.read_chars)
+        return self._read_codes
 
     # ---- flags -----------------------------------------------------------
     @property

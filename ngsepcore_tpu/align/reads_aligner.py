@@ -53,10 +53,13 @@ def select_final_alignments(
     reads: list[RawRead],
     candidates: list["_Candidate"],
     max_alns_per_read: int,
+    rev_mat: np.ndarray | None = None,
 ) -> tuple[list[list[ReadAlignment]], int]:
     """Per-read combine + filter of finished candidates into primary and
     secondary alignments (ref: SingleReadsAligner.filterAlignments:118-143).
-    Shared by the short- and long-read aligners."""
+    Shared by the short- and long-read aligners.  `rev_mat` optionally
+    provides precomputed reverse-complement code rows (row i = read i,
+    left-aligned) so reverse alignments skip a per-read revcomp pass."""
     B = len(reads)
     out: list[list[ReadAlignment]] = [[] for _ in range(B)]
     finals: dict[int, list["_Candidate"]] = {}
@@ -82,7 +85,12 @@ def select_final_alignments(
             aln.read_name = read.name
             if c.reverse:
                 aln.flags |= FLAG_READ_REVERSE
-                aln.read_chars = decode_dna(reverse_complement_codes(read.codes))
+                if rev_mat is not None:
+                    rc = rev_mat[ridx, : len(read.sequence)]
+                else:
+                    rc = reverse_complement_codes(read.codes)
+                aln.read_chars = decode_dna(rc)
+                aln._read_codes = np.asarray(rc)
                 aln.qualities = (
                     read.qualities[::-1]
                     if read.qualities
@@ -90,6 +98,7 @@ def select_final_alignments(
                 )
             else:
                 aln.read_chars = read.sequence
+                aln._read_codes = read.codes
                 aln.qualities = read.qualities or "5" * len(read.sequence)
             if i > 0:
                 aln.set_secondary(True)
@@ -154,122 +163,156 @@ class ReadsAligner:
         B = len(reads)
         self.total_reads += B
         fwd_codes = [r.codes for r in reads]
-        rev_codes = [reverse_complement_codes(c) for c in fwd_codes]
-        all_codes = fwd_codes + rev_codes
         # the kernel expects fwd rows in [0, half) and rev rows in
-        # [half, 2*half): pad each strand block to the half-bucket
+        # [half, 2*half): pad each strand block to the half-bucket.  The
+        # reverse-complement block is derived from the packed forward matrix
+        # in one vectorized pass (no per-read revcomp calls).
         half = _row_bucket(B, minimum=128)
         pad_blk = [np.empty(0, np.int8)] * (half - B)
-        padded = fwd_codes + pad_blk + rev_codes + pad_blk
-        codes, lengths, _ = pack_reads(padded, pad_multiple=self.read_pad)
-        hk, ec, ro, ep = self.table.device_arrays()
+        fwd_mat, lengths_h, _ = pack_reads(
+            fwd_codes + pad_blk, pad_multiple=self.read_pad
+        )
+        Lp = fwd_mat.shape[1]
+        ridx_rev = lengths_h[:, None].astype(np.int64) - 1 - np.arange(Lp)[None, :]
+        g = np.take_along_axis(fwd_mat, np.clip(ridx_rev, 0, Lp - 1), axis=1)
+        rev_mat = np.where(
+            ridx_rev >= 0, np.where(g < 4, 3 - g, g), np.int8(4)
+        ).astype(np.int8)
+        codes = np.concatenate([fwd_mat, rev_mat], axis=0)
+        lengths = np.concatenate([lengths_h, lengths_h])
+        hk, vhi, vlo, ro, ep = self.table.device_arrays()
+        gp, gn2 = self.genome.device_packed()
         res = jax.device_get(
             seed_cluster_screen(
                 codes,
                 lengths.astype(np.int32),
                 hk,
-                ec,
+                vhi,
+                vlo,
                 ro,
                 ep,
-                self.genome.device_concat(),
+                gp,
+                gn2,
                 k=self.kmer_length,
                 window=self.window_length,
+                genome_len=self.genome.total_length,
             )
         )
-        pred = res["pred_start"]  # (B, C) — strands already merged on device
+        pred = res["pred_start"].astype(np.int64)  # (B, C) — strands merged
         weight = res["weight"]
         strand = res["strand"]
         mm = res["mismatches"]
         cs = res["clip_start"]
         ce = res["clip_end"]
-        C = pred.shape[1]
         offs = self.genome.offsets
-        # candidate bounds + sequence split, vectorized
-        valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
+        # ---- candidate selection, fully vectorized -----------------------
+        pred_b = pred[:B]
+        valid_c = (weight[:B] > 0) & (pred_b < (1 << 29)) & (pred_b >= 0)
         seq_idx_m = np.clip(
-            np.searchsorted(offs, np.clip(pred, 0, None), side="right") - 1,
+            np.searchsorted(offs, np.clip(pred_b, 0, None), side="right") - 1,
             0,
             self.genome.num_sequences - 1,
         )
+        qlen = lengths_h[:B].astype(np.int64)[:, None]
+        w = weight[:B].astype(np.float64)
+        # weights are sorted descending per read (device top_k); the
+        # reference breaks at the first candidate below the limit, so the
+        # kept set is the prefix where every earlier candidate was kept too
+        limit = np.minimum(MIN_WEIGHTED_COUNT, MIN_PROPORTION_BEST * w[:, :1])
+        keep = valid_c.copy()
+        keep[:, 1:] &= w[:, 1:] >= limit
+        keep = np.logical_and.accumulate(keep, axis=1)
+        in_b = (pred_b >= offs[seq_idx_m]) & (
+            pred_b + qlen <= offs[seq_idx_m + 1]
+        )
+        mmb, csb, ceb = mm[:B], cs[:B], ce[:B]
+        t1 = (
+            keep
+            & in_b
+            & (w > 2)
+            & (mmb < 0.05 * qlen)
+            & ((csb + ceb) < 0.1 * qlen)
+        )
+        dp = keep & in_b & ~t1
 
         selected: list[_Candidate] = []
-        for ridx in range(B):
-            qlen = len(fwd_codes[ridx])
-            cands = [
-                (float(weight[ridx, c]), c) for c in range(C) if valid_c[ridx, c]
-            ]
-            if not cands:
-                continue
-            max_count = cands[0][0]
-            limit_count = min(MIN_WEIGHTED_COUNT, MIN_PROPORTION_BEST * max_count)
-            limit_clusters = max(5, 3 * self.max_alns_per_read)
-            for i, (w, c) in enumerate(cands[:limit_clusters]):
-                if i > 0 and w < limit_count:
-                    break
-                p = int(pred[ridx, c])
-                si = int(seq_idx_m[ridx, c])
-                cand = _Candidate(
-                    read_idx=ridx,
-                    reverse=bool(strand[ridx, c]),
+        strand_b = strand[:B]
+        names = [self.genome.sequence_name(i) for i in range(self.genome.num_sequences)]
+        for ridx, c in zip(*np.nonzero(t1)):
+            # tier-1 accept straight from the fused screen
+            si = int(seq_idx_m[ridx, c])
+            p = int(pred_b[ridx, c])
+            tcs, tce = int(csb[ridx, c]), int(ceb[ridx, c])
+            t = int(mmb[ridx, c])
+            ql = int(qlen[ridx, 0])
+            cigar = []
+            if tcs > 0:
+                cigar.append((tcs, "S"))
+            cigar.append((ql - tcs - tce, "M"))
+            if tce > 0:
+                cigar.append((tce, "S"))
+            selected.append(
+                _Candidate(
+                    read_idx=int(ridx),
+                    reverse=bool(strand_b[ridx, c]),
                     seq_idx=si,
                     pred_start=p,
-                    weight=w,
-                )
-                s0, s1 = int(offs[si]), int(offs[si + 1])
-                in_bounds = p >= s0 and p + qlen <= s1
-                t, tcs, tce = int(mm[ridx, c]), int(cs[ridx, c]), int(ce[ridx, c])
-                if (
-                    in_bounds
-                    and w > 2
-                    and t < 0.05 * qlen
-                    and tcs + tce < 0.1 * qlen
-                ):
-                    # tier-1 accept straight from the fused screen
-                    first_concat = p + tcs
-                    sidx2, first = self.genome.split_concat_pos(first_concat)
-                    cigar = []
-                    if tcs > 0:
-                        cigar.append((tcs, "S"))
-                    cigar.append((qlen - tcs - tce, "M"))
-                    if tce > 0:
-                        cigar.append((tce, "S"))
-                    cand.aln = ReadAlignment(
-                        sequence_name=self.genome.sequence_name(sidx2),
-                        first=first,
+                    weight=float(w[ridx, c]),
+                    aln=ReadAlignment(
+                        sequence_name=names[si],
+                        first=p + tcs - int(offs[si]) + 1,
                         cigar=cigar,
                         num_mismatches=t,
-                    )
-                    cand.quality = int(round(100 - 5 * t))
-                    self.few_mismatches_alns += 1
-                elif in_bounds:
-                    cand.aln = None  # DP fallback below
-                else:
-                    continue
-                selected.append(cand)
+                    ),
+                    quality=int(round(100 - 5 * t)),
+                )
+            )
+        self.few_mismatches_alns += len(selected)
 
+        dp_cands = [
+            _Candidate(
+                read_idx=int(ridx),
+                reverse=bool(strand_b[ridx, c]),
+                seq_idx=int(seq_idx_m[ridx, c]),
+                pred_start=int(pred_b[ridx, c]),
+                weight=float(w[ridx, c]),
+            )
+            for ridx, c in zip(*np.nonzero(dp))
+        ]
         # stage 4: affine-gap DP for candidates the screen didn't accept
-        self._tier3([c for c in selected if c.aln is None], all_codes)
+        self._tier3(dp_cands, fwd_mat, rev_mat, lengths_h)
+        selected.extend(dp_cands)
 
         # stage 5: per-read combine + filter (ref: filterAlignments:118-143)
-        out, n_aligned = select_final_alignments(reads, selected, self.max_alns_per_read)
+        out, n_aligned = select_final_alignments(
+            reads, selected, self.max_alns_per_read, rev_mat=rev_mat
+        )
         self.aligned_reads += n_aligned
         return out
 
     # ------------------------------------------------------------------
-    def _tier3(self, dp_cands: list[_Candidate], all_codes: list[np.ndarray]) -> None:
-        """Affine-gap DP with free subject ends (ref tier-3, ":97-121")."""
+    DP_ROWS = 256  # fixed DP batch rows: one compile shape per (Lq, Ls)
+
+    def _tier3(
+        self,
+        dp_cands: list[_Candidate],
+        fwd_mat: np.ndarray,
+        rev_mat: np.ndarray,
+        lengths: np.ndarray,
+    ) -> None:
+        """Affine-gap DP with free subject ends (ref tier-3, ":97-121").
+
+        Jobs run in fixed-size row chunks with lane-aligned lengths so the
+        DP kernel compiles once per read-length bucket instead of once per
+        batch-dependent shape."""
         if not dp_cands:
             return
         offs = self.genome.offsets
         concat = self.genome.concat
         jobs = []
         for c in dp_cands:
-            qcodes = (
-                all_codes[c.read_idx]
-                if not c.reverse
-                else reverse_complement_codes(all_codes[c.read_idx])
-            )
-            qlen = len(qcodes)
+            qlen = int(lengths[c.read_idx])
+            qcodes = (rev_mat if c.reverse else fwd_mat)[c.read_idx, :qlen]
             s0, s1 = int(offs[c.seq_idx]), int(offs[c.seq_idx + 1])
             first = max(s0, c.pred_start - 3)
             last = min(s1, c.pred_start + qlen + 3)
@@ -279,17 +322,20 @@ class ReadsAligner:
             jobs.append((c, qcodes, first, last))
         if not jobs:
             return
+        self.complete_alns += len(jobs)
+        for c0 in range(0, len(jobs), self.DP_ROWS):
+            self._tier3_chunk(jobs[c0 : c0 + self.DP_ROWS], concat)
+
+    def _tier3_chunk(self, jobs: list, concat: np.ndarray) -> None:
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
-        bucket = _row_bucket(len(jobs), minimum=64)
-        pad_rows = [np.empty(0, np.int8)] * (bucket - len(jobs))
+        pad_rows = [np.empty(0, np.int8)] * (self.DP_ROWS - len(jobs))
         qc, ql, _ = pack_reads(
             [j[1] for j in jobs] + pad_rows, pad_to=max_q, pad_multiple=64
         )
         sc, sl, _ = pack_reads(
             [concat[j[2] : j[3]] for j in jobs] + pad_rows, pad_to=max_s, pad_multiple=64
         )
-        self.complete_alns += len(jobs)
         out = affine_gap_align_batch(
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )

@@ -57,7 +57,7 @@ def expand_alignment_calls(
 
     Missing qualities default to '+' (q=10) like ReadAlignment.java:1025.
     """
-    codes = encode_dna(aln.read_chars)
+    codes = aln.read_codes
     if aln.qualities:
         quals = qualities_to_phred(aln.qualities)
     else:
@@ -109,13 +109,88 @@ def expand_alignment_calls(
     return rp, codes[ri], quals[ri], indels
 
 
+_SIMPLE_OPS = frozenset("SM=X")
+
+
+def _expand_simple_calls(
+    alns: list[ReadAlignment],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized expansion for gap-free alignments (CIGAR of S/M/=/X only).
+
+    Because S occurs only at the ends and M/=/X consume read and reference
+    in lockstep, each alignment contributes one contiguous run: read index
+    j in [max(clip_start, ignore5), len - max(clip_end, ignore3)) maps to
+    reference position first + (j - clip_start).  The whole batch expands
+    with repeat/arange index math — no per-alignment Python loops (the
+    reference fires a listener per (read, position) pair instead;
+    AlignmentsPileupGenerator.java:377-403)."""
+    A = len(alns)
+    first = np.empty(A, np.int64)
+    cs = np.empty(A, np.int64)
+    win_start = np.empty(A, np.int64)
+    win_end = np.empty(A, np.int64)
+    lens = np.empty(A, np.int64)
+    strand_a = np.empty(A, np.int8)
+    codes_parts = []
+    qual_parts = []
+    for i, a in enumerate(alns):
+        codes = a.read_codes
+        n = len(codes)
+        c0 = a.cigar[0]
+        tcs = c0[0] if c0[1] == "S" else 0
+        cl = a.cigar[-1]
+        tce = cl[0] if len(a.cigar) > 1 and cl[1] == "S" else 0
+        first[i] = a.first
+        cs[i] = tcs
+        win_start[i] = max(tcs, a.bases_to_ignore_start)
+        win_end[i] = min(n - tce, n - a.bases_to_ignore_end)
+        lens[i] = n
+        strand_a[i] = 1 if a.is_negative_strand else 0
+        codes_parts.append(codes)
+        qual_parts.append(a.qualities if a.qualities else "+" * n)
+    codes_flat = np.concatenate(codes_parts) if codes_parts else np.empty(0, np.int8)
+    qflat = (
+        np.frombuffer("".join(qual_parts).encode("ascii"), np.uint8).astype(np.int16)
+        - 33
+    ).astype(np.int8)
+    offsets = np.zeros(A, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    cnt = np.maximum(win_end - win_start, 0)
+    tot = int(cnt.sum())
+    aid = np.repeat(np.arange(A), cnt)
+    cum_excl = np.zeros(A, np.int64)
+    np.cumsum(cnt[:-1], out=cum_excl[1:])
+    j = win_start[aid] + (np.arange(tot) - cum_excl[aid])
+    src = offsets[aid] + j
+    pos = first[aid] + (j - cs[aid])
+    return pos, codes_flat[src], qflat[src], strand_a[aid]
+
+
 def expand_batch_calls(
     alns: list[ReadAlignment],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
-    """Batch expansion -> flat (ref_pos, allele, qual, strand) arrays."""
-    pos_l, al_l, q_l, s_l = [], [], [], []
-    indels: list[IndelEvent] = []
+    """Batch expansion -> flat (ref_pos, allele, qual, strand) arrays.
+
+    Gap-free alignments (the overwhelming majority) expand through one
+    vectorized pass; alignments with indels fall back to the per-alignment
+    path, which also yields their IndelEvents."""
+    simple: list[ReadAlignment] = []
+    complex_: list[ReadAlignment] = []
     for a in alns:
+        cig = a.cigar
+        if cig and all(op in _SIMPLE_OPS for _, op in cig):
+            simple.append(a)
+        else:
+            complex_.append(a)
+    pos_l, al_l, q_l, s_l = [], [], [], []
+    if simple:
+        sp, sa, sq, ss = _expand_simple_calls(simple)
+        pos_l.append(sp)
+        al_l.append(sa)
+        q_l.append(sq)
+        s_l.append(ss)
+    indels: list[IndelEvent] = []
+    for a in complex_:
         rp, codes, quals, ind = expand_alignment_calls(a)
         pos_l.append(rp)
         al_l.append(codes)

@@ -287,7 +287,7 @@ class SingleSampleVariantsDetector:
         # through fixed-size chunks into device-resident count tensors, so
         # compile shapes are independent of coverage.
         from ..kernels.genotyping import (
-            accumulate_allele_counts,
+            accumulate_allele_counts_packed,
             genotype_window_from_counts,
             init_count_tensors,
         )
@@ -295,6 +295,11 @@ class SingleSampleVariantsDetector:
         CALL_CHUNK = 1 << 18
         pending: list[tuple[int, np.ndarray, dict]] = []
         window = _window_for(seq_len)
+        # pack each call into one int32 (rel pos | qual | allele | strand):
+        # the host->device tunnel is the bottleneck, not the scatter itself
+        qual_p = np.clip(qual, 0, MAX_BASE_QS).astype(np.int32)
+        al_p = allele.astype(np.int32)
+        st_p = strand.astype(np.int32)
         for w0 in range(1, seq_len + 1, window):
             w1 = min(seq_len, w0 + window - 1)
             lo = np.searchsorted(pos, w0, side="left")
@@ -302,19 +307,23 @@ class SingleSampleVariantsDetector:
             if hi <= lo:
                 continue
             counts, strand_counts, low_qual, total = init_count_tensors(window)
-            for c0 in range(lo, hi, CALL_CHUNK):
-                c1 = min(hi, c0 + CALL_CHUNK)
-                n = c1 - c0
-                rel = np.full(CALL_CHUNK, -1, np.int32)
-                rel[:n] = (pos[c0:c1] - w0).astype(np.int32)
-                al = np.full(CALL_CHUNK, -1, np.int8)
-                al[:n] = allele[c0:c1]
-                qu = np.zeros(CALL_CHUNK, np.int8)
-                qu[:n] = qual[c0:c1]
-                st = np.zeros(CALL_CHUNK, np.int8)
-                st[:n] = strand[c0:c1]
-                counts, strand_counts, low_qual, total = accumulate_allele_counts(
-                    counts, strand_counts, low_qual, total, rel, al, qu, st
+            pk_win = (
+                (pos[lo:hi] - w0).astype(np.int32)
+                | (qual_p[lo:hi] << 20)
+                | (al_p[lo:hi] << 25)
+                | (st_p[lo:hi] << 27)
+            )
+            pk_win = np.where(al_p[lo:hi] >= 0, pk_win, -1)
+            for c0 in range(0, len(pk_win), CALL_CHUNK):
+                chunk = pk_win[c0 : c0 + CALL_CHUNK]
+                if len(chunk) < CALL_CHUNK:
+                    chunk = np.concatenate(
+                        [chunk, np.full(CALL_CHUNK - len(chunk), -1, np.int32)]
+                    )
+                counts, strand_counts, low_qual, total = (
+                    accumulate_allele_counts_packed(
+                        counts, strand_counts, low_qual, total, chunk
+                    )
                 )
             ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]

@@ -80,6 +80,31 @@ class ReferenceGenome:
             self._device_concat = jnp.asarray(self.concat, jnp.int8)
         return self._device_concat
 
+    def device_packed(self):
+        """Device-resident bit-packed genome for the tier-1 screen:
+        (packed, nmask2) uint32 arrays where word w holds bases
+        concat[16w..16w+15] at 2 bits each (base j at bit 2j) and nmask2
+        holds 1 at bit 2j when that base is non-ACGT.  Gather cost on this
+        chip is per element regardless of width, so packing 16 bases per
+        word cuts the subject-window gather ~16x vs the int8 layout."""
+        if getattr(self, "_device_packed", None) is None:
+            import jax.numpy as jnp
+
+            G = len(self.concat)
+            W = (G + 15) // 16 + 1  # +1: combine reads one word past the end
+            c = np.full(W * 16, 4, dtype=np.uint8)
+            c[:G] = self.concat.view(np.uint8)
+            base = np.where(c < 4, c, 0).astype(np.uint32).reshape(W, 16)
+            isn = (c >= 4).astype(np.uint32).reshape(W, 16)
+            sh = (2 * np.arange(16, dtype=np.uint32))[None, :]
+            packed = np.bitwise_or.reduce(base << sh, axis=1)
+            nmask2 = np.bitwise_or.reduce(isn << sh, axis=1)
+            self._device_packed = (
+                jnp.asarray(packed, jnp.uint32),
+                jnp.asarray(nmask2, jnp.uint32),
+            )
+        return self._device_packed
+
     def concat_pos(self, seq_idx: int, pos: int) -> int:
         """Map (sequence idx, 1-based pos) to 0-based concatenated coordinate."""
         return int(self.offsets[seq_idx]) + pos - 1

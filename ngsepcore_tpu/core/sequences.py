@@ -189,13 +189,16 @@ class RawRead:
     name: str
     sequence: str
     qualities: str | None = None
+    _codes: np.ndarray | None = field(default=None, repr=False, compare=False)
 
     def __len__(self) -> int:
         return len(self.sequence)
 
     @property
     def codes(self) -> np.ndarray:
-        return encode_dna(self.sequence)
+        if self._codes is None:
+            self._codes = encode_dna(self.sequence)
+        return self._codes
 
     @property
     def phred(self) -> np.ndarray | None:

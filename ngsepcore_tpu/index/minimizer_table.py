@@ -142,31 +142,29 @@ class MinimizerTable:
     def size(self) -> int:
         return len(self.entry_pos)
 
-    # multiplicative hash: top 32 bits of code * golden-ratio constant.
-    # Lets the device lookup searchsorted over native int32 keys (TPU int64
-    # compares are emulated); the exact int64 code is verified once per
-    # query.  Hash-colliding codes (~U^2/2^32, a handful per genome) are
-    # dropped at build time — equivalent to a slightly stricter
-    # max_hits_per_code cull.
-    HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
-
     def device_arrays(self):
-        """Device-resident (hash32 uint32 sorted, exact_codes int64,
+        """Device-resident (hash32 uint32 sorted, ver_hi int32, ver_lo int32,
         row_offsets int32, entry_pos int32) for the fused seeding kernel —
-        uploaded once and cached.  int32 positions require a <2^31-bp
+        uploaded once and cached.  The key is `lookup_hash32` of the two
+        int32 code halves (TPU int64 compares are emulated); queries verify
+        (hi, lo) exactly.  Hash-colliding codes (~U^2/2^32, a handful per
+        genome) are dropped at build time — equivalent to a slightly
+        stricter max_hits_per_code cull.  int32 positions require a <2^31-bp
         concatenated genome (the reference's int coordinates have the same
         bound)."""
         if getattr(self, "_device_arrays", None) is None:
             import jax.numpy as jnp
 
+            from ..kernels.minimizers import lookup_hash32
+
             assert len(self.entry_pos) == 0 or int(self.entry_pos.max()) < (
                 1 << 31
             ), "genome too large for int32 seed positions"
+            lo_bits = 2 * min(self.k, 15)
+            code_hi = (self.unique_codes >> lo_bits).astype(np.int32)
+            code_lo = (self.unique_codes & ((1 << lo_bits) - 1)).astype(np.int32)
             with np.errstate(over="ignore"):
-                h = (
-                    (self.unique_codes.astype(np.uint64) * self.HASH_MULT)
-                    >> np.uint64(32)
-                ).astype(np.uint32)
+                h = lookup_hash32(code_hi, code_lo)
             order = np.argsort(h, kind="stable")
             hs = h[order]
             dup = np.zeros(len(hs), bool)
@@ -193,7 +191,8 @@ class MinimizerTable:
             np.cumsum(cnts, out=offs[1:])
             self._device_arrays = (
                 jnp.asarray(hs[keep], jnp.uint32),
-                jnp.asarray(self.unique_codes[order][keep], jnp.int64),
+                jnp.asarray(code_hi[order][keep], jnp.int32),
+                jnp.asarray(code_lo[order][keep], jnp.int32),
                 jnp.asarray(offs, jnp.int32),
                 jnp.asarray(entries, jnp.int32),
             )

@@ -173,6 +173,33 @@ def accumulate_allele_counts(
     return counts, strand_counts, low_qual, total
 
 
+@partial(jax.jit, donate_argnames=("counts", "strand_counts", "low_qual", "total"))
+def accumulate_allele_counts_packed(
+    counts: jnp.ndarray,  # (W, n, Q) int32
+    strand_counts: jnp.ndarray,  # (W, n, 2) int32
+    low_qual: jnp.ndarray,  # (W,) int32
+    total: jnp.ndarray,  # (W,) int32
+    packed: jnp.ndarray,  # (N,) int32: bit0-19 rel pos, 20-24 qual (pre-
+    # clamped 0..30), 25-26 allele, 27 strand; negative = skip
+):
+    """accumulate_allele_counts with all four call fields packed into one
+    int32 per call — host->device upload rides a ~60 MB/s tunnel on this
+    chip, so 4 B/call instead of 7 B/call is a direct wall-clock win."""
+    valid = packed >= 0
+    rel = packed & 0xFFFFF
+    q = (packed >> 20) & 31
+    al = (packed >> 25) & 3
+    st = (packed >> 27) & 1
+    low = valid & (q <= MIN_BASE_QS)
+    ok = valid & (q > MIN_BASE_QS)
+    pos = jnp.where(valid, rel, 0)
+    counts = counts.at[pos, al, q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[pos, al, st].add(ok.astype(jnp.int32))
+    low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
+    total = total.at[pos].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
 def init_count_tensors(out_size: int, n_alleles: int = 4):
     import jax.numpy as jnp
 

@@ -50,6 +50,37 @@ def kmer_codes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def kmer_codes_2x32(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """K-mer codes for k<=30 as two native-int32 halves (TPU int64 is
+    emulated; the int64 `kmer_codes` path costs ~3x per op).
+
+    lo = code of the last min(k,15) bases (<=30 bits), hi = code of the
+    first k-15 bases (0 when k<=15).  The exact int64 code is
+    (hi << 2*min(k,15)) | lo.  Same window-validity semantics as
+    `kmer_codes` (non-ACGT breaks the window, DNASequence.java:164-178).
+    """
+    assert k <= 30, "two-half int32 codes support k<=30"
+    n, L = codes.shape
+    nk = L - k + 1
+    c = codes.astype(jnp.int32)
+    split = max(0, k - 15)
+    hi = jnp.zeros((n, nk), dtype=jnp.int32)
+    lo = jnp.zeros((n, nk), dtype=jnp.int32)
+    ok = jnp.ones((n, nk), dtype=bool)
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(c, j, nk, axis=1)
+        v = jnp.where(cj < 4, cj, 0)
+        if j < split:
+            hi = hi * 4 + v
+        else:
+            lo = lo * 4 + v
+        ok = ok & (cj < 4)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
+    ok = ok & (pos + k <= lengths[:, None])
+    return hi, lo, ok
+
+
+@partial(jax.jit, static_argnames=("k",))
 def kmer_codes_both_strands(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
     """Forward + reverse-complement k-mer codes for a read batch.
 

@@ -25,6 +25,11 @@ import numpy as np
 
 DEFAULT_HASH_MOD = 1073676287  # ref: ShortKmerCodesTable hash modulus
 
+# murmur3-style mixing constants for the int32-native two-half hashes
+_MIX_A = 0x85EBCA6B
+_MIX_B = 0xC2B2AE35
+_MIX_C = 0x7FEB352D
+
 
 @jax.jit
 def default_kmer_hash(codes: jnp.ndarray) -> jnp.ndarray:
@@ -32,6 +37,34 @@ def default_kmer_hash(codes: jnp.ndarray) -> jnp.ndarray:
 
     Result < 2^30, so int32 — native on TPU where int64 is emulated."""
     return ((codes.astype(jnp.int64) + 1) % DEFAULT_HASH_MOD).astype(jnp.int32)
+
+
+def minimizer_hash30(hi, lo):
+    """30-bit selection hash of two-half k-mer codes — all native int32/uint32
+    ops (works on both numpy and jax arrays).  Replaces the reference's
+    `(code+1) % 1073676287` ordering hash: any deterministic ordering gives
+    valid minimizers; behavioral parity target is final alignments, not seed
+    sets (SURVEY §7 hard parts)."""
+    xp = jnp if isinstance(hi, jnp.ndarray) else np
+    u = xp.uint32
+    h = hi.astype(u) * u(_MIX_A) + lo.astype(u) * u(_MIX_B)
+    h = h ^ (h >> u(15))
+    h = h * u(_MIX_C)
+    h = h ^ (h >> u(13))
+    return (h >> u(2)).astype(xp.int32)  # < 2^30: safe for select_minimizers
+
+
+def lookup_hash32(hi, lo):
+    """Full-width uint32 table key of two-half k-mer codes (distinct mix from
+    the selection hash so key collisions are independent of selection ties).
+    Exactness comes from verifying (hi, lo) per query, not from this hash."""
+    xp = jnp if isinstance(hi, jnp.ndarray) else np
+    u = xp.uint32
+    h = hi.astype(u) * u(_MIX_B) + lo.astype(u) * u(_MIX_A)
+    h = h ^ (h >> u(16))
+    h = h * u(_MIX_C)
+    h = h ^ (h >> u(15))
+    return h
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -72,17 +105,27 @@ def select_minimizers(hashes: jnp.ndarray, valid: jnp.ndarray, window: int):
 
 
 @partial(jax.jit, static_argnames=("k", "window"))
-def extract_minimizers(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, window: int):
-    """codes (B, L) -> (kcodes, minimizer mask, valid) for canonical strand.
+def extract_minimizers_2x32(
+    codes: jnp.ndarray, lengths: jnp.ndarray, k: int, window: int
+):
+    """codes (B, L) -> (hi, lo, minimizer mask, valid): the int32-native
+    extraction used by both the genome table build and read queries (the
+    two sides must select with the same hash to share seeds)."""
+    from .kmers import kmer_codes_2x32
 
-    Selection runs on the forward-strand codes with the default hash —
-    deterministic and strand-stable enough for seeding (behavioral parity
-    with final alignments is the acceptance bar, not identical seed sets;
-    SURVEY §7 hard parts).
+    hi, lo, valid = kmer_codes_2x32(codes, lengths, k)
+    sel = select_minimizers(minimizer_hash30(hi, lo), valid, window)
+    return hi, lo, sel, valid
+
+
+def extract_minimizers(codes, lengths, k: int, window: int):
+    """codes (B, L) -> (kcodes int64 numpy, minimizer mask, valid) for the
+    forward strand.  Host-facing wrapper over the int32-native extraction;
+    selection is deterministic and strand-stable enough for seeding
+    (behavioral parity bar is final alignments, not seed sets; SURVEY §7).
     """
-    from .kmers import kmer_codes
-
-    kcodes, valid = kmer_codes(codes, lengths, k)
-    hashes = default_kmer_hash(kcodes)
-    sel = select_minimizers(hashes, valid, window)
-    return kcodes, sel, valid
+    hi, lo, sel, valid = extract_minimizers_2x32(codes, lengths, k, window)
+    hi = np.asarray(hi).astype(np.int64)
+    lo = np.asarray(lo).astype(np.int64)
+    kcodes = (hi << (2 * min(k, 15))) | lo
+    return kcodes, np.asarray(sel), np.asarray(valid)

@@ -10,9 +10,11 @@ Ref: the short-read seeding stack
    (ShortReadsUngappedSearchHitsClusterAligner.java:157-192)
 
 TPU redesign: the reference walks per-read Java objects (hit lists,
-TreeMaps).  Here a whole read batch is one tensor program:
- - table lookup is a searchsorted over native-int32 hash keys with one
-   exact int64 verification per query (TPU int64 compares are emulated);
+TreeMaps).  Here a whole read batch is one tensor program, with every hot
+array in native 32-bit types (TPU int64 is emulated at ~3x cost):
+ - k-mer codes are two int32 halves (kernels/kmers.kmer_codes_2x32);
+ - table lookup is a searchsorted over sorted uint32 keys with exact
+   (hi, lo) int32 verification per query;
  - hits expand to a fixed (reads, minimizers, hits/kmer) block;
  - diagonal clustering is two per-row sorts + segmented cumsum stats
    (scatter-free: TPU scatters serialize);
@@ -20,7 +22,10 @@ TreeMaps).  Here a whole read batch is one tensor program:
    query anchor (the reference's early-weighted predictSubjectStart biases
    the same way, UngappedSearchHitsCluster.java:220-231);
  - fwd/rev strand candidates merge BEFORE the mismatch screen so the
-   expensive subject gather runs on the per-read top candidates only.
+   expensive subject gather runs on the per-read top candidates only;
+ - the tier-1 screen compares 16-base bit-packed words (gather cost on
+   this chip is per element, so packing cuts the subject gather ~16x) and
+   expands the XOR mismatch bits to a bool mask for the clip statistics.
 Only (reads, candidates) scalars return to the host.
 """
 from __future__ import annotations
@@ -30,54 +35,98 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .minimizers import default_kmer_hash, select_minimizers
-from .tier1 import tier1_stats_vec
+from .minimizers import lookup_hash32, minimizer_hash30, select_minimizers
+from .tier1 import tier1_stats_from_mask
 
 BIG32 = jnp.int32(1 << 30)
-HASH_MULT = jnp.uint64(0x9E3779B97F4A7C15)
+
+
+def pack_codes_words(codes: jnp.ndarray):
+    """(R, L) int8 codes -> (packed, n2) uint32 (R, L//16) word arrays:
+    base j of word w at bit 2*(j), non-ACGT flagged at the same bit of n2.
+    L must be a multiple of 16 (pack_reads pads to 256-multiples)."""
+    R, L = codes.shape
+    W = L // 16
+    c = codes.astype(jnp.uint32).reshape(R, W, 16)
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    base = jnp.where(c < 4, c, 0)
+    packed = jnp.bitwise_or.reduce((base << sh), axis=2)
+    n2 = jnp.bitwise_or.reduce(((c >= 4).astype(jnp.uint32) << sh), axis=2)
+    return packed, n2
+
+
+def gather_aligned_words(packed: jnp.ndarray, start: jnp.ndarray, n_words: int):
+    """Gather `n_words` 16-base words beginning at arbitrary base offset
+    `start` (any shape) from a packed uint32 genome, realigned in the packed
+    domain (two shifts + or — no per-base gather).  Out-of-range words clamp;
+    callers mask out-of-genome positions separately."""
+    Wg = packed.shape[0]
+    base_w = start >> 4  # arithmetic shift: floor division, negatives ok
+    o = (start & 15).astype(jnp.uint32)  # base offset within word
+    t = jnp.arange(n_words + 1, dtype=jnp.int32)
+    idx = jnp.clip(base_w[..., None] + t, 0, Wg - 1)
+    words = packed[idx]  # (..., n_words+1)
+    sh = (2 * o)[..., None]
+    w0 = words[..., :-1]
+    w1 = words[..., 1:]
+    # shift by 32 is undefined in XLA; the where() keeps the o==0 lane exact
+    combined = (w0 >> sh) | (w1 << (jnp.uint32(32) - sh))
+    return jnp.where(sh == 0, w0, combined)
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "window", "max_minimizers", "hits_per_kmer", "max_clusters"),
+    static_argnames=(
+        "k", "window", "genome_len", "max_minimizers", "hits_per_kmer",
+        "max_clusters",
+    ),
 )
 def seed_cluster_screen(
     codes: jnp.ndarray,  # (2B, L) int8 read codes: B fwd rows then B rev rows
     lengths: jnp.ndarray,  # (2B,) int32
-    hash_keys: jnp.ndarray,  # (U,) uint32 sorted hash of distinct codes
-    exact_codes: jnp.ndarray,  # (U,) int64 exact code per hash key
+    hash_keys: jnp.ndarray,  # (U,) uint32 sorted lookup hash per distinct code
+    ver_hi: jnp.ndarray,  # (U,) int32 exact code high half per key
+    ver_lo: jnp.ndarray,  # (U,) int32 exact code low half per key
     row_offsets: jnp.ndarray,  # (U+1,) int32 CSR offsets
     entry_pos: jnp.ndarray,  # (E,) int32 concat genome positions
-    concat: jnp.ndarray,  # (G,) int8 concatenated genome codes
+    packed_genome: jnp.ndarray,  # (Wg,) uint32 16-base packed genome
+    genome_n2: jnp.ndarray,  # (Wg,) uint32 per-base non-ACGT flags (bit 2j)
     *,
     k: int,
     window: int,
-    max_minimizers: int = 32,
+    genome_len: int,
+    max_minimizers: int = 16,
     hits_per_kmer: int = 4,
     max_clusters: int = 4,
 ):
-    from .kmers import kmer_codes
+    from .kmers import kmer_codes_2x32
 
     R, L = codes.shape
     B = R // 2
     M, K, C = max_minimizers, hits_per_kmer, max_clusters
     H = M * K
 
-    # ---- stage 1: minimizer selection --------------------------------
-    kcodes, valid = kmer_codes(codes, lengths, k)
-    sel = select_minimizers(default_kmer_hash(kcodes), valid, window)
+    # ---- stage 1: minimizer selection (int32-native) -------------------
+    khi, klo, valid = kmer_codes_2x32(codes, lengths, k)
+    sel = select_minimizers(minimizer_hash30(khi, klo), valid, window)
     # compact selected positions to M slots (position order preserved)
-    seli = jnp.argsort(~sel, axis=1, stable=True)[:, :M]  # (R, M)
+    nk = sel.shape[1]
+    pos = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    _, seli = jax.lax.top_k(jnp.where(sel, (1 << 24) - pos, 0), M)  # (R, M)
     msel = jnp.take_along_axis(sel, seli, axis=1)
-    mcodes = jnp.take_along_axis(kcodes, seli, axis=1)
-    mpos = seli.astype(jnp.int32)
+    mhi = jnp.take_along_axis(khi, seli, axis=1)
+    mlo = jnp.take_along_axis(klo, seli, axis=1)
+    mpos = seli
 
     # ---- stage 2: hashed CSR lookup ------------------------------------
     U = hash_keys.shape[0]
-    qhash = ((mcodes.astype(jnp.uint64) * HASH_MULT) >> 32).astype(jnp.uint32)
+    qhash = lookup_hash32(mhi, mlo)
     r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
     if U > 0:
-        found = msel & (hash_keys[r] == qhash) & (exact_codes[r] == mcodes)
+        # (hi, lo) verification alone decides membership: if the query hash
+        # is absent, row r holds some other code and the compare fails —
+        # no need to gather hash_keys[r] again
+        found = msel & (ver_hi[r] == mhi) & (ver_lo[r] == mlo)
     else:
         found = jnp.zeros_like(msel)
     start = jnp.where(found, row_offsets[r], 0)
@@ -146,18 +195,28 @@ def seed_cluster_screen(
     nh = jnp.take_along_axis(nh2, ci, axis=1)
     strand = jnp.take_along_axis(strand2, ci, axis=1)
 
-    # ---- stage 4: tier-1 ungapped screen -------------------------------
-    G = concat.shape[0]
-    offs = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    sidx = pred[..., None] + offs  # (B, C, L)
-    in_b = (sidx >= 0) & (sidx < G)
-    subj = jnp.where(in_b, concat[jnp.clip(sidx, 0, G - 1)], jnp.int8(4))
-    # read codes on the candidate's strand: row = strand*B + read
+    # ---- stage 4: tier-1 ungapped screen on packed words ----------------
+    Wr = L // 16
+    pred_c = jnp.clip(pred, -BIG32, BIG32)  # avoid overflow in word math
+    s_words = gather_aligned_words(packed_genome, pred_c, Wr)  # (B, C, Wr)
+    s_n2 = gather_aligned_words(genome_n2, pred_c, Wr)
+    q_packed, q_n2 = pack_codes_words(codes)  # (R, Wr)
     row_sel = strand * B + jnp.arange(B, dtype=jnp.int32)[:, None]  # (B, C)
-    q3 = codes[row_sel]  # (B, C, L)
+    q_words = q_packed[row_sel]  # (B, C, Wr)
+    qn2 = q_n2[row_sel]
+    x = q_words ^ s_words
+    mism_bits = ((x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)) | s_n2 | qn2
+    # expand bit 2j of each word to a (B, C, L) bool mismatch mask
+    jsh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, None, :]
+    m = ((mism_bits[..., None] >> jsh) & jnp.uint32(1)).astype(bool)
+    m = m.reshape(B, C, L)
+    # out-of-genome placements mismatch everywhere (old semantics: subj = N)
+    offs = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    gpos = pred_c[..., None] + offs
+    m = m | (gpos < 0) | (gpos >= genome_len)
     l3 = lengths[row_sel]
-    t_mm, t_cs, t_ce = tier1_stats_vec(
-        q3.reshape(B * C, L), l3.reshape(B * C), subj.reshape(B * C, L)
+    t_mm, t_cs, t_ce = tier1_stats_from_mask(
+        m.reshape(B * C, L), l3.reshape(B * C)
     )
 
     return {

@@ -19,20 +19,22 @@ import jax.numpy as jnp
 
 
 @jax.jit
-def tier1_stats_vec(query: jnp.ndarray, qlen: jnp.ndarray, subject: jnp.ndarray):
-    """Closed-form tier-1 stats: same outputs as tier1_stats but built from
-    cumulative sums/maxima instead of sequential scans — O(log L) depth, no
-    per-step scan overhead (the scan version costs ~2L tiny TPU steps).
+def tier1_stats_from_mask(m: jnp.ndarray, qlen: jnp.ndarray):
+    """Closed-form tier-1 stats from a precomputed mismatch mask
+    m (B, L) bool (True = mismatch at an in-query position; positions at or
+    past qlen must already be False).  Same outputs as tier1_stats but built
+    from cumulative sums/maxima instead of sequential scans — O(log L)
+    depth, no per-step scan overhead.
 
     Clip semantics (countMismatches): walking in from an end, the clip ends
     at the first position i that matches and has seen fewer than i-3
     mismatches so far; the clip is everything up to the last mismatch
     strictly before i.
     """
-    B, L = query.shape
+    B, L = m.shape
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     inq = idx < qlen[:, None]
-    m = (query != subject) & inq
+    m = m & inq
     total = m.sum(axis=1).astype(jnp.int32)
 
     mi = m.astype(jnp.int32)
@@ -48,20 +50,24 @@ def tier1_stats_vec(query: jnp.ndarray, qlen: jnp.ndarray, subject: jnp.ndarray)
         has, jnp.take_along_axis(lastmm_excl, first_fire[:, None], axis=1)[:, 0] + 1, 0
     ).astype(jnp.int32)
 
-    # backward pass on reversed per-read coordinates
-    ridx = qlen[:, None] - 1 - idx  # original position at reversed slot j
-    rvalid = ridx >= 0
-    rgather = jnp.clip(ridx, 0, L - 1)
-    m_rev = jnp.take_along_axis(m, rgather, axis=1) & rvalid
-    mi_r = m_rev.astype(jnp.int32)
-    cnt_r_excl = jnp.cumsum(mi_r, axis=1) - mi_r
-    # min original mismatch index among reversed prefix (exclusive)
-    minmm_incl = -jax.lax.cummax(jnp.where(m_rev, -ridx, -(1 << 30)), axis=1)
-    minmm_excl = jnp.concatenate(
-        [jnp.full((B, 1), 1 << 30, jnp.int32), minmm_incl[:, :-1]], axis=1
+    # backward pass on the flipped mask (lax.rev is a cheap layout op; the
+    # previous take_along_axis realign was a 4M-element gather).  Flipped
+    # slot j' maps to original position L-1-j'; real read positions start
+    # at pad = L - qlen, and the reversed read coordinate is j' - pad.
+    # Padding slots are False in m (masked by inq), so cumsums pass through.
+    mf = jnp.flip(m, axis=1)
+    rstep = idx - (L - qlen)[:, None]  # reversed read coordinate at slot
+    mi_f = mf.astype(jnp.int32)
+    cnt_f_excl = jnp.cumsum(mi_f, axis=1) - mi_f
+    # min original mismatch index among earlier reversed steps (exclusive):
+    # original index L-1-j' decreases with j', so min = L-1 - cummax(slot)
+    lastf_incl = jax.lax.cummax(jnp.where(mf, idx, -1), axis=1)
+    lastf_excl = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), lastf_incl[:, :-1]], axis=1
     )
+    minmm_excl = jnp.where(lastf_excl >= 0, L - 1 - lastf_excl, 1 << 30)
     minmm_excl = jnp.minimum(minmm_excl, qlen[:, None])  # init lastMismatch=qlen
-    fire_r = rvalid & (~m_rev) & (cnt_r_excl + 3 < idx)
+    fire_r = (rstep >= 0) & (~mf) & (cnt_f_excl + 3 < rstep)
     has_r = fire_r.any(axis=1)
     first_r = jnp.argmax(fire_r, axis=1)
     clip_end = jnp.where(
@@ -70,6 +76,15 @@ def tier1_stats_vec(query: jnp.ndarray, qlen: jnp.ndarray, subject: jnp.ndarray)
         0,
     ).astype(jnp.int32)
     return total, clip_start, clip_end
+
+
+@jax.jit
+def tier1_stats_vec(query: jnp.ndarray, qlen: jnp.ndarray, subject: jnp.ndarray):
+    """tier1_stats_from_mask over explicit (query, subject) code arrays."""
+    B, L = query.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inq = idx < qlen[:, None]
+    return tier1_stats_from_mask((query != subject) & inq, qlen)
 
 
 @jax.jit
