@@ -69,16 +69,19 @@ def select_final_alignments(
             finals.setdefault(c.read_idx, []).append(c)
     for ridx, cands in finals.items():
         read = reads[ridx]
-        cands.sort(key=lambda c: -c.quality)
-        best = cands[0].quality
-        threshold = int(0.8 * best)
-        kept = []
-        for i, c in enumerate(cands):
-            if c.quality <= threshold and i > 0:
-                break
-            if i == 0 and c.quality <= threshold:
-                break
-            kept.append(c)
+        if len(cands) == 1:
+            # fast path: single candidate — no sort/threshold bookkeeping
+            # (q > 0.8*q for any positive quality)
+            kept = cands if cands[0].quality > 0 else []
+        else:
+            cands.sort(key=lambda c: -c.quality)
+            best = cands[0].quality
+            threshold = int(0.8 * best)
+            kept = []
+            for i, c in enumerate(cands):
+                if c.quality <= threshold:
+                    break
+                kept.append(c)
         n = len(kept)
         for i, c in enumerate(kept):
             aln = c.aln
@@ -163,12 +166,12 @@ class ReadsAligner:
         B = len(reads)
         self.total_reads += B
         fwd_codes = [r.codes for r in reads]
-        # the kernel expects fwd rows in [0, half) and rev rows in
-        # [half, 2*half): pad each strand block to the half-bucket.  The
-        # reverse-complement block is derived from the packed forward matrix
-        # in one vectorized pass (no per-read revcomp calls).
-        half = _row_bucket(B, minimum=128)
-        pad_blk = [np.empty(0, np.int8)] * (half - B)
+        # canonical seeding: only the forward-strand batch is uploaded; the
+        # kernel derives the reverse-complement in the packed bit domain.
+        # The host-side rev matrix (for DP jobs and SAM emit) is one
+        # vectorized pass — no per-read revcomp calls.
+        bucket = _row_bucket(B, minimum=128)
+        pad_blk = [np.empty(0, np.int8)] * (bucket - B)
         fwd_mat, lengths_h, _ = pack_reads(
             fwd_codes + pad_blk, pad_multiple=self.read_pad
         )
@@ -178,14 +181,12 @@ class ReadsAligner:
         rev_mat = np.where(
             ridx_rev >= 0, np.where(g < 4, 3 - g, g), np.int8(4)
         ).astype(np.int8)
-        codes = np.concatenate([fwd_mat, rev_mat], axis=0)
-        lengths = np.concatenate([lengths_h, lengths_h])
         hk, vhi, vlo, ro, ep = self.table.device_arrays()
         gp, gn2 = self.genome.device_packed()
         res = jax.device_get(
             seed_cluster_screen(
-                codes,
-                lengths.astype(np.int32),
+                fwd_mat,
+                lengths_h.astype(np.int32),
                 hk,
                 vhi,
                 vlo,

@@ -21,7 +21,6 @@ import numpy as np
 
 from ..core.genome import ReferenceGenome
 from ..core.sequences import pack_reads
-from ..kernels.minimizers import extract_minimizers
 
 DEF_KMER_LENGTH = 25  # ref: ReadsAligner.java:62
 DEF_WINDOW_LENGTH = 20  # ref: ReadsAligner.java:63
@@ -38,9 +37,10 @@ class MinimizerTable:
         self.k = k
         self.window = window
         self.max_hits_per_code = max_hits_per_code
-        self.unique_codes = np.empty(0, np.int64)
+        self.unique_codes = np.empty(0, np.int64)  # canonical codes, sorted
         self.row_offsets = np.zeros(1, np.int64)
-        self.entry_pos = np.empty(0, np.int64)
+        self.entry_pos = np.empty(0, np.int64)  # fwd-genome kmer start
+        self.entry_strand = np.empty(0, np.int8)  # 1 = canonical is rc
 
     # ---- build -----------------------------------------------------------
     @classmethod
@@ -52,9 +52,13 @@ class MinimizerTable:
         max_hits_per_code: int = DEF_MAX_HITS_PER_CODE,
         chunk: int = 1 << 18,
     ) -> "MinimizerTable":
+        from ..kernels.minimizers import extract_minimizers_canonical
+
         t = cls(k, window, max_hits_per_code)
         all_codes: list[np.ndarray] = []
         all_pos: list[np.ndarray] = []
+        all_strand: list[np.ndarray] = []
+        lo_bits = 2 * min(k, 15)
         overlap = k + window - 1
         for si in range(genome.num_sequences):
             seq = genome.sequences[si].codes
@@ -68,25 +72,30 @@ class MinimizerTable:
                     continue
                 # always pad to the full chunk length: one shape -> one compile
                 codes, lengths, _ = pack_reads([piece], pad_to=chunk, pad_multiple=chunk)
-                kcodes, sel, valid = extract_minimizers(codes, lengths, k, window)
+                hi, lo, flag, sel, valid = extract_minimizers_canonical(
+                    codes, lengths.astype(np.int32), k, window
+                )
                 sel = np.asarray(sel[0])
-                kcodes = np.asarray(kcodes[0])
-                # avoid double-selection in the overlap zone: keep positions
-                # >= s+overlap only for continuation chunks... but a minimizer
-                # near the seam may be selected in either chunk; dedupe later.
                 idx = np.nonzero(sel)[0]
-                all_codes.append(kcodes[idx].astype(np.int64))
+                kcodes = (
+                    np.asarray(hi[0])[idx].astype(np.int64) << lo_bits
+                ) | np.asarray(lo[0])[idx].astype(np.int64)
+                # a minimizer near the chunk seam may be selected in either
+                # chunk; dedupe later
+                all_codes.append(kcodes)
                 all_pos.append(base + s + idx.astype(np.int64))
+                all_strand.append(np.asarray(flag[0])[idx].astype(np.int64))
         if not all_codes:
             return t
         codes = np.concatenate(all_codes)
         pos = np.concatenate(all_pos)
+        strand = np.concatenate(all_strand)
         # dedupe seam duplicates, then CSR by code
-        pairs = np.stack([codes, pos], axis=1)
+        pairs = np.stack([codes, pos, strand], axis=1)
         pairs = np.unique(pairs, axis=0)
-        codes, pos = pairs[:, 0], pairs[:, 1]
+        codes, pos, strand = pairs[:, 0], pairs[:, 1], pairs[:, 2]
         order = np.argsort(codes, kind="stable")
-        codes, pos = codes[order], pos[order]
+        codes, pos, strand = codes[order], pos[order], strand[order]
         starts = np.empty(len(codes), bool)
         starts[0] = True
         np.not_equal(codes[1:], codes[:-1], out=starts[1:])
@@ -97,6 +106,7 @@ class MinimizerTable:
         # rebuild arrays without overrepresented rows
         keep_mask = np.repeat(keep_row, counts)
         t.entry_pos = pos[keep_mask]
+        t.entry_strand = strand[keep_mask].astype(np.int8)
         kept_counts = counts[keep_row]
         t.unique_codes = uniq[keep_row]
         t.row_offsets = np.zeros(len(t.unique_codes) + 1, np.int64)
@@ -120,23 +130,33 @@ class MinimizerTable:
     def collect_hits(
         self, query_codes: np.ndarray, query_positions: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Expand CSR rows for a single read's minimizer codes.
+        """Expand CSR rows for a single read's forward-strand minimizer codes.
 
-        Returns (subject_concat_pos, query_pos) hit pair arrays — the
-        equivalent of the reference's UngappedSearchHit lists
-        (ShortKmerCodesTable.matchCompressed, UngappedSearchHit.java).
+        Queries are canonicalized internally and hits filtered to entries
+        whose canonical strand matches the query's, i.e. forward-strand
+        genome matches — callers keep the same forward-coordinate view they
+        had when the table stored forward codes.  Returns
+        (subject_concat_pos, query_pos) — the equivalent of the reference's
+        UngappedSearchHit lists (ShortKmerCodesTable.matchCompressed).
         """
-        starts, ends = self.lookup_rows(query_codes)
+        from ..kernels.kmers import rc_code_int64
+
+        rc = rc_code_int64(query_codes, self.k)
+        canon = np.minimum(query_codes, rc)
+        qflag = (rc < query_codes).astype(np.int8)
+        starts, ends = self.lookup_rows(canon)
         counts = ends - starts
         total = int(counts.sum())
         if total == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         qp = np.repeat(query_positions, counts)
+        qf = np.repeat(qflag, counts)
         # ragged gather: build index vector
         idx = np.concatenate(
             [np.arange(s, e, dtype=np.int64) for s, e in zip(starts, ends) if e > s]
         )
-        return self.entry_pos[idx], qp
+        keep = self.entry_strand[idx] == qf
+        return self.entry_pos[idx][keep], qp[keep]
 
     @property
     def size(self) -> int:
@@ -184,7 +204,10 @@ class MinimizerTable:
                     + np.arange(total, dtype=np.int64)
                     - np.repeat(out_off, cnts)
                 )
-                entries = self.entry_pos[idx]
+                # pack canonical strand into bit 31 of the int32 position
+                entries = self.entry_pos[idx] | (
+                    self.entry_strand[idx].astype(np.int64) << 31
+                )
             else:
                 entries = np.empty(0, np.int64)
             offs = np.zeros(keep.sum() + 1, np.int64)
@@ -194,7 +217,7 @@ class MinimizerTable:
                 jnp.asarray(code_hi[order][keep], jnp.int32),
                 jnp.asarray(code_lo[order][keep], jnp.int32),
                 jnp.asarray(offs, jnp.int32),
-                jnp.asarray(entries, jnp.int32),
+                jnp.asarray(entries.astype(np.uint32).view(np.int32)),
             )
         return self._device_arrays
 
@@ -207,6 +230,7 @@ class MinimizerTable:
             unique_codes=self.unique_codes,
             row_offsets=self.row_offsets,
             entry_pos=self.entry_pos,
+            entry_strand=self.entry_strand,
         )
 
     @classmethod
@@ -216,4 +240,9 @@ class MinimizerTable:
         t.unique_codes = d["unique_codes"]
         t.row_offsets = d["row_offsets"]
         t.entry_pos = d["entry_pos"]
+        t.entry_strand = (
+            d["entry_strand"]
+            if "entry_strand" in d
+            else np.zeros(len(t.entry_pos), np.int8)
+        )
         return t

@@ -81,6 +81,64 @@ def kmer_codes_2x32(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def kmer_codes_canonical_2x32(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """Canonical (strand-symmetric) k-mer codes as two int32 halves.
+
+    For each window the forward and reverse-complement codes are computed in
+    one unrolled pass and the lexicographically smaller one is kept, with
+    flag=1 when the reverse-complement won.  Canonical selection lets the
+    seed index store one strand and read queries run on the forward strand
+    only — half the rows of the fwd+rev design.  Palindromic windows
+    (fwd == rc, only possible for even k) are dropped.
+
+    Returns (hi, lo, flag, valid): flag int32 0/1.
+    """
+    assert k <= 30
+    n, L = codes.shape
+    nk = L - k + 1
+    c = codes.astype(jnp.int32)
+    split = max(0, k - 15)
+    fhi = jnp.zeros((n, nk), jnp.int32)
+    flo = jnp.zeros((n, nk), jnp.int32)
+    rhi = jnp.zeros((n, nk), jnp.int32)
+    rlo = jnp.zeros((n, nk), jnp.int32)
+    ok = jnp.ones((n, nk), bool)
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(c, j, nk, axis=1)
+        v = jnp.where(cj < 4, cj, 0)
+        w = 3 - v
+        if j < split:
+            fhi = fhi * 4 + v
+        else:
+            flo = flo * 4 + v
+        # reverse-complement base index m = k-1-j: j>=15 lands in rc_hi with
+        # weight 4^(j-15), j<15 in rc_lo with weight 4^j
+        if j >= 15:
+            rhi = rhi + (w << (2 * (j - 15)))
+        else:
+            rlo = rlo + (w << (2 * j))
+        ok = ok & (cj < 4)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
+    ok = ok & (pos + k <= lengths[:, None])
+    fwd_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    flag = jnp.where(fwd_le, 0, 1).astype(jnp.int32)
+    hi = jnp.where(fwd_le, fhi, rhi)
+    lo = jnp.where(fwd_le, flo, rlo)
+    ok = ok & ~((fhi == rhi) & (flo == rlo))  # drop palindromes (even k only)
+    return hi, lo, flag, ok
+
+
+def rc_code_int64(codes: np.ndarray, k: int) -> np.ndarray:
+    """Host: reverse-complement of 2-bit-packed int64 k-mer codes."""
+    c = np.asarray(codes, np.int64).copy()
+    out = np.zeros_like(c)
+    for _ in range(k):
+        out = (out << 2) | (3 - (c & 3))
+        c >>= 2
+    return out
+
+
+@partial(jax.jit, static_argnames=("k",))
 def kmer_codes_both_strands(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
     """Forward + reverse-complement k-mer codes for a read batch.
 

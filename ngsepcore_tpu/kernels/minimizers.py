@@ -105,27 +105,37 @@ def select_minimizers(hashes: jnp.ndarray, valid: jnp.ndarray, window: int):
 
 
 @partial(jax.jit, static_argnames=("k", "window"))
-def extract_minimizers_2x32(
+def extract_minimizers_canonical(
     codes: jnp.ndarray, lengths: jnp.ndarray, k: int, window: int
 ):
-    """codes (B, L) -> (hi, lo, minimizer mask, valid): the int32-native
-    extraction used by both the genome table build and read queries (the
-    two sides must select with the same hash to share seeds)."""
-    from .kmers import kmer_codes_2x32
+    """codes (B, L) -> (hi, lo, flag, minimizer mask, valid): canonical
+    int32-native extraction used by BOTH the genome table build and read
+    queries — strand-symmetric selection means a read and its mapping locus
+    select the same windows regardless of orientation, so one query strand
+    suffices."""
+    from .kmers import kmer_codes_canonical_2x32
 
-    hi, lo, valid = kmer_codes_2x32(codes, lengths, k)
+    hi, lo, flag, valid = kmer_codes_canonical_2x32(codes, lengths, k)
     sel = select_minimizers(minimizer_hash30(hi, lo), valid, window)
-    return hi, lo, sel, valid
+    return hi, lo, flag, sel, valid
 
 
 def extract_minimizers(codes, lengths, k: int, window: int):
     """codes (B, L) -> (kcodes int64 numpy, minimizer mask, valid) for the
-    forward strand.  Host-facing wrapper over the int32-native extraction;
-    selection is deterministic and strand-stable enough for seeding
-    (behavioral parity bar is final alignments, not seed sets; SURVEY §7).
+    forward strand.  Host-facing wrapper: selection is canonical (matching
+    the table build) but the returned codes are the forward-strand codes at
+    the selected positions, so host callers (long reads, transposons) keep
+    their forward-coordinate view; MinimizerTable.collect_hits
+    re-canonicalizes and strand-filters.
     """
-    hi, lo, sel, valid = extract_minimizers_2x32(codes, lengths, k, window)
+    from .kmers import rc_code_int64
+
+    hi, lo, flag, sel, valid = extract_minimizers_canonical(
+        codes, lengths, k, window
+    )
     hi = np.asarray(hi).astype(np.int64)
     lo = np.asarray(lo).astype(np.int64)
-    kcodes = (hi << (2 * min(k, 15))) | lo
+    flag = np.asarray(flag)
+    canon = (hi << (2 * min(k, 15))) | lo
+    kcodes = np.where(flag == 1, rc_code_int64(canon, k), canon)
     return kcodes, np.asarray(sel), np.asarray(valid)

@@ -1,6 +1,6 @@
-"""Fused on-device seeding: minimizers -> table lookup -> diagonal
-clustering -> cross-strand candidate merge -> tier-1 ungapped screen, one
-jit per read batch.
+"""Fused on-device seeding: canonical minimizers -> table lookup ->
+strand-aware diagonal clustering -> tier-1 ungapped screen, one jit per
+read batch.
 
 Ref: the short-read seeding stack
  - ShortKmerCodesTable.matchCompressed (ShortKmerCodesTable.java:344-420)
@@ -10,19 +10,21 @@ Ref: the short-read seeding stack
    (ShortReadsUngappedSearchHitsClusterAligner.java:157-192)
 
 TPU redesign: the reference walks per-read Java objects (hit lists,
-TreeMaps).  Here a whole read batch is one tensor program, with every hot
-array in native 32-bit types (TPU int64 is emulated at ~3x cost):
- - k-mer codes are two int32 halves (kernels/kmers.kmer_codes_2x32);
+TreeMaps) and aligns the forward and reverse-complement read separately
+(SingleReadsAligner.java:46-75).  Here a whole read batch is one tensor
+program with every hot array in native 32-bit types (TPU int64 is
+emulated at ~3x cost):
+ - k-mer codes are CANONICAL (min of fwd/rc) two-int32 halves, so one
+   forward-strand pass finds matches on both genome strands — half the
+   rows of a fwd+rev design, and the reverse-complement read never leaves
+   the device (it is derived in the packed bit domain for the screen);
  - table lookup is a searchsorted over sorted uint32 keys with exact
-   (hi, lo) int32 verification per query;
- - hits expand to a fixed (reads, minimizers, hits/kmer) block;
+   (hi, lo) int32 verification per query; entries carry the genome
+   position with the canonical-strand flag in bit 31;
+ - the match strand is query_flag XOR entry_flag; reverse matches use the
+   reverse-read coordinate qlen-k-qpos so diagonals cluster per strand;
  - diagonal clustering is two per-row sorts + segmented cumsum stats
    (scatter-free: TPU scatters serialize);
- - predicted subject start is the diagonal of the cluster's earliest
-   query anchor (the reference's early-weighted predictSubjectStart biases
-   the same way, UngappedSearchHitsCluster.java:220-231);
- - fwd/rev strand candidates merge BEFORE the mismatch screen so the
-   expensive subject gather runs on the per-read top candidates only;
  - the tier-1 screen compares 16-base bit-packed words (gather cost on
    this chip is per element, so packing cuts the subject gather ~16x) and
    expands the XOR mismatch bits to a bool mask for the clip statistics.
@@ -55,6 +57,43 @@ def pack_codes_words(codes: jnp.ndarray):
     return packed, n2
 
 
+def _bitrev_groups(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the sixteen 2-bit groups within each uint32 word."""
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    x = ((x & m2) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & m2)
+    x = ((x & m4) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & m4)
+    x = ((x & m8) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & m8)
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def reverse_packed_rows(packed: jnp.ndarray, n2: jnp.ndarray, lengths: jnp.ndarray):
+    """Reverse(-complement) packed read rows entirely in the packed bit
+    domain: group-reversal within words + word flip reverses the padded row;
+    a per-row left shift of (L - qlen) bases re-aligns the read to offset 0;
+    complement is a plain XOR (N positions stay flagged in n2, so their
+    garbage base bits never matter).  No per-base gathers."""
+    R, W = packed.shape
+    L = W * 16
+    pr = jnp.flip(_bitrev_groups(packed), axis=1) ^ jnp.uint32(0xFFFFFFFF)
+    nr = jnp.flip(_bitrev_groups(n2), axis=1)
+    s = (L - lengths).astype(jnp.int32)  # bases to shift out
+    wsh = (s >> 4)[:, None]
+    o = (2 * (s & 15)).astype(jnp.uint32)[:, None]
+    t = jnp.arange(W, dtype=jnp.int32)[None, :]
+    idx0 = jnp.clip(t + wsh, 0, W - 1)
+    idx1 = jnp.clip(t + wsh + 1, 0, W - 1)
+    in1 = (t + wsh + 1) < W
+
+    def shift(x):
+        w0 = jnp.take_along_axis(x, idx0, axis=1)
+        w1 = jnp.where(in1, jnp.take_along_axis(x, idx1, axis=1), 0)
+        return jnp.where(o == 0, w0, (w0 >> o) | (w1 << (jnp.uint32(32) - o)))
+
+    return shift(pr), shift(nr)
+
+
 def gather_aligned_words(packed: jnp.ndarray, start: jnp.ndarray, n_words: int):
     """Gather `n_words` 16-base words beginning at arbitrary base offset
     `start` (any shape) from a packed uint32 genome, realigned in the packed
@@ -82,13 +121,13 @@ def gather_aligned_words(packed: jnp.ndarray, start: jnp.ndarray, n_words: int):
     ),
 )
 def seed_cluster_screen(
-    codes: jnp.ndarray,  # (2B, L) int8 read codes: B fwd rows then B rev rows
-    lengths: jnp.ndarray,  # (2B,) int32
+    codes: jnp.ndarray,  # (B, L) int8 forward-strand read codes
+    lengths: jnp.ndarray,  # (B,) int32
     hash_keys: jnp.ndarray,  # (U,) uint32 sorted lookup hash per distinct code
-    ver_hi: jnp.ndarray,  # (U,) int32 exact code high half per key
-    ver_lo: jnp.ndarray,  # (U,) int32 exact code low half per key
+    ver_hi: jnp.ndarray,  # (U,) int32 exact canonical code high half per key
+    ver_lo: jnp.ndarray,  # (U,) int32 exact canonical code low half per key
     row_offsets: jnp.ndarray,  # (U+1,) int32 CSR offsets
-    entry_pos: jnp.ndarray,  # (E,) int32 concat genome positions
+    entry_packed: jnp.ndarray,  # (E,) int32: fwd pos | canonical strand << 31
     packed_genome: jnp.ndarray,  # (Wg,) uint32 16-base packed genome
     genome_n2: jnp.ndarray,  # (Wg,) uint32 per-base non-ACGT flags (bit 2j)
     *,
@@ -99,23 +138,23 @@ def seed_cluster_screen(
     hits_per_kmer: int = 4,
     max_clusters: int = 4,
 ):
-    from .kmers import kmer_codes_2x32
+    from .kmers import kmer_codes_canonical_2x32
 
-    R, L = codes.shape
-    B = R // 2
+    B, L = codes.shape
     M, K, C = max_minimizers, hits_per_kmer, max_clusters
     H = M * K
 
-    # ---- stage 1: minimizer selection (int32-native) -------------------
-    khi, klo, valid = kmer_codes_2x32(codes, lengths, k)
+    # ---- stage 1: canonical minimizer selection (int32-native) ---------
+    khi, klo, kflag, valid = kmer_codes_canonical_2x32(codes, lengths, k)
     sel = select_minimizers(minimizer_hash30(khi, klo), valid, window)
     # compact selected positions to M slots (position order preserved)
     nk = sel.shape[1]
     pos = jnp.arange(nk, dtype=jnp.int32)[None, :]
-    _, seli = jax.lax.top_k(jnp.where(sel, (1 << 24) - pos, 0), M)  # (R, M)
+    _, seli = jax.lax.top_k(jnp.where(sel, (1 << 24) - pos, 0), M)  # (B, M)
     msel = jnp.take_along_axis(sel, seli, axis=1)
     mhi = jnp.take_along_axis(khi, seli, axis=1)
     mlo = jnp.take_along_axis(klo, seli, axis=1)
+    mflag = jnp.take_along_axis(kflag, seli, axis=1)
     mpos = seli
 
     # ---- stage 2: hashed CSR lookup ------------------------------------
@@ -124,8 +163,7 @@ def seed_cluster_screen(
     r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
     if U > 0:
         # (hi, lo) verification alone decides membership: if the query hash
-        # is absent, row r holds some other code and the compare fails —
-        # no need to gather hash_keys[r] again
+        # is absent, row r holds some other code and the compare fails
         found = msel & (ver_hi[r] == mhi) & (ver_lo[r] == mlo)
     else:
         found = jnp.zeros_like(msel)
@@ -135,37 +173,48 @@ def seed_cluster_screen(
     kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
     hit_valid = kk < cnt[..., None]
     eidx = jnp.where(hit_valid, start[..., None] + kk, 0)
-    spos = jnp.where(hit_valid, entry_pos[eidx], 0)
-    qpos = jnp.broadcast_to(mpos[..., None], spos.shape)
-    est = jnp.where(hit_valid, spos - qpos, BIG32)  # diagonal = est. start
+    entry = jnp.where(hit_valid, entry_packed[eidx], 0)
+    spos = entry & jnp.int32(0x7FFFFFFF)
+    sflag = (entry >> 31) & 1
+    # match strand = query canonical flag XOR entry canonical flag; on the
+    # reverse strand the read coordinate of the anchor is qlen - k - qpos
+    mstr = mflag[..., None] ^ sflag
+    qpos_f = jnp.broadcast_to(mpos[..., None], spos.shape)
+    qpos_eff = jnp.where(
+        mstr == 0, qpos_f, lengths[:, None, None] - k - qpos_f
+    )
+    est = jnp.where(hit_valid, spos - qpos_eff, BIG32)  # diagonal = est start
+    strand_h = jnp.where(hit_valid, mstr, 2)  # invalid sorts last
 
-    est = est.reshape(R, H)
-    qpos = qpos.reshape(R, H)
+    est = est.reshape(B, H)
+    qpos = qpos_eff.reshape(B, H)
+    strand_h = strand_h.reshape(B, H)
 
-    # ---- stage 3: diagonal clustering (scatter-free) -------------------
-    # sort hits by estimated start; clusters become contiguous runs
-    est_s, qpos_s = jax.lax.sort((est, qpos), dimension=1, num_keys=1)
-    valid_s = est_s < BIG32
+    # ---- stage 3: per-strand diagonal clustering (scatter-free) ---------
+    # sort hits by (strand, est); clusters become contiguous runs
+    str_s, est_s, qpos_s = jax.lax.sort((strand_h, est, qpos), dimension=1, num_keys=3)
+    valid_s = str_s < 2
     tol = jnp.maximum(10, lengths // 10).astype(jnp.int32)[:, None]
-    prev = jnp.concatenate([jnp.full((R, 1), -(1 << 30), jnp.int32), est_s[:, :-1]], 1)
-    brk = (est_s - prev) > tol
+    prev = jnp.concatenate([jnp.full((B, 1), -(1 << 30), jnp.int32), est_s[:, :-1]], 1)
+    prev_str = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), str_s[:, :-1]], 1)
+    brk = ((est_s - prev) > tol) | (str_s != prev_str)
     cid = jnp.cumsum(brk.astype(jnp.int32), axis=1) - 1
     cid = jnp.clip(cid, 0, H - 1)
-    # re-sort by (cluster, query pos, est): runs stay contiguous, and the
-    # first element of each run is the cluster's earliest query anchor
+    # re-sort by (cluster, query pos): runs stay contiguous, and the first
+    # element of each run is the cluster's earliest query anchor
     key2 = jnp.where(valid_s, cid * jnp.int32(65536) + qpos_s, BIG32)
-    key2_s, est2 = jax.lax.sort((key2, est_s), dimension=1, num_keys=2)
+    key2_s, est2, str2 = jax.lax.sort((key2, est_s, str_s), dimension=1, num_keys=2)
     valid2 = key2_s < BIG32
-    prev2 = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), key2_s[:, :-1]], 1)
+    prev2 = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), key2_s[:, :-1]], 1)
     distinct = (key2_s != prev2) & valid2  # first of each (cluster, qpos)
     dcid = key2_s >> 16
-    prev_dcid = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32), dcid[:, :-1]], 1)
+    prev_dcid = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), dcid[:, :-1]], 1)
     run_start = (dcid != prev_dcid) & valid2
-    pos_idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (R, H))
+    pos_idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (B, H))
     start_idx = jax.lax.cummax(jnp.where(run_start, pos_idx, 0), axis=1)
-    next_start = jnp.concatenate([run_start[:, 1:], jnp.ones((R, 1), bool)], 1)
+    next_start = jnp.concatenate([run_start[:, 1:], jnp.ones((B, 1), bool)], 1)
     is_end = valid2 & (next_start | ~jnp.concatenate(
-        [valid2[:, 1:], jnp.zeros((R, 1), bool)], 1
+        [valid2[:, 1:], jnp.zeros((B, 1), bool)], 1
     ))
     # segmented sums over contiguous runs via cumsum differences
     di = distinct.astype(jnp.int32)
@@ -175,35 +224,25 @@ def seed_cluster_screen(
     weights_slot = jnp.where(is_end, seg_weight, 0)  # distinct qpos per cluster
     nh_slot = jnp.where(is_end, pos_idx - start_idx + 1, 0)
     pred_slot = jnp.take_along_axis(est2, start_idx, axis=1)
+    strand_slot = jnp.take_along_axis(str2, start_idx, axis=1)
 
-    w_row, slot_row = jax.lax.top_k(weights_slot, C)  # per strand row
-    nh_row = jnp.take_along_axis(nh_slot, slot_row, axis=1)
-    pred_row = jnp.take_along_axis(pred_slot, slot_row, axis=1)
-    pred_row = jnp.where(w_row > 0, pred_row, BIG32)
-
-    # ---- stage 3b: merge strands, keep per-read top candidates ---------
-    # rows are [fwd x B, rev x B]; candidate axis becomes 2C with a strand
-    # flag, and only the overall top C candidates get screened
-    w2 = jnp.concatenate([w_row[:B], w_row[B:]], axis=1)  # (B, 2C)
-    pred2 = jnp.concatenate([pred_row[:B], pred_row[B:]], axis=1)
-    nh2 = jnp.concatenate([nh_row[:B], nh_row[B:]], axis=1)
-    strand2 = jnp.concatenate(
-        [jnp.zeros((B, C), jnp.int32), jnp.ones((B, C), jnp.int32)], axis=1
-    )
-    w_top, ci = jax.lax.top_k(w2, C)  # (B, C)
-    pred = jnp.take_along_axis(pred2, ci, axis=1)
-    nh = jnp.take_along_axis(nh2, ci, axis=1)
-    strand = jnp.take_along_axis(strand2, ci, axis=1)
+    w_top, slot = jax.lax.top_k(weights_slot, C)  # (B, C) best clusters
+    nh = jnp.take_along_axis(nh_slot, slot, axis=1)
+    pred = jnp.take_along_axis(pred_slot, slot, axis=1)
+    strand = jnp.take_along_axis(strand_slot, slot, axis=1)
+    pred = jnp.where(w_top > 0, pred, BIG32)
+    strand = jnp.clip(strand, 0, 1)
 
     # ---- stage 4: tier-1 ungapped screen on packed words ----------------
     Wr = L // 16
     pred_c = jnp.clip(pred, -BIG32, BIG32)  # avoid overflow in word math
     s_words = gather_aligned_words(packed_genome, pred_c, Wr)  # (B, C, Wr)
     s_n2 = gather_aligned_words(genome_n2, pred_c, Wr)
-    q_packed, q_n2 = pack_codes_words(codes)  # (R, Wr)
-    row_sel = strand * B + jnp.arange(B, dtype=jnp.int32)[:, None]  # (B, C)
-    q_words = q_packed[row_sel]  # (B, C, Wr)
-    qn2 = q_n2[row_sel]
+    q_packed, q_n2 = pack_codes_words(codes)  # (B, Wr)
+    qr_packed, qr_n2 = reverse_packed_rows(q_packed, q_n2, lengths)
+    rev = (strand == 1)[..., None]
+    q_words = jnp.where(rev, qr_packed[:, None, :], q_packed[:, None, :])
+    qn2 = jnp.where(rev, qr_n2[:, None, :], q_n2[:, None, :])
     x = q_words ^ s_words
     mism_bits = ((x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)) | s_n2 | qn2
     # expand bit 2j of each word to a (B, C, L) bool mismatch mask
@@ -214,7 +253,7 @@ def seed_cluster_screen(
     offs = jnp.arange(L, dtype=jnp.int32)[None, None, :]
     gpos = pred_c[..., None] + offs
     m = m | (gpos < 0) | (gpos >= genome_len)
-    l3 = lengths[row_sel]
+    l3 = jnp.broadcast_to(lengths[:, None], (B, C))
     t_mm, t_cs, t_ce = tier1_stats_from_mask(
         m.reshape(B * C, L), l3.reshape(B * C)
     )
