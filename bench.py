@@ -58,27 +58,21 @@ def main() -> None:
             ).simulate(N_READS // 2)
         )
 
+    from ngsepcore_tpu.call.fused_pipeline import AlignCallPipeline
+
     aligner = ReadsAligner(genome)
     detector = SingleSampleVariantsDetector(genome, sample_id="bench")
+    pipe = AlignCallPipeline(genome, aligner=aligner, detector=detector,
+                             batch_size=BATCH)
 
-    # warmup: compile all kernels on a full-size batch; the chunked
-    # genotyping path keeps compile shapes coverage-independent, so one
-    # warm batch covers the whole run
-    _ = aligner.align_batch(reads[:BATCH])
-    warm_alns = [a for r in _ for a in r]
-    _ = detector.find_variants(warm_alns)
+    # warmup: compile all kernels (seeding, scatter, genotype) on
+    # full-size shapes; the pipeline's bucketed shapes repeat afterwards
+    _ = pipe.run_reads(reads[: BATCH + 128])
+    aligner.total_reads = aligner.aligned_reads = 0
 
     t0 = time.time()
-    alns = []
-    for i in range(0, len(reads), BATCH):
-        for r in aligner.align_batch(reads[i : i + BATCH]):
-            alns.extend(r)
-    t_align = time.time() - t0
-    t0 = time.time()
-    records = detector.find_variants(alns)
-    t_call = time.time() - t0
-
-    total = t_align + t_call
+    records = pipe.run_reads(reads)
+    total = time.time() - t0
     rps = len(reads) / total
     result = {
         "metric": "yeast-scale WGS reads aligned+genotyped/s/chip",
@@ -87,9 +81,8 @@ def main() -> None:
         "vs_baseline": round(rps / JAVA_BASELINE_READS_PER_S, 3),
         "detail": {
             "n_reads": len(reads),
-            "align_s": round(t_align, 1),
-            "genotype_s": round(t_call, 1),
-            "aligned": len(alns),
+            "total_s": round(total, 2),
+            "aligned": aligner.aligned_reads,
             "variants_called": len(records),
             "genome_mbp": GENOME_MBP,
         },

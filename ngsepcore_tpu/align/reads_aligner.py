@@ -294,26 +294,26 @@ class ReadsAligner:
     # ------------------------------------------------------------------
     DP_ROWS = 256  # fixed DP batch rows: one compile shape per (Lq, Ls)
 
-    def _tier3(
+    def _tier3_jobs(
         self,
         dp_cands: list[_Candidate],
         fwd_mat: np.ndarray,
         rev_mat: np.ndarray,
         lengths: np.ndarray,
-    ) -> None:
-        """Affine-gap DP with free subject ends (ref tier-3, ":97-121").
-
-        Jobs run in fixed-size row chunks with lane-aligned lengths so the
-        DP kernel compiles once per read-length bucket instead of once per
-        batch-dependent shape."""
-        if not dp_cands:
-            return
+    ) -> list:
+        """Build DP jobs (candidate, query codes, subject range) for the
+        affine-gap fallback; rejects windows too distorted to align.
+        `rev_mat=None` derives reverse rows per candidate (cheaper when
+        few reads fall back)."""
         offs = self.genome.offsets
-        concat = self.genome.concat
         jobs = []
         for c in dp_cands:
             qlen = int(lengths[c.read_idx])
-            qcodes = (rev_mat if c.reverse else fwd_mat)[c.read_idx, :qlen]
+            if c.reverse and rev_mat is None:
+                r = fwd_mat[c.read_idx, :qlen][::-1]
+                qcodes = np.where(r < 4, 3 - r, r).astype(np.int8)
+            else:
+                qcodes = (rev_mat if c.reverse else fwd_mat)[c.read_idx, :qlen]
             s0, s1 = int(offs[c.seq_idx]), int(offs[c.seq_idx + 1])
             first = max(s0, c.pred_start - 3)
             last = min(s1, c.pred_start + qlen + 3)
@@ -321,11 +321,30 @@ class ReadsAligner:
             if d > 1.5 * qlen or d < 0.5 * qlen:
                 continue
             jobs.append((c, qcodes, first, last))
+        return jobs
+
+    def _tier3_run(self, jobs: list) -> None:
+        """Run prebuilt DP jobs in fixed-size row chunks with lane-aligned
+        lengths so the DP kernel compiles once per read-length bucket
+        instead of once per batch-dependent shape."""
         if not jobs:
             return
+        concat = self.genome.concat
         self.complete_alns += len(jobs)
         for c0 in range(0, len(jobs), self.DP_ROWS):
             self._tier3_chunk(jobs[c0 : c0 + self.DP_ROWS], concat)
+
+    def _tier3(
+        self,
+        dp_cands: list[_Candidate],
+        fwd_mat: np.ndarray,
+        rev_mat: np.ndarray,
+        lengths: np.ndarray,
+    ) -> None:
+        """Affine-gap DP with free subject ends (ref tier-3, ":97-121")."""
+        if not dp_cands:
+            return
+        self._tier3_run(self._tier3_jobs(dp_cands, fwd_mat, rev_mat, lengths))
 
     def _tier3_chunk(self, jobs: list, concat: np.ndarray) -> None:
         max_q = max(len(j[1]) for j in jobs)

@@ -1,0 +1,637 @@
+"""Fused align+call pipeline: reads -> variant records with the hot path
+entirely on device.
+
+Ref: the reference runs ReadsAligner (ReadsAligner.java:53-534) to a BAM,
+then SingleSampleVariantsDetector (SingleSampleVariantsDetector.java:589-656)
+streams it back through the per-position pileup listener chain.  Both
+stages walk one Java object per read (and one listener call per base).
+
+TPU redesign: the two stages share one device-resident dataflow.  For the
+dominant read class — a unique tier-1 (ungapped) alignment away from any
+indel evidence — the packed read batch uploaded for seeding is reused
+directly by the pileup scatter (kernels/genotyping.accumulate_tier1_window):
+no ReadAlignment object, no CIGAR string, no per-base host work ever
+exists for those reads.  Only reads needing gapped DP, with ambiguous
+placements, or overlapping indel/STR neighborhoods drop to the exact
+host-object path shared with the classic two-stage flow, which keeps the
+emitted VCF records identical to ReadsAligner + SingleSampleVariantsDetector
+(tests/test_fused_pipeline.py asserts equality record-by-record).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align.read_alignment import ReadAlignment
+from ..align.reads_aligner import (
+    MIN_PROPORTION_BEST,
+    MIN_WEIGHTED_COUNT,
+    ReadsAligner,
+    _Candidate,
+    _row_bucket,
+    select_final_alignments,
+)
+from ..core.genome import ReferenceGenome
+from ..core.sequences import RawRead, pack_reads
+from ..vcf.io import VCFRecord
+
+# a read whose single accepted placement might interact with indel
+# realignment is demoted to the host path when it overlaps an indel or
+# known-STR neighborhood padded by this many bases on each side (covers
+# event-start moves, STR-span extension, and end trimming, all of which
+# stay within one read length of the raw event: call/realigner.py)
+INDEL_PAD = 16
+
+
+@dataclass
+class _BatchState:
+    """Device handles + compact per-read arrays for one aligned batch."""
+
+    reads: list[RawRead]
+    codes_dev: object  # (Bk, Lp) int8 on device
+    quals_dev: object  # (Bk, Lp) int8 on device
+    lengths: np.ndarray  # (Bk,) int32
+    # per-read accepted tier-1 placement (row i = read i; -1 where not fused)
+    pred: np.ndarray
+    cs: np.ndarray
+    ce: np.ndarray
+    mm: np.ndarray
+    strand: np.ndarray
+    fused: np.ndarray  # bool: unique tier-1 accept, candidate for device path
+    host_alns: list[list[ReadAlignment]] = field(default_factory=list)
+    selected: list = field(default_factory=list)  # host-path candidates
+    dp_jobs: list = field(default_factory=list)  # deferred tier-3 DP jobs
+
+
+class AlignCallPipeline:
+    """Single-sample align + SNV/indel call without the BAM roundtrip.
+
+    Produces the same VCFRecord list as `ReadsAligner.align_batch` piped
+    into `SingleSampleVariantsDetector.find_variants`.
+    """
+
+    def __init__(
+        self,
+        genome: ReferenceGenome,
+        aligner: ReadsAligner | None = None,
+        detector=None,
+        batch_size: int = 8192,
+    ):
+        from .single_sample import SingleSampleVariantsDetector
+
+        self.genome = genome
+        self.aligner = aligner or ReadsAligner(genome)
+        self.detector = detector or SingleSampleVariantsDetector(genome)
+        self.batch_size = batch_size
+        # fused path preconditions: default single best alignment and a
+        # mapping-quality threshold that multi-placement reads (MAPQ<=15)
+        # and unique tier-1 reads (MAPQ>=?) fall on opposite sides of
+        self._fusable = (
+            self.aligner.max_alns_per_read == 1
+            and 15 < self.detector.min_mq <= 60
+            and not self.detector.known_strs
+        )
+
+    # ------------------------------------------------------------------
+    def run_reads(self, reads: list[RawRead]) -> list[VCFRecord]:
+        if not self._fusable:
+            alns: list[ReadAlignment] = []
+            for i in range(0, len(reads), self.batch_size):
+                for r in self.aligner.align_batch(reads[i : i + self.batch_size]):
+                    alns.extend(r)
+            return self.detector.find_variants(alns)
+        # dispatch every batch's upload + seeding kernel before touching any
+        # result: device seeding overlaps host-side packing of later batches
+        seeded = [
+            self._seed_batch(reads[i : i + self.batch_size])
+            for i in range(0, len(reads), self.batch_size)
+        ]
+        batches = [self._classify_batch(*s) for s in seeded]
+        # one DP sweep over all batches' fallback candidates (a per-batch
+        # sweep would pay the fixed-row DP kernel once per batch for a
+        # handful of jobs each)
+        all_jobs = [j for st in batches for j in st.dp_jobs]
+        self.aligner._tier3_run(all_jobs)
+        for st in batches:
+            out, n_aligned = select_final_alignments(
+                st.reads, st.selected, self.aligner.max_alns_per_read
+            )
+            self.aligner.aligned_reads += n_aligned
+            st.host_alns = out
+            st.selected = []
+            st.dp_jobs = []
+        return self._call(batches)
+
+    # ------------------------------------------------------------------
+    def _seed_batch(self, reads: list[RawRead]):
+        """Pack + upload one batch and dispatch the seeding kernel
+        asynchronously; returns everything _classify_batch needs."""
+        import jax
+
+        from ..kernels.seeding import seed_cluster_screen
+
+        al = self.aligner
+        B = len(reads)
+        al.total_reads += B
+        bucket = _row_bucket(B, minimum=128)
+        pad_blk = [np.empty(0, np.int8)] * (bucket - B)
+        fwd_mat, lengths_h, _ = pack_reads(
+            [r.codes for r in reads] + pad_blk, pad_multiple=al.read_pad
+        )
+        Lp = fwd_mat.shape[1]
+        # quality rows in read orientation; '5' (q=20) when absent, matching
+        # select_final_alignments' default
+        qmat = np.full((bucket, Lp), ord("5"), np.uint8)
+        qparts = [r.qualities if r.qualities else "5" * len(r.sequence) for r in reads]
+        qflat = np.frombuffer("".join(qparts).encode("ascii"), np.uint8)
+        qoff = 0
+        for i, r in enumerate(reads):
+            n = len(r.sequence)
+            qmat[i, :n] = qflat[qoff : qoff + n]
+            qoff += n
+        qmat = (qmat.astype(np.int16) - 33).astype(np.int8)
+        codes_dev = jax.device_put(fwd_mat)
+        quals_dev = jax.device_put(qmat)
+        lengths32 = lengths_h.astype(np.int32)
+        hk, vhi, vlo, ro, ep = al.table.device_arrays()
+        gp, gn2 = self.genome.device_packed()
+        res = seed_cluster_screen(
+            codes_dev,
+            lengths32,
+            hk, vhi, vlo, ro, ep, gp, gn2,
+            k=al.kmer_length,
+            window=al.window_length,
+            genome_len=self.genome.total_length,
+        )
+        return reads, fwd_mat, lengths_h, codes_dev, quals_dev, lengths32, res
+
+    # ------------------------------------------------------------------
+    def _classify_batch(
+        self, reads, fwd_mat, lengths_h, codes_dev, quals_dev, lengths32, res
+    ) -> _BatchState:
+        """Classify each read as fused (device pileup path) or host (exact
+        object path).  Mirrors ReadsAligner.align_batch candidate selection
+        bit for bit; DP fallback jobs are built but deferred."""
+        import jax
+
+        al = self.aligner
+        B = len(reads)
+        res = jax.device_get(res)
+        pred = res["pred_start"].astype(np.int64)[:B]
+        weight = res["weight"][:B]
+        strand = res["strand"][:B]
+        mm = res["mismatches"][:B]
+        cs = res["clip_start"][:B]
+        ce = res["clip_end"][:B]
+        offs = self.genome.offsets
+        valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
+        seq_idx_m = np.clip(
+            np.searchsorted(offs, np.clip(pred, 0, None), side="right") - 1,
+            0,
+            self.genome.num_sequences - 1,
+        )
+        qlen = lengths_h[:B].astype(np.int64)[:, None]
+        w = weight.astype(np.float64)
+        limit = np.minimum(MIN_WEIGHTED_COUNT, MIN_PROPORTION_BEST * w[:, :1])
+        keep = valid_c.copy()
+        keep[:, 1:] &= w[:, 1:] >= limit
+        keep = np.logical_and.accumulate(keep, axis=1)
+        in_b = (pred >= offs[seq_idx_m]) & (pred + qlen <= offs[seq_idx_m + 1])
+        t1 = (
+            keep
+            & in_b
+            & (w > 2)
+            & (mm < 0.05 * qlen)
+            & ((cs + ce) < 0.1 * qlen)
+        )
+        n_kept = keep.sum(axis=1)
+        # fused: exactly one kept candidate, accepted by the tier-1 screen,
+        # with mapping quality (q = 100 - 5*mm) above the calling threshold
+        fused = (
+            (n_kept == 1)
+            & t1[:, 0]
+            & (100 - mm[:, 0] * 5 >= max(1, self.detector.min_mq))
+        )
+        al.few_mismatches_alns += int(fused.sum())
+
+        # ---- host path for everything else -----------------------------
+        host_rows = np.nonzero(keep.any(axis=1) & ~fused)[0]
+        selected: list[_Candidate] = []
+        dp_jobs: list = []
+        if len(host_rows):
+            names = [
+                self.genome.sequence_name(i)
+                for i in range(self.genome.num_sequences)
+            ]
+            host_set = set(int(x) for x in host_rows)
+            for ridx, c in zip(*np.nonzero(t1)):
+                ridx = int(ridx)
+                if ridx not in host_set:
+                    continue
+                if not keep[ridx, c]:
+                    continue
+                si = int(seq_idx_m[ridx, c])
+                p = int(pred[ridx, c])
+                tcs, tce = int(cs[ridx, c]), int(ce[ridx, c])
+                t = int(mm[ridx, c])
+                ql = int(qlen[ridx, 0])
+                cigar = []
+                if tcs > 0:
+                    cigar.append((tcs, "S"))
+                cigar.append((ql - tcs - tce, "M"))
+                if tce > 0:
+                    cigar.append((tce, "S"))
+                selected.append(
+                    _Candidate(
+                        read_idx=ridx,
+                        reverse=bool(strand[ridx, c]),
+                        seq_idx=si,
+                        pred_start=p,
+                        weight=float(w[ridx, c]),
+                        aln=ReadAlignment(
+                            sequence_name=names[si],
+                            first=p + tcs - int(offs[si]) + 1,
+                            cigar=cigar,
+                            num_mismatches=t,
+                        ),
+                        quality=int(round(100 - 5 * t)),
+                    )
+                )
+            dp = keep & in_b & ~t1
+            dp_cands = [
+                _Candidate(
+                    read_idx=int(ridx),
+                    reverse=bool(strand[ridx, c]),
+                    seq_idx=int(seq_idx_m[ridx, c]),
+                    pred_start=int(pred[ridx, c]),
+                    weight=float(w[ridx, c]),
+                )
+                for ridx, c in zip(*np.nonzero(dp))
+            ]
+            dp_jobs = al._tier3_jobs(dp_cands, fwd_mat, None, lengths_h)
+            selected.extend(dp_cands)
+        al.aligned_reads += int(fused.sum())
+
+        f32 = lambda a: a[:, 0].astype(np.int32)
+        return _BatchState(
+            reads=reads,
+            codes_dev=codes_dev,
+            quals_dev=quals_dev,
+            lengths=lengths32,
+            pred=np.where(fused, pred[:, 0], -1).astype(np.int64),
+            cs=f32(cs),
+            ce=f32(ce),
+            mm=f32(mm),
+            strand=f32(strand),
+            fused=fused,
+            host_alns=[[] for _ in range(B)],
+            selected=selected,
+            dp_jobs=dp_jobs,
+        )
+
+    # ------------------------------------------------------------------
+    def _materialize(self, st: _BatchState, row: int) -> ReadAlignment:
+        """Build the exact ReadAlignment a demoted fused read would have
+        received from align_batch (single tier-1 candidate, primary)."""
+        from ..core.sequences import decode_dna, reverse_complement_codes
+
+        read = st.reads[row]
+        offs = self.genome.offsets
+        p = int(st.pred[row])
+        si = int(
+            np.clip(
+                np.searchsorted(offs, p, side="right") - 1,
+                0,
+                self.genome.num_sequences - 1,
+            )
+        )
+        tcs, tce = int(st.cs[row]), int(st.ce[row])
+        ql = int(st.lengths[row])
+        cigar = []
+        if tcs > 0:
+            cigar.append((tcs, "S"))
+        cigar.append((ql - tcs - tce, "M"))
+        if tce > 0:
+            cigar.append((tce, "S"))
+        aln = ReadAlignment(
+            sequence_name=self.genome.sequence_name(si),
+            first=p + tcs - int(offs[si]) + 1,
+            cigar=cigar,
+            num_mismatches=int(st.mm[row]),
+        )
+        aln.read_name = read.name
+        q = int(round(100 - 5 * int(st.mm[row])))
+        aln.alignment_quality = max(0, min(255, q))
+        if st.strand[row]:
+            from ..align.read_alignment import FLAG_READ_REVERSE
+
+            aln.flags |= FLAG_READ_REVERSE
+            rc = reverse_complement_codes(read.codes)
+            aln.read_chars = decode_dna(rc)
+            aln._read_codes = np.asarray(rc)
+            aln.qualities = (
+                read.qualities[::-1] if read.qualities else "5" * len(read.sequence)
+            )
+        else:
+            aln.read_chars = read.sequence
+            aln._read_codes = read.codes
+            aln.qualities = read.qualities or "5" * len(read.sequence)
+        return aln
+
+    # ------------------------------------------------------------------
+    def _call(self, batches: list[_BatchState]) -> list[VCFRecord]:
+        """Joint variant calling across the fused (device) and host paths."""
+        det = self.detector
+        min_mq = det.min_mq
+
+        # host alignments tagged with global read order (batch-major), so
+        # arrival order matches what the classic two-stage flow sees —
+        # cap ties and indel-call ordering depend on it
+        host_tagged: list[tuple[int, ReadAlignment]] = []
+        for bi, st in enumerate(batches):
+            b0 = bi * self.batch_size
+            for row, per_read in enumerate(st.host_alns):
+                for a in per_read:
+                    if not a.is_unmapped and a.alignment_quality >= min_mq:
+                        host_tagged.append((b0 + row, a))
+        host = [a for _, a in host_tagged]
+
+        # indel/STR neighborhoods (concat coords) that demote fused reads
+        # to the exact host path: raw indel events in any host alignment
+        offs = self.genome.offsets
+        name_to_idx = {
+            self.genome.sequence_name(i): i
+            for i in range(self.genome.num_sequences)
+        }
+        ivs: list[tuple[int, int]] = []
+        for a in host:
+            calls = a.indel_calls()
+            if not calls:
+                continue
+            base = int(offs[name_to_idx[a.sequence_name]])
+            read_len = len(a.read_chars) if a.read_chars else 256
+            for c0, c1, length in calls:
+                lo = base + c0 - INDEL_PAD - max(length, c1 - c0 + 1)
+                hi = base + c1 + INDEL_PAD + max(length, c1 - c0 + 1) + read_len
+                ivs.append((lo, hi))
+        if ivs:
+            ivs.sort()
+            merged = [list(ivs[0])]
+            for lo, hi in ivs[1:]:
+                if lo <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            iv_lo = np.array([m[0] for m in merged], dtype=np.int64)
+            iv_hi = np.array([m[1] for m in merged], dtype=np.int64)
+        else:
+            iv_lo = iv_hi = np.empty(0, np.int64)
+
+        # demote fused reads overlapping an indel neighborhood
+        for bi, st in enumerate(batches):
+            rows = np.nonzero(st.fused)[0]
+            if not len(rows) or not len(iv_lo):
+                continue
+            first = st.pred[rows] + st.cs[rows]  # 0-based concat
+            last = st.pred[rows] + st.lengths[rows].astype(np.int64) - st.ce[rows]
+            k = np.searchsorted(iv_lo, last, side="right") - 1
+            k = np.clip(k, 0, len(iv_lo) - 1)
+            overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
+            demote = rows[overl]
+            b0 = bi * self.batch_size
+            for row in demote:
+                st.fused[row] = False
+                host_tagged.append((b0 + int(row), self._materialize(st, int(row))))
+        host_tagged.sort(key=lambda t: t[0])
+        host = [a for _, a in host_tagged]
+
+        # joint per-start cap in arrival order (AlignmentsPileupGenerator
+        # caps 5 alignments per start position; pileup.cap_alignments_per_start)
+        self._joint_cap(batches, host_tagged)
+        host = [a for _, a in host_tagged]
+
+        # per-sequence windows: realign host objects, accumulate both paths
+        # into shared device tensors, genotype sparsely
+        return self._genotype(batches, host)
+
+    # ------------------------------------------------------------------
+    def _joint_cap(
+        self,
+        batches: list[_BatchState],
+        host_tagged: list[tuple[int, ReadAlignment]],
+    ):
+        """Per-start cap over BOTH paths in global arrival order, exactly
+        like cap_alignments_per_start over the classic merged alignment
+        list (ref: AlignmentsPileupGenerator.java:415-420)."""
+        cap = self.detector.max_alns_per_start
+        offs = self.genome.offsets
+        name_to_idx = {
+            self.genome.sequence_name(i): i
+            for i in range(self.genome.num_sequences)
+        }
+        entries = []  # (gorder, start_concat, kind, a, b)
+        for bi, st in enumerate(batches):
+            b0 = bi * self.batch_size
+            rows = np.nonzero(st.fused)[0]
+            s = st.pred[rows] + st.cs[rows]  # 0-based concat start
+            for r, sv in zip(rows, s):
+                entries.append((b0 + int(r), int(sv), 0, bi, int(r)))
+        for ai, (gorder, a) in enumerate(host_tagged):
+            base = int(offs[name_to_idx[a.sequence_name]])
+            entries.append((gorder, base + a.first - 1, 1, ai, 0))
+        if not entries:
+            return
+        entries.sort(key=lambda e: e[0])
+        starts = np.asarray([e[1] for e in entries], dtype=np.int64)
+        order = np.argsort(starts, kind="stable")
+        ss = starts[order]
+        newgrp = np.concatenate([[True], ss[1:] != ss[:-1]])
+        grp_start_pos = np.nonzero(newgrp)[0]
+        gid = np.cumsum(newgrp) - 1
+        rank = np.arange(len(ss)) - grp_start_pos[gid]
+        keep = np.empty(len(ss), bool)
+        keep[order] = rank < cap
+        drop_host = set()
+        for i, k in enumerate(keep):
+            if k:
+                continue
+            _, _, kind, a, b = entries[i]
+            if kind == 0:
+                batches[a].fused[b] = False  # dropped from counting
+            else:
+                drop_host.add(a)
+        if drop_host:
+            host_tagged[:] = [
+                t for i, t in enumerate(host_tagged) if i not in drop_host
+            ]
+
+    # ------------------------------------------------------------------
+    def _genotype(
+        self, batches: list[_BatchState], host: list[ReadAlignment]
+    ) -> list[VCFRecord]:
+        import jax
+
+        from ..kernels.genotyping import (
+            MAX_BASE_QS,
+            accumulate_allele_counts_packed,
+            accumulate_tier1_window,
+            genotype_window_resolved,
+            genotype_window_sparse,
+            init_count_tensors_flat,
+        )
+        from .pileup import expand_batch_calls
+        from .realigner import IndelRealigner
+        from .single_sample import _window_for
+
+        det = self.detector
+        genome = self.genome
+        offs = genome.offsets
+        by_seq: dict[str, list[ReadAlignment]] = {}
+        for a in host:
+            by_seq.setdefault(a.sequence_name, []).append(a)
+
+        # per-batch fused read start (for window routing)
+        CALL_CHUNK = 1 << 18
+        records: list[VCFRecord] = []
+        pending = []
+        contribution = np.asarray(det._contribution)
+        het = np.float64(det.heterozygosity_rate)
+        minq = np.int32(det.min_quality)
+        for si in range(genome.num_sequences):
+            name = genome.sequence_name(si)
+            seq_len = genome.sequence_length(si)
+            base = int(offs[si])
+            alns = by_seq.get(name, [])
+            alns.sort(key=lambda a: a.first)
+            realigner = IndelRealigner(genome, si, det.known_strs.get(name))
+            sites = realigner.realign(alns) if alns else []
+            indel_records = (
+                det._call_indels(si, name, alns, sites) if sites else []
+            )
+            pos, allele, qual, strand, _ = expand_batch_calls(alns)
+            order = np.argsort(pos, kind="stable")
+            pos, allele, qual, strand = (
+                pos[order], allele[order], qual[order], strand[order],
+            )
+            qual_p = np.clip(qual, 0, MAX_BASE_QS).astype(np.int32)
+            al_p = allele.astype(np.int32)
+            st_p = strand.astype(np.int32)
+
+            window = _window_for(seq_len)
+            seq_records: list[VCFRecord] = []
+            for w0 in range(1, seq_len + 1, window):
+                w1 = min(seq_len, w0 + window - 1)
+                w0_concat = base + w0 - 1  # 0-based concat of window start
+                acc = None
+                # fused-path scatter: reads of every batch whose placement
+                # intersects this window
+                for st in batches:
+                    B = len(st.pred)
+                    ln = st.lengths[:B].astype(np.int64)
+                    keep = (
+                        st.fused
+                        & (st.pred + ln > w0_concat)
+                        & (st.pred < w0_concat + window)
+                    )
+                    if not keep.any():
+                        continue
+                    if acc is None:
+                        acc = init_count_tensors_flat(window)
+                    Bk = st.lengths.shape[0]  # row bucket (padded batch)
+                    keep_b = np.zeros(Bk, np.int8)
+                    keep_b[:B] = keep
+                    pred_b = np.zeros(Bk, np.int32)
+                    # read base j lands at window index pred + j - w0_concat,
+                    # the same index the host packed path uses (pos - w0)
+                    pred_b[:B] = (st.pred - w0_concat).astype(np.int32)
+                    pad32 = lambda a: np.pad(
+                        a.astype(np.int32), (0, Bk - B)
+                    )
+                    acc = accumulate_tier1_window(
+                        *acc,
+                        st.codes_dev,
+                        st.quals_dev,
+                        st.lengths,
+                        keep_b,
+                        pred_b,
+                        pad32(st.cs),
+                        pad32(st.ce),
+                        pad32(st.strand),
+                    )
+                # host-path packed scatter
+                lo = np.searchsorted(pos, w0, side="left")
+                hi = np.searchsorted(pos, w1, side="right")
+                if hi > lo:
+                    if acc is None:
+                        acc = init_count_tensors_flat(window)
+                    pk = (
+                        (pos[lo:hi] - w0).astype(np.int32)
+                        | (qual_p[lo:hi] << 20)
+                        | (al_p[lo:hi] << 25)
+                        | (st_p[lo:hi] << 28)
+                    )
+                    pk = np.where(al_p[lo:hi] >= 0, pk, -1)
+                    for c0 in range(0, len(pk), CALL_CHUNK):
+                        chunk = pk[c0 : c0 + CALL_CHUNK]
+                        if len(chunk) < CALL_CHUNK:
+                            chunk = np.concatenate(
+                                [chunk, np.full(CALL_CHUNK - len(chunk), -1, np.int32)]
+                            )
+                        acc = accumulate_allele_counts_packed(*acc, chunk)
+                if acc is None:
+                    continue
+                counts, strand_counts, low_qual, total = acc
+                ref_win = np.full(window, 4, dtype=np.int8)
+                ref_win[: w1 - w0 + 1] = genome.sequences[si].codes[w0 - 1 : w1]
+                first = genotype_window_sparse(
+                    counts, strand_counts, total, ref_win, contribution, het, minq
+                )
+                pending.append(
+                    (
+                        name, w0, ref_win,
+                        (counts, strand_counts, total),
+                        first, indel_records, seq_records,
+                    )
+                )
+            # attach indel records even if no window produced counts
+            if not any(p[0] == name for p in pending) and indel_records:
+                seq_records.extend(indel_records)
+                records.extend(sorted(seq_records, key=lambda r: r.variant.first))
+
+        handled: dict[str, tuple[list, list]] = {}
+        for name, w0, ref_win, acc, first, indel_records, seq_records in pending:
+            res = genotype_window_resolved(
+                *acc, ref_win, contribution, het, minq, first_res=first
+            )
+            k = int(res["n_sites"])
+            for i in range(k):
+                p = int(res["site_idx"][i])
+                rec = det._build_record(
+                    name,
+                    w0 + p,
+                    int(ref_win[p]),
+                    int(res["bi"][i]),
+                    int(res["bj"][i]),
+                    int(res["gq"][i]),
+                    float(res["ref_prob"][i]),
+                    res["depths"][i],
+                    int(res["total"][i]),
+                    res["logcond"][i],
+                    res["strand_counts"][i],
+                )
+                if rec is not None:
+                    seq_records.append(rec)
+            handled[name] = (indel_records, seq_records)
+        for name, (indel_records, seq_records) in handled.items():
+            out = seq_records
+            if indel_records:
+                spans = [(r.variant.first, r.variant.last) for r in indel_records]
+                out = [
+                    rec
+                    for rec in out
+                    if not any(f <= rec.variant.first <= l for f, l in spans)
+                ] + indel_records
+            out.sort(key=lambda r: r.variant.first)
+            records.extend(out)
+        return records

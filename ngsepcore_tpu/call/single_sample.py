@@ -288,8 +288,9 @@ class SingleSampleVariantsDetector:
         # compile shapes are independent of coverage.
         from ..kernels.genotyping import (
             accumulate_allele_counts_packed,
-            genotype_window_from_counts,
-            init_count_tensors,
+            genotype_window_resolved,
+            genotype_window_sparse,
+            init_count_tensors_flat,
         )
 
         CALL_CHUNK = 1 << 18
@@ -306,12 +307,12 @@ class SingleSampleVariantsDetector:
             hi = np.searchsorted(pos, w1, side="right")
             if hi <= lo:
                 continue
-            counts, strand_counts, low_qual, total = init_count_tensors(window)
+            counts, strand_counts, low_qual, total = init_count_tensors_flat(window)
             pk_win = (
                 (pos[lo:hi] - w0).astype(np.int32)
                 | (qual_p[lo:hi] << 20)
                 | (al_p[lo:hi] << 25)
-                | (st_p[lo:hi] << 27)
+                | (st_p[lo:hi] << 28)
             )
             pk_win = np.where(al_p[lo:hi] >= 0, pk_win, -1)
             for c0 in range(0, len(pk_win), CALL_CHUNK):
@@ -327,16 +328,16 @@ class SingleSampleVariantsDetector:
                 )
             ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
-            res = genotype_window_from_counts(
+            first = genotype_window_sparse(
                 counts, strand_counts, total, ref_win, contribution, het, minq
             )
-            pending.append((w0, ref_win, res))
-        compact_keys = (
-            "site_idx", "n_sites", "bi", "bj", "gq", "ref_prob",
-            "depths", "total", "logcond", "strand_counts",
-        )
-        for w0, ref_win, res in pending:
-            res = jax.device_get({k: res[k] for k in compact_keys})
+            pending.append(
+                (w0, ref_win, (counts, strand_counts, total), first)
+            )
+        for w0, ref_win, acc, first in pending:
+            res = genotype_window_resolved(
+                *acc, ref_win, contribution, het, minq, first_res=first
+            )
             k = int(res["n_sites"])
             if k == 0:
                 continue

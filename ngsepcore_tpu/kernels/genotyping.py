@@ -175,29 +175,248 @@ def accumulate_allele_counts(
 
 @partial(jax.jit, donate_argnames=("counts", "strand_counts", "low_qual", "total"))
 def accumulate_allele_counts_packed(
-    counts: jnp.ndarray,  # (W, n, Q) int32
-    strand_counts: jnp.ndarray,  # (W, n, 2) int32
+    counts: jnp.ndarray,  # (W, n*Q) int32 — FLAT (allele, qbin) minor axis
+    strand_counts: jnp.ndarray,  # (W, n*2) int32 — flat (allele, strand)
     low_qual: jnp.ndarray,  # (W,) int32
     total: jnp.ndarray,  # (W,) int32
     packed: jnp.ndarray,  # (N,) int32: bit0-19 rel pos, 20-24 qual (pre-
-    # clamped 0..30), 25-26 allele, 27 strand; negative = skip
+    # clamped 0..30), 25-27 allele (4 = N: counts only toward total/low,
+    # matching CountsHelper.updateCounts:209-220), 28 strand; negative = skip
 ):
-    """accumulate_allele_counts with all four call fields packed into one
-    int32 per call — host->device upload rides a ~60 MB/s tunnel on this
-    chip, so 4 B/call instead of 7 B/call is a direct wall-clock win."""
+    """Scatter one chunk of packed calls into FLAT count tensors.
+
+    The minor axis is flattened to allele*Q+q (and allele*2+strand): a
+    (W, 4, 31) layout pads each position to (8, 128) TPU tiles (8x memory)
+    and — worse — a downstream reshape to (W, 124) before the genotype
+    contraction sends XLA into a pathological minute-scale compile.  The
+    flat layout tiles at 124/128 density and contracts directly.  N calls
+    (allele 4) index out of bounds and drop from allele counts while still
+    reaching `total`/`low_qual`, the CountsHelper.updateCounts semantics."""
     valid = packed >= 0
     rel = packed & 0xFFFFF
     q = (packed >> 20) & 31
-    al = (packed >> 25) & 3
-    st = (packed >> 27) & 1
+    al = (packed >> 25) & 7
+    st = (packed >> 28) & 1
     low = valid & (q <= MIN_BASE_QS)
     ok = valid & (q > MIN_BASE_QS)
     pos = jnp.where(valid, rel, 0)
-    counts = counts.at[pos, al, q].add(ok.astype(jnp.int32))
-    strand_counts = strand_counts.at[pos, al, st].add(ok.astype(jnp.int32))
+    counts = counts.at[pos, al * N_QBINS + q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[pos, al * 2 + st].add(ok.astype(jnp.int32))
     low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
     total = total.at[pos].add(valid.astype(jnp.int32))
     return counts, strand_counts, low_qual, total
+
+
+@partial(jax.jit, donate_argnames=("counts", "strand_counts", "low_qual", "total"))
+def accumulate_tier1_window(
+    counts: jnp.ndarray,  # (W, n*Q) int32 flat minor axis (see packed kernel)
+    strand_counts: jnp.ndarray,  # (W, n*2) int32
+    low_qual: jnp.ndarray,  # (W,) int32
+    total: jnp.ndarray,  # (W,) int32
+    codes: jnp.ndarray,  # (B, Lp) int8 forward-strand read codes (device)
+    quals: jnp.ndarray,  # (B, Lp) int8 phred qualities, read order (device)
+    lengths: jnp.ndarray,  # (B,) int32
+    keep: jnp.ndarray,  # (B,) int8: 1 = scatter this read into the window
+    pred: jnp.ndarray,  # (B,) int32 predicted subject start - window start
+    cs: jnp.ndarray,  # (B,) int32 soft-clip at aligned-read start
+    ce: jnp.ndarray,  # (B,) int32 soft-clip at aligned-read end
+    strand: jnp.ndarray,  # (B,) int32 1 = reverse
+):
+    """Fused pileup accumulation for tier-1 (ungapped) alignments straight
+    from the aligner's device-resident read batch, so accepted reads
+    contribute allele calls without ever materializing host-side alignment
+    objects (the reference fires one listener call per (read, position)
+    pair instead; AlignmentsPileupGenerator.java:377-403).
+
+    Reverse-strand reads are handled WITHOUT any reordering gather (per-
+    element gathers dominate on this chip): stored base j of a reverse read
+    maps to aligned offset qlen-1-j with complemented allele and its own
+    stored quality, so positions are mirrored instead of the row reversed.
+    Per-call semantics mirror CountsHelper.updateCounts:209-251: every
+    spanning base counts toward `total`; q<=3 only toward `low_qual`; N
+    bases (code 4) never reach allele counts (OOB scatter lanes drop)."""
+    out_size = counts.shape[0]
+    Lp = codes.shape[1]
+    c = codes.astype(jnp.int32)  # (B, Lp)
+    q = jnp.clip(quals.astype(jnp.int32), 0, MAX_BASE_QS)
+    ln = lengths[:, None].astype(jnp.int32)
+    j = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    rev = (strand == 1)[:, None]
+    al = jnp.where(rev & (c < 4), 3 - c, c)
+    # aligned offset of stored base j; clip window in stored coordinates
+    off = jnp.where(rev, ln - 1 - j, j)
+    lo = jnp.where(rev, ce[:, None], cs[:, None])
+    hi = ln - jnp.where(rev, cs[:, None], ce[:, None])
+    inread = (j >= lo) & (j < hi) & (keep != 0)[:, None]
+    rel = pred[:, None] + off
+    valid = inread & (rel >= 0) & (rel < out_size)
+    pos = jnp.where(valid, rel, 0)
+    low = valid & (q <= MIN_BASE_QS)
+    ok = valid & (q > MIN_BASE_QS)
+    st = jnp.broadcast_to(strand[:, None], al.shape)
+    counts = counts.at[pos, al * N_QBINS + q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[pos, al * 2 + st].add(ok.astype(jnp.int32))
+    low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
+    total = total.at[pos].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
+@partial(jax.jit, static_argnames=("n_alleles", "max_flag"))
+def genotype_window_sparse(
+    counts: jnp.ndarray,  # (W, n*Q) int32 flat (allele, qbin) minor axis
+    strand_counts: jnp.ndarray,  # (W, n*2) int32
+    total: jnp.ndarray,
+    ref_codes: jnp.ndarray,  # (W,) int8
+    contribution: jnp.ndarray,  # (n, Q, n, n) float64
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    n_alleles: int = 4,
+    max_flag: int = 1 << 14,
+):
+    """Screened genotyping: a cheap float32 contraction over the whole
+    window flags every position whose decision COULD differ from
+    homozygous-reference (with a slack far above the f32 error bound);
+    the parity-exact float64 math then runs only on the flagged sparse
+    set.  float64 on this chip is VPU-emulated at ~2 GMAC/s, so skipping
+    the ~99% all-reference positions is a >100x kernel-time cut with
+    identical emitted records (same math as genotype_window_from_counts
+    on every flagged position).  All window-scale arrays stay in flat
+    2-D layouts — reshapes of (W, a, b) minor dims stall the TPU compiler.
+
+    Returns the same compact per-site fields plus `n_flagged`; callers
+    must re-run with a larger max_flag when n_flagged > max_flag."""
+    P = counts.shape[0]
+    n = n_alleles
+    G = n * n
+    rows = jnp.arange(P)
+    ref = jnp.clip(ref_codes, 0, n - 1).astype(jnp.int32)
+
+    # ---- stage 1: f32 screen over all positions (flat G axis) -----------
+    # (reshaping the small contribution table is fine; it is the window-
+    # scale operand whose minor-dim reshape stalls the compiler)
+    Cf = contribution.astype(jnp.float32).reshape(n * N_QBINS, G)
+    ev32 = jnp.dot(counts.astype(jnp.float32), Cf)  # (P, G)
+    eye_flat = np.eye(n, dtype=bool).reshape(-1)
+    log_prior_hetero32 = jnp.log10(het_rate / (n * (n - 1))).astype(jnp.float32)
+    log_prior_homo32 = jnp.log10((1 - het_rate) / n).astype(jnp.float32)
+    prior32 = jnp.where(jnp.asarray(eye_flat), log_prior_homo32, log_prior_hetero32)
+    # unordered-pair evidence: het (i,j) posterior sums both orders (= +log10 2)
+    pair32 = prior32 + jnp.asarray(
+        np.where(eye_flat, 0.0, np.log10(2.0)).astype(np.float32)
+    )
+    ev_pair = ev32 + pair32[None, :]
+    gref = ref * (n + 1)  # flat index of (ref, ref)
+    ref_ev = jnp.take_along_axis(ev_pair, gref[:, None], axis=1)[:, 0]
+    # best over genotypes OTHER than homozygous-reference
+    gidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    ev_alt = jnp.where(gidx == gref[:, None], -jnp.inf, ev_pair)
+    best_ev = jnp.max(ev_alt, axis=1)
+    # slack >> f32 matmul error (~1e-7 * depth * |C|max * n_terms)
+    depth_tot = counts.sum(axis=1).astype(jnp.float32)
+    slack = jnp.float32(0.5) + jnp.float32(1e-4) * depth_tot
+    flag = (best_ev >= ref_ev - slack) & (total > 0)
+    n_flagged = jnp.sum(flag.astype(jnp.int32))
+    fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
+    in_flag = jnp.arange(max_flag) < n_flagged
+
+    # ---- stage 2: exact f64 path on flagged positions only --------------
+    csub = counts[fidx]  # (F, n*Q)
+    Cd = contribution.reshape(n * N_QBINS, G)
+    logcond = jnp.dot(csub.astype(jnp.float64), Cd).reshape(max_flag, n, n)
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    prior = jnp.where(
+        jnp.asarray(np.eye(n, dtype=bool)), log_prior_homo, log_prior_hetero
+    )
+    ev = logcond + prior[None, :, :]
+    F = max_flag
+    logmax = jnp.max(ev.reshape(F, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    post = p / jnp.sum(p.reshape(F, -1), axis=1)[:, None, None]
+    refs = ref[fidx]
+    frows = jnp.arange(F)
+    best = post[frows, refs, refs]
+    bi = refs
+    bj = refs
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = jnp.where(upd, prob, best)
+            bi = jnp.where(upd, i, bi)
+            bj = jnp.where(upd, j, bj)
+    ref_prob = post[frows, refs, refs]
+    one_minus = 1.0 - best
+    gq = jnp.where(
+        one_minus <= 0,
+        255,
+        jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(one_minus, 1e-30))), 255),
+    ).astype(jnp.int32)
+    interesting = (
+        ((bi != refs) | (bj != refs))
+        & (ref_codes[fidx] < 4)
+        & (gq >= min_quality)
+        & (gq > 0)
+        & (total[fidx] > 0)
+        & in_flag
+    )
+    # interesting is a subset of flagged, so a max_flag-sized compaction
+    # can never truncate sites
+    sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0]
+    k_valid = jnp.sum(interesting.astype(jnp.int32))
+    gsel = fidx[sidx]
+    return {
+        "site_idx": gsel.astype(jnp.int32),
+        "n_sites": k_valid,
+        "n_flagged": n_flagged,
+        "bi": bi[sidx].astype(jnp.int8),
+        "bj": bj[sidx].astype(jnp.int8),
+        "gq": gq[sidx],
+        "ref_prob": ref_prob[sidx],
+        "depths": counts[gsel].reshape(max_flag, n, N_QBINS).sum(axis=2),
+        "total": total[gsel],
+        "logcond": logcond[sidx],
+        "strand_counts": strand_counts[gsel].reshape(max_flag, n, 2),
+    }
+
+
+DEF_MAX_FLAG = 1 << 14
+
+
+def genotype_window_resolved(
+    counts,
+    strand_counts,
+    total,
+    ref_codes,
+    contribution,
+    het_rate,
+    min_quality,
+    first_res=None,
+):
+    """Host wrapper over genotype_window_sparse: fetches the compact result
+    and retries with a larger flag capacity in the (rare) event the f32
+    screen flagged more positions than the compaction bound.  `first_res`
+    lets callers pre-dispatch the first attempt asynchronously."""
+    import numpy as np
+
+    ref_codes = np.asarray(ref_codes)
+    max_flag = DEF_MAX_FLAG
+    res = first_res
+    if res is None:
+        res = genotype_window_sparse(
+            counts, strand_counts, total, ref_codes, contribution,
+            het_rate, min_quality, max_flag=max_flag,
+        )
+    out = jax.device_get(res)
+    while int(out["n_flagged"]) > max_flag:
+        max_flag = 1 << (int(out["n_flagged"]) - 1).bit_length()
+        res = genotype_window_sparse(
+            counts, strand_counts, total, ref_codes, contribution,
+            het_rate, min_quality, max_flag=max_flag,
+        )
+        out = jax.device_get(res)
+    return out
 
 
 def init_count_tensors(out_size: int, n_alleles: int = 4):
@@ -206,6 +425,18 @@ def init_count_tensors(out_size: int, n_alleles: int = 4):
     return (
         jnp.zeros((out_size, n_alleles, N_QBINS), jnp.int32),
         jnp.zeros((out_size, n_alleles, 2), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+    )
+
+
+def init_count_tensors_flat(out_size: int, n_alleles: int = 4):
+    """Flat-minor-axis accumulators for the packed/tier-1/sparse kernels."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.zeros((out_size, n_alleles * N_QBINS), jnp.int32),
+        jnp.zeros((out_size, n_alleles * 2), jnp.int32),
         jnp.zeros((out_size,), jnp.int32),
         jnp.zeros((out_size,), jnp.int32),
     )

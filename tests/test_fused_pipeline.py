@@ -1,0 +1,106 @@
+"""Fused align+call pipeline must emit records identical to the classic
+two-stage flow (ReadsAligner.align_batch -> SingleSampleVariantsDetector
+.find_variants) — same sites, alleles, genotypes, qualities and depths."""
+import numpy as np
+import pytest
+
+from ngsepcore_tpu.align.reads_aligner import ReadsAligner
+from ngsepcore_tpu.call.fused_pipeline import AlignCallPipeline
+from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
+from ngsepcore_tpu.core.genome import ReferenceGenome
+from ngsepcore_tpu.core.sequences import QualifiedSequence, QualifiedSequenceList
+from ngsepcore_tpu.simulation.individual_simulator import SingleIndividualSimulator
+from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+
+
+def _simulate(with_indels: bool, seed: int = 3):
+    rng = np.random.default_rng(seed)
+    seqs = QualifiedSequenceList()
+    seqs.add(
+        QualifiedSequence(
+            name="chrA", codes=rng.integers(0, 4, size=30000).astype(np.int8)
+        )
+    )
+    seqs.add(
+        QualifiedSequence(
+            name="chrB", codes=rng.integers(0, 4, size=20000).astype(np.int8)
+        )
+    )
+    genome = ReferenceGenome(seqs)
+    sim = SingleIndividualSimulator(
+        genome,
+        snv_rate=0.002,
+        indel_rate=0.0005 if with_indels else 0.0,
+        seed=seed + 1,
+    )
+    sim.simulate()
+    hap = sim.build_haplotype_genomes()
+    reads = []
+    for h, hg in enumerate(hap):
+        reads.extend(
+            SingleReadsSimulator(
+                hg,
+                read_length=100,
+                substitution_error_rate=0.004,
+                seed=seed + 10 + h,
+            ).simulate(2500)
+        )
+    # sprinkle N bases into some reads to exercise the N-call semantics
+    for i in range(0, len(reads), 97):
+        s = list(reads[i].sequence)
+        s[len(s) // 2] = "N"
+        reads[i] = type(reads[i])(
+            name=reads[i].name, sequence="".join(s), qualities=reads[i].qualities
+        )
+    return genome, reads
+
+
+def _record_key(rec):
+    v = rec.variant
+    c = rec.calls[0]
+    return (
+        v.sequence_name,
+        v.first,
+        tuple(v.alleles),
+        tuple(c.indexes_called_alleles),
+        int(c.genotype_quality),
+        int(round(v.quality)),
+        int(c.total_read_depth),
+        tuple(c.acgt_depths or []),
+        tuple(c.genotype_likelihoods or []),
+    )
+
+
+@pytest.mark.parametrize("with_indels", [False, True])
+def test_fused_equals_classic(with_indels):
+    genome, reads = _simulate(with_indels)
+
+    aligner_c = ReadsAligner(genome)
+    det_c = SingleSampleVariantsDetector(genome, sample_id="s1")
+    alns = []
+    for i in range(0, len(reads), 1024):
+        for r in aligner_c.align_batch(reads[i : i + 1024]):
+            alns.extend(r)
+    classic = det_c.find_variants(alns)
+
+    pipe = AlignCallPipeline(
+        genome,
+        aligner=ReadsAligner(genome, table=aligner_c.table),
+        detector=SingleSampleVariantsDetector(genome, sample_id="s1"),
+        batch_size=1024,
+    )
+    fused = pipe.run_reads(reads)
+
+    assert len(classic) > 10
+    ck = [_record_key(r) for r in classic]
+    fk = [_record_key(r) for r in fused]
+    assert ck == fk
+
+
+def test_fused_falls_back_when_not_fusable():
+    genome, reads = _simulate(False, seed=11)
+    det = SingleSampleVariantsDetector(genome, sample_id="s1", min_mq=0)
+    pipe = AlignCallPipeline(genome, detector=det, batch_size=1024)
+    assert not pipe._fusable
+    recs = pipe.run_reads(reads[:500])
+    assert isinstance(recs, list)
