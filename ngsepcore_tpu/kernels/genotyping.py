@@ -306,11 +306,12 @@ def genotype_window_sparse(
     )
     ev_pair = ev32 + pair32[None, :]
     gref = ref * (n + 1)  # flat index of (ref, ref)
-    ref_ev = jnp.take_along_axis(ev_pair, gref[:, None], axis=1)[:, 0]
-    # best over genotypes OTHER than homozygous-reference
+    # per-row extraction/masking via a one-hot compare — row-indexed
+    # gathers are per-element on this chip, elementwise compares are free
     gidx = jnp.arange(G, dtype=jnp.int32)[None, :]
-    ev_alt = jnp.where(gidx == gref[:, None], -jnp.inf, ev_pair)
-    best_ev = jnp.max(ev_alt, axis=1)
+    is_ref_gt = gidx == gref[:, None]
+    ref_ev = jnp.sum(jnp.where(is_ref_gt, ev_pair, 0.0), axis=1)
+    best_ev = jnp.max(jnp.where(is_ref_gt, -jnp.inf, ev_pair), axis=1)
     # slack >> f32 matmul error (~1e-7 * depth * |C|max * n_terms)
     depth_tot = counts.sum(axis=1).astype(jnp.float32)
     slack = jnp.float32(0.5) + jnp.float32(1e-4) * depth_tot
@@ -320,7 +321,7 @@ def genotype_window_sparse(
     in_flag = jnp.arange(max_flag) < n_flagged
 
     # ---- stage 2: exact f64 path on flagged positions only --------------
-    csub = counts[fidx]  # (F, n*Q)
+    csub = jnp.take(counts, fidx, axis=0)  # (F, n*Q)
     Cd = contribution.reshape(n * N_QBINS, G)
     logcond = jnp.dot(csub.astype(jnp.float64), Cd).reshape(max_flag, n, n)
     log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
@@ -334,7 +335,7 @@ def genotype_window_sparse(
     rel = ev - logmax
     p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
     post = p / jnp.sum(p.reshape(F, -1), axis=1)[:, None, None]
-    refs = ref[fidx]
+    refs = jnp.take(ref, fidx)
     frows = jnp.arange(F)
     best = post[frows, refs, refs]
     bi = refs
@@ -355,29 +356,33 @@ def genotype_window_sparse(
     ).astype(jnp.int32)
     interesting = (
         ((bi != refs) | (bj != refs))
-        & (ref_codes[fidx] < 4)
+        & (jnp.take(ref_codes, fidx) < 4)
         & (gq >= min_quality)
         & (gq > 0)
-        & (total[fidx] > 0)
+        & (jnp.take(total, fidx) > 0)
         & in_flag
     )
     # interesting is a subset of flagged, so a max_flag-sized compaction
-    # can never truncate sites
+    # can never truncate sites; all remaining gathers permute the small
+    # already-gathered flagged rows
     sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0]
     k_valid = jnp.sum(interesting.astype(jnp.int32))
-    gsel = fidx[sidx]
+    gsel = jnp.take(fidx, sidx)
+    depths_f = jnp.take(csub, sidx, axis=0).reshape(max_flag, n, N_QBINS).sum(axis=2)
     return {
         "site_idx": gsel.astype(jnp.int32),
         "n_sites": k_valid,
         "n_flagged": n_flagged,
-        "bi": bi[sidx].astype(jnp.int8),
-        "bj": bj[sidx].astype(jnp.int8),
-        "gq": gq[sidx],
-        "ref_prob": ref_prob[sidx],
-        "depths": counts[gsel].reshape(max_flag, n, N_QBINS).sum(axis=2),
-        "total": total[gsel],
-        "logcond": logcond[sidx],
-        "strand_counts": strand_counts[gsel].reshape(max_flag, n, 2),
+        "bi": jnp.take(bi, sidx).astype(jnp.int8),
+        "bj": jnp.take(bj, sidx).astype(jnp.int8),
+        "gq": jnp.take(gq, sidx),
+        "ref_prob": jnp.take(ref_prob, sidx),
+        "depths": depths_f,
+        "total": jnp.take(total, gsel),
+        "logcond": jnp.take(logcond, sidx, axis=0),
+        "strand_counts": jnp.take(strand_counts, gsel, axis=0).reshape(
+            max_flag, n, 2
+        ),
     }
 
 
