@@ -25,7 +25,8 @@ JAVA_BASELINE_READS_PER_S = 5000.0  # assumed Java align+genotype throughput
 GENOME_MBP = 1.0  # simulated genome size
 N_READS = 20000
 READ_LEN = 150
-BATCH = 4096
+BATCH = 32768  # one mega-batch: program executions cost a fixed link
+# round trip (~tens of ms) regardless of size, so fewer+bigger wins
 
 
 def main() -> None:

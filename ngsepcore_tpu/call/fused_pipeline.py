@@ -62,6 +62,7 @@ class _BatchState:
     host_alns: list[list[ReadAlignment]] = field(default_factory=list)
     selected: list = field(default_factory=list)  # host-path candidates
     dp_jobs: list = field(default_factory=list)  # deferred tier-3 DP jobs
+    read0: int = 0  # global index of this batch's first read (chunks vary)
 
 
 class AlignCallPipeline:
@@ -76,7 +77,7 @@ class AlignCallPipeline:
         genome: ReferenceGenome,
         aligner: ReadsAligner | None = None,
         detector=None,
-        batch_size: int = 8192,
+        batch_size: int = 32768,
     ):
         from .single_sample import SingleSampleVariantsDetector
 
@@ -102,12 +103,31 @@ class AlignCallPipeline:
                     alns.extend(r)
             return self.detector.find_variants(alns)
         # dispatch every batch's upload + seeding kernel before touching any
-        # result: device seeding overlaps host-side packing of later batches
-        seeded = [
-            self._seed_batch(reads[i : i + self.batch_size])
-            for i in range(0, len(reads), self.batch_size)
+        # result: device seeding overlaps host-side packing of later batches.
+        # Chunks are descending powers of two (capped at batch_size): row
+        # buckets are pow2, so naive fixed-size chunking pads the tail chunk
+        # to its bucket and wastes up to ~half the kernel rows, while each
+        # extra chunk costs a fixed link round trip — pow2 chunks get both
+        # minimal padding AND minimal program count.
+        spans: list[tuple[int, int]] = []
+        i = 0
+        n = len(reads)
+        while n - i >= 4096:
+            size = min(self.batch_size, 1 << ((n - i).bit_length() - 1))
+            spans.append((i, i + size))
+            i += size
+        if i < n:
+            spans.append((i, n))
+        seeded = [self._seed_batch(reads[a:b]) for a, b in spans]
+        # per-batch fetches: pulling batch i's results overlaps batch i+1's
+        # seeding execution on the device stream
+        import jax
+
+        batches = [
+            self._classify_batch(*s[:6], jax.device_get(s[6])) for s in seeded
         ]
-        batches = [self._classify_batch(*s) for s in seeded]
+        for st, (a, _b) in zip(batches, spans):
+            st.read0 = a
         # one DP sweep over all batches' fallback candidates (a per-batch
         # sweep would pay the fixed-row DP kernel once per batch for a
         # handful of jobs each)
@@ -141,15 +161,17 @@ class AlignCallPipeline:
         )
         Lp = fwd_mat.shape[1]
         # quality rows in read orientation; '5' (q=20) when absent, matching
-        # select_final_alignments' default
+        # select_final_alignments' default.  One flat scatter instead of a
+        # per-read row-assignment loop (8μs/row of Python adds up at 32k rows)
         qmat = np.full((bucket, Lp), ord("5"), np.uint8)
         qparts = [r.qualities if r.qualities else "5" * len(r.sequence) for r in reads]
         qflat = np.frombuffer("".join(qparts).encode("ascii"), np.uint8)
-        qoff = 0
-        for i, r in enumerate(reads):
-            n = len(r.sequence)
-            qmat[i, :n] = qflat[qoff : qoff + n]
-            qoff += n
+        row_len = lengths_h[:B].astype(np.int64)
+        row_start = np.repeat(np.arange(B, dtype=np.int64) * Lp, row_len)
+        col = np.arange(len(qflat), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(row_len)[:-1]]), row_len
+        )
+        qmat.ravel()[row_start + col] = qflat
         qmat = (qmat.astype(np.int16) - 33).astype(np.int8)
         codes_dev = jax.device_put(fwd_mat)
         quals_dev = jax.device_put(qmat)
@@ -172,12 +194,11 @@ class AlignCallPipeline:
     ) -> _BatchState:
         """Classify each read as fused (device pileup path) or host (exact
         object path).  Mirrors ReadsAligner.align_batch candidate selection
-        bit for bit; DP fallback jobs are built but deferred."""
-        import jax
-
+        bit for bit; DP fallback jobs are built but deferred.  `res` is the
+        ALREADY-FETCHED (host numpy) seeding result — the caller batches
+        the device_get across batches to pay the link round trip once."""
         al = self.aligner
         B = len(reads)
-        res = jax.device_get(res)
         pred = res["pred_start"].astype(np.int64)[:B]
         weight = res["weight"][:B]
         strand = res["strand"][:B]
@@ -350,7 +371,7 @@ class AlignCallPipeline:
         # cap ties and indel-call ordering depend on it
         host_tagged: list[tuple[int, ReadAlignment]] = []
         for bi, st in enumerate(batches):
-            b0 = bi * self.batch_size
+            b0 = st.read0
             for row, per_read in enumerate(st.host_alns):
                 for a in per_read:
                     if not a.is_unmapped and a.alignment_quality >= min_mq:
@@ -399,7 +420,7 @@ class AlignCallPipeline:
             k = np.clip(k, 0, len(iv_lo) - 1)
             overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
             demote = rows[overl]
-            b0 = bi * self.batch_size
+            b0 = st.read0
             for row in demote:
                 st.fused[row] = False
                 host_tagged.append((b0 + int(row), self._materialize(st, int(row))))
@@ -432,7 +453,7 @@ class AlignCallPipeline:
         }
         entries = []  # (gorder, start_concat, kind, a, b)
         for bi, st in enumerate(batches):
-            b0 = bi * self.batch_size
+            b0 = st.read0
             rows = np.nonzero(st.fused)[0]
             s = st.pred[rows] + st.cs[rows]  # 0-based concat start
             for r, sv in zip(rows, s):
@@ -470,15 +491,10 @@ class AlignCallPipeline:
     def _genotype(
         self, batches: list[_BatchState], host: list[ReadAlignment]
     ) -> list[VCFRecord]:
-        import jax
-
         from ..kernels.genotyping import (
             MAX_BASE_QS,
-            accumulate_allele_counts_packed,
-            accumulate_tier1_window,
-            genotype_window_resolved,
-            genotype_window_sparse,
-            init_count_tensors_flat,
+            genotype_window_fused,
+            genotype_window_fused_resolved,
         )
         from .pileup import expand_batch_calls
         from .realigner import IndelRealigner
@@ -523,9 +539,9 @@ class AlignCallPipeline:
             for w0 in range(1, seq_len + 1, window):
                 w1 = min(seq_len, w0 + window - 1)
                 w0_concat = base + w0 - 1  # 0-based concat of window start
-                acc = None
-                # fused-path scatter: reads of every batch whose placement
-                # intersects this window
+                # fused-path scatter inputs: reads of every batch whose
+                # placement intersects this window
+                batch_tuples = []
                 for st in batches:
                     B = len(st.pred)
                     ln = st.lengths[:B].astype(np.int64)
@@ -536,8 +552,6 @@ class AlignCallPipeline:
                     )
                     if not keep.any():
                         continue
-                    if acc is None:
-                        acc = init_count_tensors_flat(window)
                     Bk = st.lengths.shape[0]  # row bucket (padded batch)
                     keep_b = np.zeros(Bk, np.int8)
                     keep_b[:B] = keep
@@ -545,26 +559,20 @@ class AlignCallPipeline:
                     # read base j lands at window index pred + j - w0_concat,
                     # the same index the host packed path uses (pos - w0)
                     pred_b[:B] = (st.pred - w0_concat).astype(np.int32)
-                    pad32 = lambda a: np.pad(
-                        a.astype(np.int32), (0, Bk - B)
+                    pad32 = lambda a: np.pad(a.astype(np.int32), (0, Bk - B))
+                    batch_tuples.append(
+                        (
+                            st.codes_dev, st.quals_dev, st.lengths,
+                            keep_b, pred_b,
+                            pad32(st.cs), pad32(st.ce), pad32(st.strand),
+                        )
                     )
-                    acc = accumulate_tier1_window(
-                        *acc,
-                        st.codes_dev,
-                        st.quals_dev,
-                        st.lengths,
-                        keep_b,
-                        pred_b,
-                        pad32(st.cs),
-                        pad32(st.ce),
-                        pad32(st.strand),
-                    )
-                # host-path packed scatter
+                # host-path packed calls for this window (one fixed chunk;
+                # shapes beyond one chunk grow by whole chunks, so the rare
+                # ultra-deep window costs one extra compile, not one per size)
                 lo = np.searchsorted(pos, w0, side="left")
                 hi = np.searchsorted(pos, w1, side="right")
                 if hi > lo:
-                    if acc is None:
-                        acc = init_count_tensors_flat(window)
                     pk = (
                         (pos[lo:hi] - w0).astype(np.int32)
                         | (qual_p[lo:hi] << 20)
@@ -572,27 +580,28 @@ class AlignCallPipeline:
                         | (st_p[lo:hi] << 28)
                     )
                     pk = np.where(al_p[lo:hi] >= 0, pk, -1)
-                    for c0 in range(0, len(pk), CALL_CHUNK):
-                        chunk = pk[c0 : c0 + CALL_CHUNK]
-                        if len(chunk) < CALL_CHUNK:
-                            chunk = np.concatenate(
-                                [chunk, np.full(CALL_CHUNK - len(chunk), -1, np.int32)]
-                            )
-                        acc = accumulate_allele_counts_packed(*acc, chunk)
-                if acc is None:
-                    continue
-                counts, strand_counts, low_qual, total = acc
+                    n_chunks = -(-len(pk) // CALL_CHUNK)
+                    pk = np.pad(
+                        pk, (0, n_chunks * CALL_CHUNK - len(pk)),
+                        constant_values=-1,
+                    )
+                elif not batch_tuples:
+                    continue  # no evidence touches this window
+                else:
+                    pk = np.full(CALL_CHUNK, -1, np.int32)
                 ref_win = np.full(window, 4, dtype=np.int8)
                 ref_win[: w1 - w0 + 1] = genome.sequences[si].codes[w0 - 1 : w1]
-                first = genotype_window_sparse(
-                    counts, strand_counts, total, ref_win, contribution, het, minq
+                fused_args = (
+                    tuple(batch_tuples), pk, ref_win, contribution,
+                    het, minq, window,
+                )
+                first = genotype_window_fused(
+                    tuple(batch_tuples), pk, ref_win, contribution,
+                    het, minq, out_size=window,
                 )
                 pending.append(
-                    (
-                        name, w0, ref_win,
-                        (counts, strand_counts, total),
-                        first, indel_records, seq_records,
-                    )
+                    (name, w0, ref_win, fused_args, first,
+                     indel_records, seq_records)
                 )
             # attach indel records even if no window produced counts
             if not any(p[0] == name for p in pending) and indel_records:
@@ -600,10 +609,8 @@ class AlignCallPipeline:
                 records.extend(sorted(seq_records, key=lambda r: r.variant.first))
 
         handled: dict[str, tuple[list, list]] = {}
-        for name, w0, ref_win, acc, first, indel_records, seq_records in pending:
-            res = genotype_window_resolved(
-                *acc, ref_win, contribution, het, minq, first_res=first
-            )
+        for name, w0, ref_win, fused_args, first, indel_records, seq_records in pending:
+            res = genotype_window_fused_resolved(fused_args, first_res=first)
             k = int(res["n_sites"])
             for i in range(k):
                 p = int(res["site_idx"][i])

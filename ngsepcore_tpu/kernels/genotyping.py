@@ -173,6 +173,24 @@ def accumulate_allele_counts(
     return counts, strand_counts, low_qual, total
 
 
+def _packed_scatter_body(counts, strand_counts, low_qual, total, packed):
+    """Shared body: scatter packed calls into flat count tensors (see
+    accumulate_allele_counts_packed for the packing layout)."""
+    valid = packed >= 0
+    rel = packed & 0xFFFFF
+    q = (packed >> 20) & 31
+    al = (packed >> 25) & 7
+    st = (packed >> 28) & 1
+    low = valid & (q <= MIN_BASE_QS)
+    ok = valid & (q > MIN_BASE_QS)
+    pos = jnp.where(valid, rel, 0)
+    counts = counts.at[pos, al * N_QBINS + q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[pos, al * 2 + st].add(ok.astype(jnp.int32))
+    low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
+    total = total.at[pos].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
 @partial(jax.jit, donate_argnames=("counts", "strand_counts", "low_qual", "total"))
 def accumulate_allele_counts_packed(
     counts: jnp.ndarray,  # (W, n*Q) int32 — FLAT (allele, qbin) minor axis
@@ -192,14 +210,34 @@ def accumulate_allele_counts_packed(
     flat layout tiles at 124/128 density and contracts directly.  N calls
     (allele 4) index out of bounds and drop from allele counts while still
     reaching `total`/`low_qual`, the CountsHelper.updateCounts semantics."""
-    valid = packed >= 0
-    rel = packed & 0xFFFFF
-    q = (packed >> 20) & 31
-    al = (packed >> 25) & 7
-    st = (packed >> 28) & 1
+    return _packed_scatter_body(counts, strand_counts, low_qual, total, packed)
+
+
+def _tier1_scatter_body(
+    counts, strand_counts, low_qual, total,
+    codes, quals, lengths, keep, pred, cs, ce, strand,
+):
+    """Shared body: scatter one tier-1 read batch into flat count tensors
+    (see accumulate_tier1_window)."""
+    out_size = counts.shape[0]
+    Lp = codes.shape[1]
+    c = codes.astype(jnp.int32)  # (B, Lp)
+    q = jnp.clip(quals.astype(jnp.int32), 0, MAX_BASE_QS)
+    ln = lengths[:, None].astype(jnp.int32)
+    j = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    rev = (strand == 1)[:, None]
+    al = jnp.where(rev & (c < 4), 3 - c, c)
+    # aligned offset of stored base j; clip window in stored coordinates
+    off = jnp.where(rev, ln - 1 - j, j)
+    lo = jnp.where(rev, ce[:, None], cs[:, None])
+    hi = ln - jnp.where(rev, cs[:, None], ce[:, None])
+    inread = (j >= lo) & (j < hi) & (keep != 0)[:, None]
+    rel = pred[:, None] + off
+    valid = inread & (rel >= 0) & (rel < out_size)
+    pos = jnp.where(valid, rel, 0)
     low = valid & (q <= MIN_BASE_QS)
     ok = valid & (q > MIN_BASE_QS)
-    pos = jnp.where(valid, rel, 0)
+    st = jnp.broadcast_to(strand[:, None], al.shape)
     counts = counts.at[pos, al * N_QBINS + q].add(ok.astype(jnp.int32))
     strand_counts = strand_counts.at[pos, al * 2 + st].add(ok.astype(jnp.int32))
     low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
@@ -235,56 +273,24 @@ def accumulate_tier1_window(
     Per-call semantics mirror CountsHelper.updateCounts:209-251: every
     spanning base counts toward `total`; q<=3 only toward `low_qual`; N
     bases (code 4) never reach allele counts (OOB scatter lanes drop)."""
-    out_size = counts.shape[0]
-    Lp = codes.shape[1]
-    c = codes.astype(jnp.int32)  # (B, Lp)
-    q = jnp.clip(quals.astype(jnp.int32), 0, MAX_BASE_QS)
-    ln = lengths[:, None].astype(jnp.int32)
-    j = jnp.arange(Lp, dtype=jnp.int32)[None, :]
-    rev = (strand == 1)[:, None]
-    al = jnp.where(rev & (c < 4), 3 - c, c)
-    # aligned offset of stored base j; clip window in stored coordinates
-    off = jnp.where(rev, ln - 1 - j, j)
-    lo = jnp.where(rev, ce[:, None], cs[:, None])
-    hi = ln - jnp.where(rev, cs[:, None], ce[:, None])
-    inread = (j >= lo) & (j < hi) & (keep != 0)[:, None]
-    rel = pred[:, None] + off
-    valid = inread & (rel >= 0) & (rel < out_size)
-    pos = jnp.where(valid, rel, 0)
-    low = valid & (q <= MIN_BASE_QS)
-    ok = valid & (q > MIN_BASE_QS)
-    st = jnp.broadcast_to(strand[:, None], al.shape)
-    counts = counts.at[pos, al * N_QBINS + q].add(ok.astype(jnp.int32))
-    strand_counts = strand_counts.at[pos, al * 2 + st].add(ok.astype(jnp.int32))
-    low_qual = low_qual.at[pos].add(low.astype(jnp.int32))
-    total = total.at[pos].add(valid.astype(jnp.int32))
-    return counts, strand_counts, low_qual, total
+    return _tier1_scatter_body(
+        counts, strand_counts, low_qual, total,
+        codes, quals, lengths, keep, pred, cs, ce, strand,
+    )
 
 
-@partial(jax.jit, static_argnames=("n_alleles", "max_flag"))
-def genotype_window_sparse(
-    counts: jnp.ndarray,  # (W, n*Q) int32 flat (allele, qbin) minor axis
-    strand_counts: jnp.ndarray,  # (W, n*2) int32
-    total: jnp.ndarray,
-    ref_codes: jnp.ndarray,  # (W,) int8
-    contribution: jnp.ndarray,  # (n, Q, n, n) float64
-    het_rate: jnp.ndarray,
-    min_quality: jnp.ndarray,
-    n_alleles: int = 4,
-    max_flag: int = 1 << 14,
+def _sparse_genotype_body(
+    counts, strand_counts, total, ref_codes, contribution,
+    het_rate, min_quality, n_alleles, max_flag, max_out,
 ):
-    """Screened genotyping: a cheap float32 contraction over the whole
-    window flags every position whose decision COULD differ from
-    homozygous-reference (with a slack far above the f32 error bound);
-    the parity-exact float64 math then runs only on the flagged sparse
-    set.  float64 on this chip is VPU-emulated at ~2 GMAC/s, so skipping
-    the ~99% all-reference positions is a >100x kernel-time cut with
-    identical emitted records (same math as genotype_window_from_counts
-    on every flagged position).  All window-scale arrays stay in flat
-    2-D layouts — reshapes of (W, a, b) minor dims stall the TPU compiler.
+    """Shared body of the screened genotyper (see genotype_window_sparse).
 
-    Returns the same compact per-site fields plus `n_flagged`; callers
-    must re-run with a larger max_flag when n_flagged > max_flag."""
+    Per-site outputs are thinned to `max_out` rows before they leave the
+    program: the host↔device link pays ~tens of ms per MB, and real windows
+    emit a few hundred sites, so shipping all `max_flag` rows wastes most
+    of the transfer.  `n_sites` is exact; callers re-run with a larger
+    max_out when n_sites > max_out (and larger max_flag when
+    n_flagged > max_flag)."""
     P = counts.shape[0]
     n = n_alleles
     G = n * n
@@ -364,11 +370,11 @@ def genotype_window_sparse(
     )
     # interesting is a subset of flagged, so a max_flag-sized compaction
     # can never truncate sites; all remaining gathers permute the small
-    # already-gathered flagged rows
-    sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0]
+    # already-gathered flagged rows, thinned to the first max_out sites
+    sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0][:max_out]
     k_valid = jnp.sum(interesting.astype(jnp.int32))
     gsel = jnp.take(fidx, sidx)
-    depths_f = jnp.take(csub, sidx, axis=0).reshape(max_flag, n, N_QBINS).sum(axis=2)
+    depths_f = jnp.take(csub, sidx, axis=0).reshape(max_out, n, N_QBINS).sum(axis=2)
     return {
         "site_idx": gsel.astype(jnp.int32),
         "n_sites": k_valid,
@@ -381,12 +387,102 @@ def genotype_window_sparse(
         "total": jnp.take(total, gsel),
         "logcond": jnp.take(logcond, sidx, axis=0),
         "strand_counts": jnp.take(strand_counts, gsel, axis=0).reshape(
-            max_flag, n, 2
+            max_out, n, 2
         ),
     }
 
 
+@partial(jax.jit, static_argnames=("n_alleles", "max_flag", "max_out"))
+def genotype_window_sparse(
+    counts: jnp.ndarray,  # (W, n*Q) int32 flat (allele, qbin) minor axis
+    strand_counts: jnp.ndarray,  # (W, n*2) int32
+    total: jnp.ndarray,
+    ref_codes: jnp.ndarray,  # (W,) int8
+    contribution: jnp.ndarray,  # (n, Q, n, n) float64
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    n_alleles: int = 4,
+    max_flag: int = 1 << 14,
+    max_out: int = 2048,
+):
+    """Screened genotyping: a cheap float32 contraction over the whole
+    window flags every position whose decision COULD differ from
+    homozygous-reference (with a slack far above the f32 error bound);
+    the parity-exact float64 math then runs only on the flagged sparse
+    set.  float64 on this chip is VPU-emulated at ~2 GMAC/s, so skipping
+    the ~99% all-reference positions is a >100x kernel-time cut with
+    identical emitted records (same math as genotype_window_from_counts
+    on every flagged position).  All window-scale arrays stay in flat
+    2-D layouts — reshapes of (W, a, b) minor dims stall the TPU compiler.
+
+    Returns compact per-site fields (first max_out sites) plus exact
+    `n_sites`/`n_flagged`; callers must re-run with a larger max_flag
+    when n_flagged > max_flag or larger max_out when n_sites > max_out."""
+    return _sparse_genotype_body(
+        counts, strand_counts, total, ref_codes, contribution,
+        het_rate, min_quality, n_alleles, max_flag, max_out,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "n_alleles", "max_flag", "max_out"),
+)
+def genotype_window_fused(
+    batches,  # tuple of per-batch tuples (codes, quals, lengths, keep,
+    # pred, cs, ce, strand) — see accumulate_tier1_window for meanings
+    packed: jnp.ndarray,  # (N,) int32 packed host-path calls (-1 = skip)
+    ref_codes: jnp.ndarray,  # (out_size,) int8
+    contribution: jnp.ndarray,  # (n, Q, n, n) float64
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    *,
+    out_size: int,
+    n_alleles: int = 4,
+    max_flag: int = 1 << 14,
+    max_out: int = 2048,
+):
+    """One-program window genotyper: count-tensor init + tier-1 batch
+    scatters + packed host-call scatter + screened genotyping, fused.
+
+    On a network-attached accelerator every program execution pays a fixed
+    ~tens-of-ms round trip, so the per-window chain (4 zero-fills, one
+    scatter per batch, one packed scatter, one genotype kernel) is folded
+    into a single executable: one dispatch, one result fetch.  Semantics
+    are identical to running init_count_tensors_flat +
+    accumulate_tier1_window* + accumulate_allele_counts_packed +
+    genotype_window_sparse in sequence."""
+    n = n_alleles
+    acc = (
+        jnp.zeros((out_size, n * N_QBINS), jnp.int32),
+        jnp.zeros((out_size, n * 2), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+    )
+    for b in batches:
+        acc = _tier1_scatter_body(*acc, *b)
+    acc = _packed_scatter_body(*acc, packed)
+    counts, strand_counts, _low_qual, total = acc
+    return _sparse_genotype_body(
+        counts, strand_counts, total, ref_codes, contribution,
+        het_rate, min_quality, n_alleles, max_flag, max_out,
+    )
+
+
 DEF_MAX_FLAG = 1 << 14
+DEF_MAX_OUT = 2048
+
+
+def _needs_retry(out, max_flag, max_out):
+    return int(out["n_flagged"]) > max_flag or int(out["n_sites"]) > max_out
+
+
+def _grown_bounds(out, max_flag, max_out):
+    if int(out["n_flagged"]) > max_flag:
+        max_flag = 1 << (int(out["n_flagged"]) - 1).bit_length()
+    if int(out["n_sites"]) > max_out:
+        max_out = 1 << (int(out["n_sites"]) - 1).bit_length()
+    return max_flag, min(max_out, max_flag)
 
 
 def genotype_window_resolved(
@@ -400,25 +496,52 @@ def genotype_window_resolved(
     first_res=None,
 ):
     """Host wrapper over genotype_window_sparse: fetches the compact result
-    and retries with a larger flag capacity in the (rare) event the f32
-    screen flagged more positions than the compaction bound.  `first_res`
-    lets callers pre-dispatch the first attempt asynchronously."""
+    and retries with larger flag/output capacity in the (rare) event the
+    f32 screen flagged more positions than the compaction bound or more
+    sites were called than the thin-output bound.  `first_res` lets
+    callers pre-dispatch the first attempt asynchronously."""
     import numpy as np
 
     ref_codes = np.asarray(ref_codes)
-    max_flag = DEF_MAX_FLAG
+    max_flag, max_out = DEF_MAX_FLAG, DEF_MAX_OUT
     res = first_res
     if res is None:
         res = genotype_window_sparse(
             counts, strand_counts, total, ref_codes, contribution,
-            het_rate, min_quality, max_flag=max_flag,
+            het_rate, min_quality, max_flag=max_flag, max_out=max_out,
         )
     out = jax.device_get(res)
-    while int(out["n_flagged"]) > max_flag:
-        max_flag = 1 << (int(out["n_flagged"]) - 1).bit_length()
+    while _needs_retry(out, max_flag, max_out):
+        max_flag, max_out = _grown_bounds(out, max_flag, max_out)
         res = genotype_window_sparse(
             counts, strand_counts, total, ref_codes, contribution,
-            het_rate, min_quality, max_flag=max_flag,
+            het_rate, min_quality, max_flag=max_flag, max_out=max_out,
+        )
+        out = jax.device_get(res)
+    return out
+
+
+def genotype_window_fused_resolved(fused_args, first_res=None):
+    """Host wrapper over genotype_window_fused: fetch + grow-and-retry.
+
+    `fused_args` is (batches, packed, ref_codes, contribution, het_rate,
+    min_quality, out_size) — kept by the caller so the one-program window
+    chain can be re-dispatched with larger bounds when the defaults
+    truncate (pathological windows only)."""
+    batches, packed, ref_codes, contribution, het, minq, out_size = fused_args
+    max_flag, max_out = DEF_MAX_FLAG, DEF_MAX_OUT
+    res = first_res
+    if res is None:
+        res = genotype_window_fused(
+            batches, packed, ref_codes, contribution, het, minq,
+            out_size=out_size, max_flag=max_flag, max_out=max_out,
+        )
+    out = jax.device_get(res)
+    while _needs_retry(out, max_flag, max_out):
+        max_flag, max_out = _grown_bounds(out, max_flag, max_out)
+        res = genotype_window_fused(
+            batches, packed, ref_codes, contribution, het, minq,
+            out_size=out_size, max_flag=max_flag, max_out=max_out,
         )
         out = jax.device_get(res)
     return out
