@@ -49,8 +49,9 @@ class _BatchState:
     """Device handles + compact per-read arrays for one aligned batch."""
 
     reads: list[RawRead]
-    codes_dev: object  # (Bk, Lp) int8 on device
-    quals_dev: object  # (Bk, Lp) int8 on device
+    fwd_mat: np.ndarray  # (Bk, Lp) int8 forward-strand codes (host)
+    pq_dev: object  # (Bk, Lp) uint8 packed code|qual<<3, device-resident
+    res_dev: dict  # seeding result arrays, device-resident (B, C) int32
     lengths: np.ndarray  # (Bk,) int32
     # per-read accepted tier-1 placement (row i = read i; -1 where not fused)
     pred: np.ndarray
@@ -124,7 +125,8 @@ class AlignCallPipeline:
         import jax
 
         batches = [
-            self._classify_batch(*s[:6], jax.device_get(s[6])) for s in seeded
+            self._classify_batch(*s[:5], s[5], jax.device_get(s[5]))
+            for s in seeded
         ]
         for st, (a, _b) in zip(batches, spans):
             st.read0 = a
@@ -167,30 +169,40 @@ class AlignCallPipeline:
         qparts = [r.qualities if r.qualities else "5" * len(r.sequence) for r in reads]
         qflat = np.frombuffer("".join(qparts).encode("ascii"), np.uint8)
         row_len = lengths_h[:B].astype(np.int64)
-        row_start = np.repeat(np.arange(B, dtype=np.int64) * Lp, row_len)
-        col = np.arange(len(qflat), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(row_len)[:-1]]), row_len
-        )
-        qmat.ravel()[row_start + col] = qflat
-        qmat = (qmat.astype(np.int16) - 33).astype(np.int8)
-        codes_dev = jax.device_put(fwd_mat)
-        quals_dev = jax.device_put(qmat)
+        rl0 = int(row_len[0]) if B else 0
+        if B and len(qflat) == B * rl0:
+            # constant read length (the overwhelmingly common case): one
+            # reshape instead of a 2x-total-bases repeat/arange scatter
+            qmat[:B, :rl0] = qflat.reshape(B, rl0)
+        else:
+            row_start = np.repeat(np.arange(B, dtype=np.int64) * Lp, row_len)
+            col = np.arange(len(qflat), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(row_len)[:-1]]), row_len
+            )
+            qmat.ravel()[row_start + col] = qflat
+        # one byte per base: bits 0-2 code, bits 3-7 quality pre-clamped to
+        # 0..30 (the genotyping clamp, kernels/genotyping.MAX_BASE_QS) — the
+        # single upload serves both seeding (masks the code bits) and the
+        # downstream pileup scatter, halving host-link traffic
+        qmat = np.clip(qmat.astype(np.int16) - 33, 0, 30).astype(np.uint8)
+        pq = (fwd_mat.view(np.uint8) & 7) | (qmat << 3)
+        pq_dev = jax.device_put(pq)
         lengths32 = lengths_h.astype(np.int32)
         hk, vhi, vlo, ro, ep = al.table.device_arrays()
         gp, gn2 = self.genome.device_packed()
         res = seed_cluster_screen(
-            codes_dev,
+            pq_dev,
             lengths32,
             hk, vhi, vlo, ro, ep, gp, gn2,
             k=al.kmer_length,
             window=al.window_length,
             genome_len=self.genome.total_length,
         )
-        return reads, fwd_mat, lengths_h, codes_dev, quals_dev, lengths32, res
+        return reads, fwd_mat, lengths_h, pq_dev, lengths32, res
 
     # ------------------------------------------------------------------
     def _classify_batch(
-        self, reads, fwd_mat, lengths_h, codes_dev, quals_dev, lengths32, res
+        self, reads, fwd_mat, lengths_h, pq_dev, lengths32, res_dev, res
     ) -> _BatchState:
         """Classify each read as fused (device pileup path) or host (exact
         object path).  Mirrors ReadsAligner.align_batch candidate selection
@@ -297,8 +309,9 @@ class AlignCallPipeline:
         f32 = lambda a: a[:, 0].astype(np.int32)
         return _BatchState(
             reads=reads,
-            codes_dev=codes_dev,
-            quals_dev=quals_dev,
+            fwd_mat=fwd_mat,
+            pq_dev=pq_dev,
+            res_dev=res_dev,
             lengths=lengths32,
             pred=np.where(fused, pred[:, 0], -1).astype(np.int64),
             cs=f32(cs),
@@ -488,13 +501,97 @@ class AlignCallPipeline:
             ]
 
     # ------------------------------------------------------------------
+    # window-span row buckets: quadrupling ladder keeps the number of
+    # distinct compiled span sizes logarithmic in coverage
+    _ROW_LADDER = [1 << 8, 1 << 10, 1 << 12, 1 << 14, 1 << 16, 1 << 18]
+
+    @staticmethod
+    def _span_bucket(n: int) -> int:
+        for b in AlignCallPipeline._ROW_LADDER:
+            if n <= b:
+                return b
+        return 1 << max(8, (n - 1).bit_length())
+
+    def _compact_fused(self, batches: list[_BatchState]):
+        """Scatter every batch's fused rows into run-wide device arrays
+        sorted by predicted start, so each window's reads are one contiguous
+        span.  The packed read matrices and seeding-result columns are
+        already device-resident, so only row indices cross the host link."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.genotyping import META_COLS, place_fused_rows
+
+        rows_per = [np.nonzero(st.fused)[0] for st in batches]
+        F = sum(len(r) for r in rows_per)
+        if F == 0:
+            return None
+        Lp = max(st.fwd_mat.shape[1] for st, r in zip(batches, rows_per) if len(r))
+        pred_h = np.concatenate(
+            [st.pred[r] for st, r in zip(batches, rows_per) if len(r)]
+        )
+        order = np.argsort(pred_h, kind="stable")
+        inv = np.empty(F, np.int64)
+        inv[order] = np.arange(F)
+        # pad rows so dynamic_slice(start, bucket) never clamps `start`:
+        # the largest span bucket is _span_bucket(F), so F+pad >= start+rows
+        # always (padded rows carry zero meta and are masked by span counts)
+        pad = self._span_bucket(F)
+        pq = jnp.zeros((F + pad, Lp), jnp.uint8)
+        meta = jnp.zeros((F + pad, META_COLS), jnp.int32)
+        r0 = 0
+        for st, rows in zip(batches, rows_per):
+            if not len(rows):
+                continue
+            nb = len(rows)
+            bucket = _row_bucket(nb, minimum=128)
+            src = np.zeros(bucket, np.int32)
+            src[:nb] = rows
+            # sentinel lanes overwrite a pad row; span counts mask it
+            dst = np.full(bucket, F + pad - 1, np.int32)
+            dst[:nb] = inv[r0 : r0 + nb]
+            rd = st.res_dev
+            pq, meta = place_fused_rows(
+                pq, meta, st.pq_dev,
+                rd["pred_start"], rd["clip_start"], rd["clip_end"],
+                rd["strand"], st.lengths, src, dst,
+            )
+            r0 += nb
+        return {
+            "pq": pq,
+            "meta": meta,
+            "pred": pred_h[order],
+            "Lp": Lp,
+            "F": F,
+        }
+
+    def _empty_fused(self, rows: int):
+        """Zero-read stand-in so windows with only host-path calls reuse the
+        same span kernel (count=0 masks every row)."""
+        import jax
+
+        from ..kernels.genotyping import META_COLS
+
+        n = max(rows, 256)
+        cached = getattr(self, "_empty_fused_cache", None)
+        if cached is None or cached["F"] < n:
+            cached = {
+                "pq": jax.device_put(np.zeros((n, 128), np.uint8)),
+                "meta": jax.device_put(np.zeros((n, META_COLS), np.int32)),
+                "pred": np.empty(0, np.int64),
+                "Lp": 128,
+                "F": n,
+            }
+            self._empty_fused_cache = cached
+        return cached
+
     def _genotype(
         self, batches: list[_BatchState], host: list[ReadAlignment]
     ) -> list[VCFRecord]:
         from ..kernels.genotyping import (
             MAX_BASE_QS,
-            genotype_window_fused,
-            genotype_window_fused_resolved,
+            genotype_window_span,
+            genotype_window_span_resolved,
         )
         from .pileup import expand_batch_calls
         from .realigner import IndelRealigner
@@ -507,13 +604,14 @@ class AlignCallPipeline:
         for a in host:
             by_seq.setdefault(a.sequence_name, []).append(a)
 
-        # per-batch fused read start (for window routing)
-        CALL_CHUNK = 1 << 18
+        fused = self._compact_fused(batches)
+        CALL_CHUNK = 1 << 16
         records: list[VCFRecord] = []
         pending = []
         contribution = np.asarray(det._contribution)
         het = np.float64(det.heterozygosity_rate)
         minq = np.int32(det.min_quality)
+        empty_pk = np.full(CALL_CHUNK, -1, np.int32)
         for si in range(genome.num_sequences):
             name = genome.sequence_name(si)
             seq_len = genome.sequence_length(si)
@@ -539,34 +637,23 @@ class AlignCallPipeline:
             for w0 in range(1, seq_len + 1, window):
                 w1 = min(seq_len, w0 + window - 1)
                 w0_concat = base + w0 - 1  # 0-based concat of window start
-                # fused-path scatter inputs: reads of every batch whose
-                # placement intersects this window
-                batch_tuples = []
-                for st in batches:
-                    B = len(st.pred)
-                    ln = st.lengths[:B].astype(np.int64)
-                    keep = (
-                        st.fused
-                        & (st.pred + ln > w0_concat)
-                        & (st.pred < w0_concat + window)
-                    )
-                    if not keep.any():
-                        continue
-                    Bk = st.lengths.shape[0]  # row bucket (padded batch)
-                    keep_b = np.zeros(Bk, np.int8)
-                    keep_b[:B] = keep
-                    pred_b = np.zeros(Bk, np.int32)
-                    # read base j lands at window index pred + j - w0_concat,
-                    # the same index the host packed path uses (pos - w0)
-                    pred_b[:B] = (st.pred - w0_concat).astype(np.int32)
-                    pad32 = lambda a: np.pad(a.astype(np.int32), (0, Bk - B))
-                    batch_tuples.append(
-                        (
-                            st.codes_dev, st.quals_dev, st.lengths,
-                            keep_b, pred_b,
-                            pad32(st.cs), pad32(st.ce), pad32(st.strand),
+                # fused-path span: reads sorted by pred, so the rows that can
+                # touch [w0, w1] are contiguous (over-inclusion on the left
+                # edge is masked by the kernel's per-base bounds check)
+                if fused is not None:
+                    slo = int(
+                        np.searchsorted(
+                            fused["pred"], w0_concat - fused["Lp"], side="left"
                         )
                     )
+                    shi = int(
+                        np.searchsorted(
+                            fused["pred"], w0_concat + window, side="left"
+                        )
+                    )
+                    count = shi - slo
+                else:
+                    slo = count = 0
                 # host-path packed calls for this window (one fixed chunk;
                 # shapes beyond one chunk grow by whole chunks, so the rare
                 # ultra-deep window costs one extra compile, not one per size)
@@ -585,22 +672,24 @@ class AlignCallPipeline:
                         pk, (0, n_chunks * CALL_CHUNK - len(pk)),
                         constant_values=-1,
                     )
-                elif not batch_tuples:
+                elif count == 0:
                     continue  # no evidence touches this window
                 else:
-                    pk = np.full(CALL_CHUNK, -1, np.int32)
+                    pk = empty_pk
                 ref_win = np.full(window, 4, dtype=np.int8)
                 ref_win[: w1 - w0 + 1] = genome.sequences[si].codes[w0 - 1 : w1]
-                fused_args = (
-                    tuple(batch_tuples), pk, ref_win, contribution,
-                    het, minq, window,
+                rows = self._span_bucket(max(count, 1))
+                fz = fused if fused is not None else self._empty_fused(rows)
+                span_args = (
+                    fz["pq"], fz["meta"],
+                    np.int32(slo), np.int32(count), np.int32(w0_concat),
+                    pk, ref_win, contribution, het, minq, window, rows,
                 )
-                first = genotype_window_fused(
-                    tuple(batch_tuples), pk, ref_win, contribution,
-                    het, minq, out_size=window,
+                first = genotype_window_span(
+                    *span_args[:10], out_size=window, rows=rows
                 )
                 pending.append(
-                    (name, w0, ref_win, fused_args, first,
+                    (name, w0, ref_win, span_args, first,
                      indel_records, seq_records)
                 )
             # attach indel records even if no window produced counts
@@ -609,8 +698,8 @@ class AlignCallPipeline:
                 records.extend(sorted(seq_records, key=lambda r: r.variant.first))
 
         handled: dict[str, tuple[list, list]] = {}
-        for name, w0, ref_win, fused_args, first, indel_records, seq_records in pending:
-            res = genotype_window_fused_resolved(fused_args, first_res=first)
+        for name, w0, ref_win, span_args, first, indel_records, seq_records in pending:
+            res = genotype_window_span_resolved(span_args, first_res=first)
             k = int(res["n_sites"])
             for i in range(k):
                 p = int(res["site_idx"][i])

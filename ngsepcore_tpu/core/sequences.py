@@ -102,6 +102,16 @@ def pack_reads(
     qarr = None
     if quals is not None:
         qarr = np.zeros((n, maxlen), dtype=np.int8)
+    L0 = len(seqs[0]) if n else 0
+    nz = n
+    while nz and len(seqs[nz - 1]) == 0:
+        nz -= 1
+    if quals is None and nz and L0 and all(len(s) == L0 for s in seqs[:nz]):
+        # constant length up to trailing empty pad rows (the common case):
+        # one C-level concat instead of a per-row Python assignment loop
+        codes[:nz, :L0] = np.concatenate(seqs[:nz]).reshape(nz, L0)
+        lengths[:nz] = L0
+        return codes, lengths, qarr
     for i, s in enumerate(seqs):
         L = len(s)
         codes[i, :L] = s

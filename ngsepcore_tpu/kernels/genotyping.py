@@ -318,9 +318,14 @@ def _sparse_genotype_body(
     is_ref_gt = gidx == gref[:, None]
     ref_ev = jnp.sum(jnp.where(is_ref_gt, ev_pair, 0.0), axis=1)
     best_ev = jnp.max(jnp.where(is_ref_gt, -jnp.inf, ev_pair), axis=1)
-    # slack >> f32 matmul error (~1e-7 * depth * |C|max * n_terms)
+    # the screen only needs to cover f32 NUMERICAL error, not decision
+    # semantics: when best_ev <= ref_ev exactly, the best non-ref posterior
+    # cannot exceed the hom-ref posterior (let alone beat it by the +0.01
+    # margin of VariantDiscoverySNVQAlgorithm:41), so the position decides
+    # hom-ref.  f32 matmul error is ~1e-7 * depth * |C|max; 1e-4 * depth
+    # plus a 0.01 floor is >100x that bound while flagging ~only real sites
     depth_tot = counts.sum(axis=1).astype(jnp.float32)
-    slack = jnp.float32(0.5) + jnp.float32(1e-4) * depth_tot
+    slack = jnp.float32(0.01) + jnp.float32(1e-4) * depth_tot
     flag = (best_ev >= ref_ev - slack) & (total > 0)
     n_flagged = jnp.sum(flag.astype(jnp.int32))
     fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
@@ -469,8 +474,139 @@ def genotype_window_fused(
     )
 
 
-DEF_MAX_FLAG = 1 << 14
-DEF_MAX_OUT = 2048
+# meta matrix column layout for the compacted fused-read arrays
+META_PRED, META_CS, META_CE, META_STRAND, META_LEN, META_COLS = 0, 1, 2, 3, 4, 8
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "rows", "n_alleles", "max_flag", "max_out"),
+)
+def genotype_window_span(
+    pq: jnp.ndarray,  # (F, Lp) uint8 packed reads: bits0-2 base code,
+    # bits 3-7 phred quality pre-clamped to 0..30 (one byte per base so the
+    # batch crosses the host link once for both seeding and genotyping)
+    meta: jnp.ndarray,  # (F, META_COLS) int32 per-read metadata, rows sorted
+    # by predicted start: [pred (concat coords), clip_start, clip_end,
+    # strand, length, ...pad]
+    start: jnp.ndarray,  # scalar int32: first fused row of this window's span
+    count: jnp.ndarray,  # scalar int32: rows in the span
+    w0: jnp.ndarray,  # scalar int32: window start, concatenated coords
+    packed: jnp.ndarray,  # (N,) int32 packed host-path calls (-1 = skip)
+    ref_codes: jnp.ndarray,  # (out_size,) int8
+    contribution: jnp.ndarray,  # (n, Q, n, n) float64
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    *,
+    out_size: int,
+    rows: int,
+    n_alleles: int = 4,
+    max_flag: int = 1 << 12,
+    max_out: int = 1024,
+):
+    """Window genotyper over a CONTIGUOUS SPAN of the run-wide fused-read
+    arrays: count-tensor init + tier-1 span scatter + packed host-call
+    scatter + screened genotyping in one program.
+
+    The fused reads of the whole run are compacted once (on device) into
+    arrays sorted by predicted start, so each window's reads are a
+    contiguous row range selected here by `lax.dynamic_slice` — per-window
+    work is O(reads-in-window), not O(whole batch).  The predecessor design
+    passed every aligner batch to every window program, so a b-batch run
+    re-scanned all B rows per window (n_windows x B x Lp scatter lanes); at
+    yeast-genome window counts that dominated the pipeline (ref behavior
+    being replaced: AlignmentsPileupGenerator.java:377-403 advances
+    per-read, per-position).  Callers must pad the row arrays so
+    start+rows never exceeds F (padded rows are masked by `count`)."""
+    n = n_alleles
+    acc = (
+        jnp.zeros((out_size, n * N_QBINS), jnp.int32),
+        jnp.zeros((out_size, n * 2), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+        jnp.zeros((out_size,), jnp.int32),
+    )
+    import jax.lax as lax
+
+    sl = lax.dynamic_slice_in_dim(pq, start, rows, 0)
+    mt = lax.dynamic_slice_in_dim(meta, start, rows, 0)
+    c = (sl & 7).astype(jnp.int8)
+    q = (sl >> 3).astype(jnp.int8)
+    keep = (jnp.arange(rows, dtype=jnp.int32) < count).astype(jnp.int8)
+    pred_rel = mt[:, META_PRED] - w0
+    acc = _tier1_scatter_body(
+        *acc, c, q, mt[:, META_LEN], keep, pred_rel,
+        mt[:, META_CS], mt[:, META_CE], mt[:, META_STRAND],
+    )
+    acc = _packed_scatter_body(*acc, packed)
+    counts, strand_counts, _low_qual, total = acc
+    return _sparse_genotype_body(
+        counts, strand_counts, total, ref_codes, contribution,
+        het_rate, min_quality, n_alleles, max_flag, max_out,
+    )
+
+
+def genotype_window_span_resolved(span_args, first_res=None):
+    """Host wrapper over genotype_window_span: fetch + grow-and-retry when
+    the f32 screen flags more rows than max_flag or more sites are called
+    than max_out (pathological windows only)."""
+    (
+        pq, meta, start, count, w0, packed, ref_codes, contribution,
+        het, minq, out_size, rows,
+    ) = span_args
+    max_flag, max_out = DEF_MAX_FLAG, DEF_MAX_OUT
+    res = first_res
+    if res is None:
+        res = genotype_window_span(
+            pq, meta, start, count, w0, packed, ref_codes, contribution,
+            het, minq,
+            out_size=out_size, rows=rows, max_flag=max_flag, max_out=max_out,
+        )
+    out = jax.device_get(res)
+    while _needs_retry(out, max_flag, max_out):
+        max_flag, max_out = _grown_bounds(out, max_flag, max_out)
+        res = genotype_window_span(
+            pq, meta, start, count, w0, packed, ref_codes, contribution,
+            het, minq,
+            out_size=out_size, rows=rows, max_flag=max_flag, max_out=max_out,
+        )
+        out = jax.device_get(res)
+    return out
+
+
+@partial(jax.jit, donate_argnames=("pq_out", "meta_out"))
+def place_fused_rows(
+    pq_out: jnp.ndarray,  # (F_pad, Lp) uint8 compacted packed reads
+    meta_out: jnp.ndarray,  # (F_pad, META_COLS) int32
+    pq_batch: jnp.ndarray,  # (B, Lpb) uint8 one aligner batch, device-resident
+    pred: jnp.ndarray,  # (B, C) int32 seeding result columns (device)
+    cs: jnp.ndarray,
+    ce: jnp.ndarray,
+    strand: jnp.ndarray,
+    lengths: jnp.ndarray,  # (B,) int32
+    src: jnp.ndarray,  # (Rb,) int32 fused row indices within the batch
+    dst: jnp.ndarray,  # (Rb,) int32 destination rows (sorted-by-pred order;
+    # sentinel lanes point at a pad row and are later masked by span counts)
+):
+    """Scatter one batch's fused rows into the run-wide compacted arrays —
+    the batch matrix uploaded for seeding is reused, so reads cross the
+    host link exactly once per run."""
+    rows = jnp.take(pq_batch, src, axis=0)
+    Lpb = rows.shape[1]
+    if Lpb == pq_out.shape[1]:
+        pq_out = pq_out.at[dst].set(rows)
+    else:
+        pq_out = pq_out.at[dst, :Lpb].set(rows)
+    s = src
+    meta_out = meta_out.at[dst, META_PRED].set(pred[s, 0])
+    meta_out = meta_out.at[dst, META_CS].set(cs[s, 0])
+    meta_out = meta_out.at[dst, META_CE].set(ce[s, 0])
+    meta_out = meta_out.at[dst, META_STRAND].set(jnp.clip(strand[s, 0], 0, 1))
+    meta_out = meta_out.at[dst, META_LEN].set(lengths[s])
+    return pq_out, meta_out
+
+
+DEF_MAX_FLAG = 1 << 12
+DEF_MAX_OUT = 1024
 
 
 def _needs_retry(out, max_flag, max_out):

@@ -121,7 +121,10 @@ def gather_aligned_words(packed: jnp.ndarray, start: jnp.ndarray, n_words: int):
     ),
 )
 def seed_cluster_screen(
-    codes: jnp.ndarray,  # (B, L) int8 forward-strand read codes
+    codes: jnp.ndarray,  # (B, L) int8 forward-strand read codes, OR uint8
+    # packed (code | clamped_qual << 3) bytes — the quality bits ride the
+    # same upload for the downstream genotyping scatter and are masked off
+    # here (the dtype selects the unpacking at trace time)
     lengths: jnp.ndarray,  # (B,) int32
     hash_keys: jnp.ndarray,  # (U,) uint32 sorted lookup hash per distinct code
     ver_hi: jnp.ndarray,  # (U,) int32 exact canonical code high half per key
@@ -140,6 +143,8 @@ def seed_cluster_screen(
 ):
     from .kmers import kmer_codes_canonical_2x32
 
+    if codes.dtype == jnp.uint8:
+        codes = (codes & 7).astype(jnp.int8)
     B, L = codes.shape
     M, K, C = max_minimizers, hits_per_kmer, max_clusters
     H = M * K
