@@ -22,11 +22,11 @@ sys.path.insert(0, ".")
 
 JAVA_BASELINE_READS_PER_S = 5000.0  # assumed Java align+genotype throughput
 
-GENOME_MBP = 1.0  # simulated genome size
-N_READS = 20000
+GENOME_MBP = 12.0  # yeast-genome scale (S. cerevisiae ~12 Mbp)
+N_READS = 300000
 READ_LEN = 150
-BATCH = 32768  # one mega-batch: program executions cost a fixed link
-# round trip (~tens of ms) regardless of size, so fewer+bigger wins
+BATCH = 65536  # big batches amortize fixed per-program costs (link round
+# trips, kernel tails); 64k x 256 intermediates still fit HBM comfortably
 
 
 def main() -> None:
@@ -66,9 +66,11 @@ def main() -> None:
     pipe = AlignCallPipeline(genome, aligner=aligner, detector=detector,
                              batch_size=BATCH)
 
-    # warmup: compile all kernels (seeding, scatter, genotype) on
-    # full-size shapes; the pipeline's bucketed shapes repeat afterwards
-    _ = pipe.run_reads(reads[: BATCH + 128])
+    # warmup: one full identical run compiles every bucketed shape the
+    # timed run will hit (row buckets of the window spans depend on the
+    # whole read set, so a partial warmup would leave compiles in the
+    # timed region)
+    _ = pipe.run_reads(reads)
     aligner.total_reads = aligner.aligned_reads = 0
 
     t0 = time.time()

@@ -501,9 +501,13 @@ class AlignCallPipeline:
             ]
 
     # ------------------------------------------------------------------
-    # window-span row buckets: quadrupling ladder keeps the number of
-    # distinct compiled span sizes logarithmic in coverage
-    _ROW_LADDER = [1 << 8, 1 << 10, 1 << 12, 1 << 14, 1 << 16, 1 << 18]
+    # window-span row buckets: 4x steps at the extremes, 2x steps in the
+    # common mid-range (scatter lanes scale with the bucket, so slack is
+    # wasted device time; each extra size costs one ~30s window-program
+    # compile, paid once per process per shape)
+    _ROW_LADDER = [
+        1 << 8, 1 << 10, 1 << 12, 1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 18,
+    ]
 
     @staticmethod
     def _span_bucket(n: int) -> int:
@@ -526,7 +530,15 @@ class AlignCallPipeline:
         F = sum(len(r) for r in rows_per)
         if F == 0:
             return None
-        Lp = max(st.fwd_mat.shape[1] for st, r in zip(batches, rows_per) if len(r))
+        # scatter lanes scale with the compacted width: trim to the longest
+        # fused read rounded to 16 (the batch matrices are 256-padded)
+        maxlen = max(
+            int(st.lengths[r].max()) for st, r in zip(batches, rows_per) if len(r)
+        )
+        Lp = min(
+            max(st.fwd_mat.shape[1] for st, r in zip(batches, rows_per) if len(r)),
+            (maxlen + 15) & ~15,
+        )
         pred_h = np.concatenate(
             [st.pred[r] for st, r in zip(batches, rows_per) if len(r)]
         )

@@ -477,6 +477,176 @@ def genotype_window_fused(
 # meta matrix column layout for the compacted fused-read arrays
 META_PRED, META_CS, META_CE, META_STRAND, META_LEN, META_COLS = 0, 1, 2, 3, 4, 8
 
+# combined count tensor: cols 0..123 = (allele, qbin) ok calls, col 124 = N
+# calls, col 125 = low-quality calls; `total` is the row sum.  128 columns
+# tile exactly onto the (8, 128) int32 TPU layout — and folding N/low/total
+# into one scatter halves the update count of the old 4-tensor design.
+COL_N, COL_LOW, N_COLS = 124, 125, 128
+
+
+def _span_scatter_counts(
+    counts128, strand_flat, c, q, ln, keep, pred, cs, ce, strand
+):
+    """Scatter one span of tier-1 reads into the combined count tensor and
+    the FLAT strand tensor.
+
+    Layout notes (performance-critical): strand counts as a (W, 8) tensor
+    tile-pad to (W, 128) int32 in HBM — 16x memory and zero-fill waste — so
+    they live flat as (W*8,) with index pos*8 + allele*2 + strand.  Every
+    lane makes exactly 2 scatter updates (combined-counts col + strand)
+    instead of the 4 of the separate-tensor design."""
+    out_size = counts128.shape[0]
+    Lp = c.shape[1]
+    q = jnp.clip(q.astype(jnp.int32), 0, MAX_BASE_QS)
+    c = c.astype(jnp.int32)
+    ln = ln[:, None].astype(jnp.int32)
+    j = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    rev = (strand == 1)[:, None]
+    al = jnp.where(rev & (c < 4), 3 - c, c)
+    off = jnp.where(rev, ln - 1 - j, j)
+    lo = jnp.where(rev, ce[:, None], cs[:, None])
+    hi = ln - jnp.where(rev, cs[:, None], ce[:, None])
+    inread = (j >= lo) & (j < hi) & (keep != 0)[:, None]
+    rel = pred[:, None] + off
+    valid = inread & (rel >= 0) & (rel < out_size)
+    pos = jnp.where(valid, rel, 0)
+    low = q <= MIN_BASE_QS
+    okn = ~low  # q ok; allele may still be N
+    col = jnp.where(
+        low, COL_LOW, jnp.where(al < 4, al * N_QBINS + q, COL_N)
+    )
+    counts128 = counts128.at[pos, col].add(valid.astype(jnp.int32))
+    st = jnp.broadcast_to(strand[:, None], al.shape)
+    sidx = pos * 8 + jnp.minimum(al, 3) * 2 + st
+    sval = (valid & okn & (al < 4)).astype(jnp.int32)
+    strand_flat = strand_flat.at[jnp.where(valid, sidx, 0)].add(sval)
+    return counts128, strand_flat
+
+
+def _span_packed_scatter(counts128, strand_flat, packed):
+    """Host-path packed calls into the combined/flat tensors (same packing
+    as accumulate_allele_counts_packed)."""
+    valid = packed >= 0
+    rel = packed & 0xFFFFF
+    q = (packed >> 20) & 31
+    al = (packed >> 25) & 7
+    st = (packed >> 28) & 1
+    low = q <= MIN_BASE_QS
+    pos = jnp.where(valid, rel, 0)
+    col = jnp.where(low, COL_LOW, jnp.where(al < 4, al * N_QBINS + q, COL_N))
+    counts128 = counts128.at[pos, col].add(valid.astype(jnp.int32))
+    sidx = pos * 8 + jnp.minimum(al, 3) * 2 + st
+    sval = (valid & ~low & (al < 4)).astype(jnp.int32)
+    strand_flat = strand_flat.at[jnp.where(valid, sidx, 0)].add(sval)
+    return counts128, strand_flat
+
+
+def _sparse_genotype_body_flat(
+    counts128, strand_flat, ref_codes, contribution,
+    het_rate, min_quality, n_alleles, max_flag, max_out,
+):
+    """Screened genotyper over the combined (W, 128) count tensor and flat
+    strand tensor (see _span_scatter_counts).  Same math/decisions as
+    _sparse_genotype_body; `total` is derived as the row sum (every valid
+    spanning call lands in exactly one column), saving its scatter."""
+    P = counts128.shape[0]
+    n = n_alleles
+    G = n * n
+    ref = jnp.clip(ref_codes, 0, n - 1).astype(jnp.int32)
+    total = jnp.sum(counts128, axis=1)
+
+    # zero-padded contraction tables: cols >= 124 (N/low) contribute nothing
+    Cd = jnp.zeros((N_COLS, G), jnp.float64)
+    Cd = Cd.at[: n * N_QBINS].set(contribution.reshape(n * N_QBINS, G))
+
+    # ---- stage 1: f32 screen over all positions -------------------------
+    ev32 = jnp.dot(counts128.astype(jnp.float32), Cd.astype(jnp.float32))
+    eye_flat = np.eye(n, dtype=bool).reshape(-1)
+    log_prior_hetero32 = jnp.log10(het_rate / (n * (n - 1))).astype(jnp.float32)
+    log_prior_homo32 = jnp.log10((1 - het_rate) / n).astype(jnp.float32)
+    prior32 = jnp.where(jnp.asarray(eye_flat), log_prior_homo32, log_prior_hetero32)
+    pair32 = prior32 + jnp.asarray(
+        np.where(eye_flat, 0.0, np.log10(2.0)).astype(np.float32)
+    )
+    ev_pair = ev32 + pair32[None, :]
+    gref = ref * (n + 1)
+    gidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    is_ref_gt = gidx == gref[:, None]
+    ref_ev = jnp.sum(jnp.where(is_ref_gt, ev_pair, 0.0), axis=1)
+    best_ev = jnp.max(jnp.where(is_ref_gt, -jnp.inf, ev_pair), axis=1)
+    # slack covers only f32 numerical error (see _sparse_genotype_body)
+    depth_tot = total.astype(jnp.float32)
+    slack = jnp.float32(0.01) + jnp.float32(1e-4) * depth_tot
+    flag = (best_ev >= ref_ev - slack) & (total > 0)
+    n_flagged = jnp.sum(flag.astype(jnp.int32))
+    fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
+    in_flag = jnp.arange(max_flag) < n_flagged
+
+    # ---- stage 2: exact f64 path on flagged positions only --------------
+    csub = jnp.take(counts128, fidx, axis=0)  # (F, 128)
+    logcond = jnp.dot(csub.astype(jnp.float64), Cd).reshape(max_flag, n, n)
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    prior = jnp.where(
+        jnp.asarray(np.eye(n, dtype=bool)), log_prior_homo, log_prior_hetero
+    )
+    ev = logcond + prior[None, :, :]
+    F = max_flag
+    logmax = jnp.max(ev.reshape(F, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    post = p / jnp.sum(p.reshape(F, -1), axis=1)[:, None, None]
+    refs = jnp.take(ref, fidx)
+    frows = jnp.arange(F)
+    best = post[frows, refs, refs]
+    bi = refs
+    bj = refs
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = jnp.where(upd, prob, best)
+            bi = jnp.where(upd, i, bi)
+            bj = jnp.where(upd, j, bj)
+    ref_prob = post[frows, refs, refs]
+    one_minus = 1.0 - best
+    gq = jnp.where(
+        one_minus <= 0,
+        255,
+        jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(one_minus, 1e-30))), 255),
+    ).astype(jnp.int32)
+    interesting = (
+        ((bi != refs) | (bj != refs))
+        & (jnp.take(ref_codes, fidx) < 4)
+        & (gq >= min_quality)
+        & (gq > 0)
+        & (jnp.take(total, fidx) > 0)
+        & in_flag
+    )
+    sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0][:max_out]
+    k_valid = jnp.sum(interesting.astype(jnp.int32))
+    gsel = jnp.take(fidx, sidx)
+    depths_f = (
+        jnp.take(csub, sidx, axis=0)[:, : n * N_QBINS]
+        .reshape(max_out, n, N_QBINS)
+        .sum(axis=2)
+    )
+    stidx = gsel[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]
+    strand_rows = jnp.take(strand_flat, stidx.reshape(-1)).reshape(max_out, n, 2)
+    return {
+        "site_idx": gsel.astype(jnp.int32),
+        "n_sites": k_valid,
+        "n_flagged": n_flagged,
+        "bi": jnp.take(bi, sidx).astype(jnp.int8),
+        "bj": jnp.take(bj, sidx).astype(jnp.int8),
+        "gq": jnp.take(gq, sidx),
+        "ref_prob": jnp.take(ref_prob, sidx),
+        "depths": depths_f,
+        "total": jnp.take(total, gsel),
+        "logcond": jnp.take(logcond, sidx, axis=0),
+        "strand_counts": strand_rows,
+    }
+
 
 @partial(
     jax.jit,
@@ -518,29 +688,23 @@ def genotype_window_span(
     being replaced: AlignmentsPileupGenerator.java:377-403 advances
     per-read, per-position).  Callers must pad the row arrays so
     start+rows never exceeds F (padded rows are masked by `count`)."""
-    n = n_alleles
-    acc = (
-        jnp.zeros((out_size, n * N_QBINS), jnp.int32),
-        jnp.zeros((out_size, n * 2), jnp.int32),
-        jnp.zeros((out_size,), jnp.int32),
-        jnp.zeros((out_size,), jnp.int32),
-    )
     import jax.lax as lax
 
+    counts128 = jnp.zeros((out_size, N_COLS), jnp.int32)
+    strand_flat = jnp.zeros((out_size * 8,), jnp.int32)
     sl = lax.dynamic_slice_in_dim(pq, start, rows, 0)
     mt = lax.dynamic_slice_in_dim(meta, start, rows, 0)
     c = (sl & 7).astype(jnp.int8)
     q = (sl >> 3).astype(jnp.int8)
     keep = (jnp.arange(rows, dtype=jnp.int32) < count).astype(jnp.int8)
     pred_rel = mt[:, META_PRED] - w0
-    acc = _tier1_scatter_body(
-        *acc, c, q, mt[:, META_LEN], keep, pred_rel,
+    counts128, strand_flat = _span_scatter_counts(
+        counts128, strand_flat, c, q, mt[:, META_LEN], keep, pred_rel,
         mt[:, META_CS], mt[:, META_CE], mt[:, META_STRAND],
     )
-    acc = _packed_scatter_body(*acc, packed)
-    counts, strand_counts, _low_qual, total = acc
-    return _sparse_genotype_body(
-        counts, strand_counts, total, ref_codes, contribution,
+    counts128, strand_flat = _span_packed_scatter(counts128, strand_flat, packed)
+    return _sparse_genotype_body_flat(
+        counts128, strand_flat, ref_codes, contribution,
         het_rate, min_quality, n_alleles, max_flag, max_out,
     )
 
@@ -591,11 +755,13 @@ def place_fused_rows(
     the batch matrix uploaded for seeding is reused, so reads cross the
     host link exactly once per run."""
     rows = jnp.take(pq_batch, src, axis=0)
-    Lpb = rows.shape[1]
-    if Lpb == pq_out.shape[1]:
+    Lp_out = pq_out.shape[1]
+    if rows.shape[1] > Lp_out:  # compacted width trimmed to longest read
+        rows = rows[:, :Lp_out]
+    if rows.shape[1] == Lp_out:
         pq_out = pq_out.at[dst].set(rows)
     else:
-        pq_out = pq_out.at[dst, :Lpb].set(rows)
+        pq_out = pq_out.at[dst, : rows.shape[1]].set(rows)
     s = src
     meta_out = meta_out.at[dst, META_PRED].set(pred[s, 0])
     meta_out = meta_out.at[dst, META_CS].set(cs[s, 0])
