@@ -162,17 +162,34 @@ class MinimizerTable:
     def size(self) -> int:
         return len(self.entry_pos)
 
+    # bucketized tables beyond this many unique codes would not fit HBM;
+    # fall back to the sorted-key searchsorted layout there
+    MAX_BUCKETIZED_CODES = 1 << 24
+    BUCKET_WIDTH = 8
+
     def device_arrays(self):
-        """Device-resident (hash32 uint32 sorted, ver_hi int32, ver_lo int32,
-        row_offsets int32, entry_pos int32) for the fused seeding kernel —
-        uploaded once and cached.  The key is `lookup_hash32` of the two
-        int32 code halves (TPU int64 compares are emulated); queries verify
-        (hi, lo) exactly.  Hash-colliding codes (~U^2/2^32, a handful per
-        genome) are dropped at build time — equivalent to a slightly
-        stricter max_hits_per_code cull.  int32 positions require a <2^31-bp
+        """Device-resident lookup structure for the fused seeding kernel —
+        uploaded once and cached.  int32 positions require a <2^31-bp
         concatenated genome (the reference's int coordinates have the same
-        bound)."""
+        bound).
+
+        Two layouts, distinguished by the kernel via array rank:
+
+        * bucketized (default): (b_hi (NB, W) int32, b_lo (NB, W) int32,
+          b_start (NB, W) int32, b_cnt (NB, W) int32, entry_packed).  A
+          query computes bucket = lookup_hash32 & (NB-1) and row-gathers
+          the 4 bucket rows — row gathers move whole 32-byte lanes, vs the
+          ~24 dependent per-element gathers of a binary search.  NB is
+          sized (and doubled on overflow) so every bucket holds <= W codes;
+          exactness still comes from the per-slot (hi, lo) compare.
+        * sorted-key fallback for tables over MAX_BUCKETIZED_CODES unique
+          codes: (hash32 uint32 sorted, ver_hi, ver_lo, row_offsets,
+          entry_packed) queried by searchsorted; hash-colliding codes
+          (~U^2/2^32) are culled at build."""
         if getattr(self, "_device_arrays", None) is None:
+            if len(self.unique_codes) <= self.MAX_BUCKETIZED_CODES:
+                self._device_arrays = self._build_bucketized()
+                return self._device_arrays
             import jax.numpy as jnp
 
             from ..kernels.minimizers import lookup_hash32
@@ -220,6 +237,54 @@ class MinimizerTable:
                 jnp.asarray(entries.astype(np.uint32).view(np.int32)),
             )
         return self._device_arrays
+
+    def _build_bucketized(self):
+        import jax.numpy as jnp
+
+        from ..kernels.minimizers import lookup_hash32
+
+        U = len(self.unique_codes)
+        assert len(self.entry_pos) == 0 or int(self.entry_pos.max()) < (
+            1 << 31
+        ), "genome too large for int32 seed positions"
+        lo_bits = 2 * min(self.k, 15)
+        code_hi = (self.unique_codes >> lo_bits).astype(np.int32)
+        code_lo = (self.unique_codes & ((1 << lo_bits) - 1)).astype(np.int32)
+        with np.errstate(over="ignore"):
+            h = lookup_hash32(code_hi, code_lo)
+        W = self.BUCKET_WIDTH
+        NB = 1 << max(int(U - 1).bit_length(), 4) if U else 16
+        while True:
+            b = (h & np.uint32(NB - 1)).astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            # slot within bucket = rank within equal-bucket run
+            run_start = np.concatenate([[0], np.nonzero(bs[1:] != bs[:-1])[0] + 1])
+            gid = np.zeros(U, np.int64)
+            gid[run_start] = 1
+            gid = np.cumsum(gid) - 1
+            slot = np.arange(U, dtype=np.int64) - run_start[gid]
+            if U == 0 or slot.max() < W:
+                break
+            NB *= 2  # a bucket overflowed (skewed hashes); re-spread
+        b_hi = np.full((NB, W), -1, np.int32)
+        b_lo = np.full((NB, W), -1, np.int32)
+        b_start = np.zeros((NB, W), np.int32)
+        b_cnt = np.zeros((NB, W), np.int32)
+        counts = np.diff(self.row_offsets)
+        if U:
+            b_hi[bs, slot] = code_hi[order]
+            b_lo[bs, slot] = code_lo[order]
+            b_start[bs, slot] = self.row_offsets[:-1][order]
+            b_cnt[bs, slot] = counts[order]
+        entries = self.entry_pos | (self.entry_strand.astype(np.int64) << 31)
+        return (
+            jnp.asarray(b_hi),
+            jnp.asarray(b_lo),
+            jnp.asarray(b_start),
+            jnp.asarray(b_cnt),
+            jnp.asarray(entries.astype(np.uint32).view(np.int32)),
+        )
 
     def save(self, path: str) -> None:
         np.savez_compressed(

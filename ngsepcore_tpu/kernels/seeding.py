@@ -162,18 +162,34 @@ def seed_cluster_screen(
     mflag = jnp.take_along_axis(kflag, seli, axis=1)
     mpos = seli
 
-    # ---- stage 2: hashed CSR lookup ------------------------------------
-    U = hash_keys.shape[0]
+    # ---- stage 2: table lookup ------------------------------------------
     qhash = lookup_hash32(mhi, mlo)
-    r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
-    if U > 0:
-        # (hi, lo) verification alone decides membership: if the query hash
-        # is absent, row r holds some other code and the compare fails
-        found = msel & (ver_hi[r] == mhi) & (ver_lo[r] == mlo)
+    if hash_keys.ndim == 2:
+        # bucketized layout (MinimizerTable._build_bucketized): 4 row
+        # gathers of W-lane bucket rows + elementwise exact compare; at
+        # most one slot matches (codes are unique), so the select is a
+        # masked sum — no take_along_axis, no binary-search gather chain
+        b_hi, b_lo, b_start, b_cnt = hash_keys, ver_hi, ver_lo, row_offsets
+        NB = b_hi.shape[0]
+        bidx = (qhash & jnp.uint32(NB - 1)).astype(jnp.int32)
+        hi_rows = b_hi[bidx]  # (B, M, W)
+        lo_rows = b_lo[bidx]
+        match = (hi_rows == mhi[..., None]) & (lo_rows == mlo[..., None])
+        found = msel & match.any(-1)
+        mi = match.astype(jnp.int32)
+        start = jnp.where(found, jnp.sum(b_start[bidx] * mi, axis=-1), 0)
+        cnt = jnp.where(found, jnp.sum(b_cnt[bidx] * mi, axis=-1), 0)
     else:
-        found = jnp.zeros_like(msel)
-    start = jnp.where(found, row_offsets[r], 0)
-    cnt = jnp.where(found, row_offsets[r + 1] - row_offsets[r], 0)
+        U = hash_keys.shape[0]
+        r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
+        if U > 0:
+            # (hi, lo) verification alone decides membership: if the query
+            # hash is absent, row r holds another code and the compare fails
+            found = msel & (ver_hi[r] == mhi) & (ver_lo[r] == mlo)
+        else:
+            found = jnp.zeros_like(msel)
+        start = jnp.where(found, row_offsets[r], 0)
+        cnt = jnp.where(found, row_offsets[r + 1] - row_offsets[r], 0)
     cnt = jnp.minimum(cnt, K)
     kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
     hit_valid = kk < cnt[..., None]
