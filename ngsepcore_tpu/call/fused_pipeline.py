@@ -120,13 +120,25 @@ class AlignCallPipeline:
         if i < n:
             spans.append((i, n))
         seeded = [self._seed_batch(reads[a:b]) for a, b in spans]
-        # per-batch fetches: pulling batch i's results overlaps batch i+1's
-        # seeding execution on the device stream
+        # one link round trip for ALL batches' seeding results: the host
+        # link pays a fixed per-array cost, so the 7 (B, C) result columns
+        # are stacked into one (7, B, C) array per batch on device and the
+        # whole run is fetched with a single device_get
         import jax
+        import jax.numpy as jnp
 
+        keys = (
+            "pred_start", "weight", "strand", "num_hits",
+            "mismatches", "clip_start", "clip_end",
+        )
+        packed_all = jax.device_get(
+            [jnp.stack([s[5][k] for k in keys]) for s in seeded]
+        )
         batches = [
-            self._classify_batch(*s[:5], s[5], jax.device_get(s[5]))
-            for s in seeded
+            self._classify_batch(
+                *s[:5], s[5], dict(zip(keys, pk))
+            )
+            for s, pk in zip(seeded, packed_all)
         ]
         for st, (a, _b) in zip(batches, spans):
             st.read0 = a
@@ -464,41 +476,55 @@ class AlignCallPipeline:
             self.genome.sequence_name(i): i
             for i in range(self.genome.num_sequences)
         }
-        entries = []  # (gorder, start_concat, kind, a, b)
+        # fused entries as flat arrays (one Python tuple per read at run
+        # scale was a full second of wall-clock by itself)
+        go_parts, st_parts, bi_parts, row_parts = [], [], [], []
         for bi, st in enumerate(batches):
-            b0 = st.read0
             rows = np.nonzero(st.fused)[0]
-            s = st.pred[rows] + st.cs[rows]  # 0-based concat start
-            for r, sv in zip(rows, s):
-                entries.append((b0 + int(r), int(sv), 0, bi, int(r)))
-        for ai, (gorder, a) in enumerate(host_tagged):
-            base = int(offs[name_to_idx[a.sequence_name]])
-            entries.append((gorder, base + a.first - 1, 1, ai, 0))
-        if not entries:
+            if not len(rows):
+                continue
+            go_parts.append(st.read0 + rows.astype(np.int64))
+            st_parts.append(st.pred[rows] + st.cs[rows])
+            bi_parts.append(np.full(len(rows), bi, np.int32))
+            row_parts.append(rows.astype(np.int64))
+        nf = sum(len(p) for p in go_parts)
+        nh = len(host_tagged)
+        if nf + nh == 0:
             return
-        entries.sort(key=lambda e: e[0])
-        starts = np.asarray([e[1] for e in entries], dtype=np.int64)
-        order = np.argsort(starts, kind="stable")
-        ss = starts[order]
-        newgrp = np.concatenate([[True], ss[1:] != ss[:-1]])
+        gorder = np.empty(nf + nh, np.int64)
+        starts = np.empty(nf + nh, np.int64)
+        if nf:
+            gorder[:nf] = np.concatenate(go_parts)
+            starts[:nf] = np.concatenate(st_parts)
+        for ai, (go, a) in enumerate(host_tagged):
+            base = int(offs[name_to_idx[a.sequence_name]])
+            gorder[nf + ai] = go
+            starts[nf + ai] = base + a.first - 1
+        # arrival order = global read order; rank within each start group
+        o1 = np.argsort(gorder, kind="stable")
+        ss = starts[o1]
+        order = np.argsort(ss, kind="stable")
+        sss = ss[order]
+        newgrp = np.concatenate([[True], sss[1:] != sss[:-1]])
         grp_start_pos = np.nonzero(newgrp)[0]
         gid = np.cumsum(newgrp) - 1
-        rank = np.arange(len(ss)) - grp_start_pos[gid]
-        keep = np.empty(len(ss), bool)
-        keep[order] = rank < cap
-        drop_host = set()
-        for i, k in enumerate(keep):
-            if k:
-                continue
-            _, _, kind, a, b = entries[i]
-            if kind == 0:
-                batches[a].fused[b] = False  # dropped from counting
-            else:
-                drop_host.add(a)
-        if drop_host:
-            host_tagged[:] = [
-                t for i, t in enumerate(host_tagged) if i not in drop_host
-            ]
+        rank = np.arange(len(sss)) - grp_start_pos[gid]
+        keep_sorted = np.empty(len(sss), bool)
+        keep_sorted[order] = rank < cap
+        keep = np.empty(nf + nh, bool)
+        keep[o1] = keep_sorted
+        if keep.all():
+            return
+        if nf:
+            bi_all = np.concatenate(bi_parts)
+            row_all = np.concatenate(row_parts)
+            fdrop = ~keep[:nf]
+            for bi in np.unique(bi_all[fdrop]):
+                m = fdrop & (bi_all == bi)
+                batches[bi].fused[row_all[m]] = False  # dropped from counting
+        hkeep = keep[nf:]
+        if not hkeep.all():
+            host_tagged[:] = [t for t, k in zip(host_tagged, hkeep) if k]
 
     # ------------------------------------------------------------------
     # window-span row buckets: 4x steps at the extremes, 2x steps in the
@@ -603,7 +629,7 @@ class AlignCallPipeline:
         from ..kernels.genotyping import (
             MAX_BASE_QS,
             genotype_window_span,
-            genotype_window_span_resolved,
+            genotype_window_span_resolve_batch,
         )
         from .pileup import expand_batch_calls
         from .realigner import IndelRealigner
@@ -710,8 +736,11 @@ class AlignCallPipeline:
                 records.extend(sorted(seq_records, key=lambda r: r.variant.first))
 
         handled: dict[str, tuple[list, list]] = {}
-        for name, w0, ref_win, span_args, first, indel_records, seq_records in pending:
-            res = genotype_window_span_resolved(span_args, first_res=first)
+        resolved = genotype_window_span_resolve_batch(
+            [(p[3], p[4]) for p in pending]
+        )
+        for (name, w0, ref_win, span_args, first, indel_records,
+             seq_records), res in zip(pending, resolved):
             k = int(res["n_sites"])
             for i in range(k):
                 p = int(res["site_idx"][i])

@@ -709,6 +709,57 @@ def genotype_window_span(
     )
 
 
+def genotype_window_span_resolve_batch(pending: list) -> list:
+    """Resolve MANY dispatched window programs with one batched fetch.
+
+    `pending` is a list of (span_args, first_res).  A single jax.device_get
+    over every result dict issues all host copies concurrently — the
+    per-window sequential fetch paid one network round trip per window,
+    which dominated genotyping wall-clock on link-attached devices.
+    Stragglers whose f32 screen overflowed the default bounds are
+    re-dispatched with grown bounds (pathological windows only)."""
+    import jax.numpy as jnp
+
+    firsts = [first for _, first in pending]
+    # stack result leaves across windows before fetching: the host link
+    # pays a fixed per-ARRAY cost, so one (n_windows, ...) array per field
+    # beats n_windows small arrays by the window count.  All first attempts
+    # share DEF_MAX_FLAG/DEF_MAX_OUT shapes, so stacking is well-formed.
+    if len(firsts) > 1:
+        stacked = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *firsts)
+        )
+        outs = [
+            jax.tree.map(lambda a, i=i: a[i], stacked)
+            for i in range(len(firsts))
+        ]
+    else:
+        outs = jax.device_get(firsts)
+    final = []
+    retry = []
+    for i, ((span_args, _), out) in enumerate(zip(pending, outs)):
+        if _needs_retry(out, DEF_MAX_FLAG, DEF_MAX_OUT):
+            retry.append((i, span_args, out))
+        final.append(out)
+    for i, span_args, out in retry:
+        max_flag, max_out = DEF_MAX_FLAG, DEF_MAX_OUT
+        (
+            pq, meta, start, count, w0, packed, ref_codes, contribution,
+            het, minq, out_size, rows,
+        ) = span_args
+        while _needs_retry(out, max_flag, max_out):
+            max_flag, max_out = _grown_bounds(out, max_flag, max_out)
+            res = genotype_window_span(
+                pq, meta, start, count, w0, packed, ref_codes, contribution,
+                het, minq,
+                out_size=out_size, rows=rows, max_flag=max_flag,
+                max_out=max_out,
+            )
+            out = jax.device_get(res)
+        final[i] = out
+    return final
+
+
 def genotype_window_span_resolved(span_args, first_res=None):
     """Host wrapper over genotype_window_span: fetch + grow-and-retry when
     the f32 screen flags more rows than max_flag or more sites are called
