@@ -129,6 +129,10 @@ class AlignCallPipeline:
         self.aligner = aligner or ReadsAligner(genome)
         self.detector = detector or SingleSampleVariantsDetector(genome)
         self.batch_size = batch_size
+        # per-run distinct base qualities (clamped 0..30) for the adaptive
+        # shear-histogram column binning; accumulates across runs so the
+        # compiled bin count stays stable for a given data source
+        self._qual_counts = np.zeros(32, np.int64)
         # fused path preconditions: default single best alignment and a
         # mapping-quality threshold that multi-placement reads (MAPQ<=15)
         # and unique tier-1 reads (MAPQ>=?) fall on opposite sides of
@@ -235,6 +239,12 @@ class AlignCallPipeline:
         # single upload serves both seeding (masks the code bits) and the
         # downstream pileup scatter, halving host-link traffic
         qmat = np.clip(qmat.astype(np.int16) - 33, 0, 30).astype(np.uint8)
+        # distinct clamped qualities of the run drive the adaptive column
+        # binning of the shear-histogram pileup (kernels/shear_pileup.py)
+        if B:
+            self._qual_counts[: 31] += np.bincount(
+                np.clip(qflat.astype(np.int16) - 33, 0, 30), minlength=31
+            )[:31]
         pq = (fwd_mat.view(np.uint8) & 7) | (qmat << 3)
         pq_dev = jax.device_put(pq)
         lengths32 = lengths_h.astype(np.int32)
@@ -662,6 +672,309 @@ class AlignCallPipeline:
         return cached
 
     def _genotype(
+        self, batches: list[_BatchState], host: list[ReadAlignment]
+    ) -> list[VCFRecord]:
+        """Dispatch: scatter-free shear-histogram path (default) or the
+        legacy span-scatter path (no fused reads, or >29 distinct base
+        qualities — the 7-bit stage byte cannot bin those exactly)."""
+        fused = self._compact_hist(batches)
+        if fused is None:
+            return self._genotype_span(batches, host)
+        return self._genotype_hist(batches, host, fused)
+
+    # ------------------------------------------------------------------
+    def _compact_hist(self, batches: list[_BatchState]):
+        """Host bookkeeping + one elementwise device program turning every
+        uploaded read batch into genome-oriented col bytes (colg).  No
+        gathers or scatters: reverse reads are statically flipped and their
+        variable-length shift is absorbed into pred' (see build_colg)."""
+        from ..kernels.genotyping import hist_tables
+        from ..kernels.shear_pileup import build_colg
+
+        rows_per = [np.nonzero(st.fused)[0] for st in batches]
+        F = sum(len(r) for r in rows_per)
+        if F == 0:
+            return None
+        qlv = np.nonzero(self._qual_counts[:31])[0].astype(np.int32)
+        nq = max(1, len(qlv))
+        if nq > 29:
+            return None  # legacy span path bins all 31 qualities densely
+        if nq == 0 or len(qlv) == 0:
+            qlv = np.array([20], np.int32)
+        maxlen = max(
+            int(st.lengths[r].max()) for st, r in zip(batches, rows_per) if len(r)
+        )
+        Lp = min(
+            max(st.fwd_mat.shape[1] for st in batches), (maxlen + 15) & ~15
+        )
+        row_off = np.cumsum([0] + [st.fwd_mat.shape[0] for st in batches])
+        total_rows = int(row_off[-1])
+        rev_h = np.zeros(total_rows, np.uint8)
+        alo_h = np.zeros(total_rows, np.int32)
+        ahi_h = np.zeros(total_rows, np.int32)  # 0-width: never contributes
+        rows_global = []
+        preds = []
+        for st, rows, r0 in zip(batches, rows_per, row_off):
+            if not len(rows):
+                continue
+            ln = st.lengths[rows].astype(np.int64)
+            rv = st.strand[rows].astype(np.int64)
+            cs = st.cs[rows].astype(np.int64)
+            ce = st.ce[rows].astype(np.int64)
+            g = r0 + rows
+            # old-kernel read-lane bounds: fwd j in [cs, len-ce), rev j in
+            # [ce, len-cs); flipped array index a = Lp-1-j maps the rev
+            # range to [Lp-len+cs, Lp-ce)
+            rev_h[g] = rv.astype(np.uint8)
+            alo_h[g] = np.where(rv == 1, Lp - ln + cs, cs)
+            ahi_h[g] = np.where(rv == 1, Lp - ce, ln - ce)
+            rows_global.append(g.astype(np.int64))
+            preds.append(np.where(rv == 1, st.pred[rows] - (Lp - ln), st.pred[rows]))
+        rows_global = np.concatenate(rows_global)
+        pred_adj = np.concatenate(preds)
+        order = np.argsort(pred_adj, kind="stable")
+        ps = pred_adj[order]
+        rg = rows_global[order]
+        first = np.ones(len(ps), bool)
+        if len(ps) > 1:
+            first[1:] = ps[1:] != ps[:-1]
+
+        from ..kernels.shear_pileup import concat_reads
+
+        bigpq = concat_reads(*[st.pq_dev for st in batches], lanes=Lp)
+        colg = build_colg(
+            bigpq, rev_h, alo_h, ahi_h, qlv.astype(np.int32), nq=nq, lanes=Lp
+        )
+        expand, cdb32, qual_bin = hist_tables(
+            nq, qlv, np.asarray(self.detector._contribution)
+        )
+        return {
+            "colg": colg,
+            "Lp": Lp,
+            "nq": nq,
+            "r0_pred": ps[first],
+            "r0_rows": rg[first].astype(np.int32),
+            "res_pred": ps[~first],
+            "res_rows": rg[~first].astype(np.int32),
+            "expand": expand,
+            "cdb32": cdb32,
+            "qual_bin": qual_bin,
+            "F": F,
+        }
+
+    # residual-read bucket ladder: scatter lanes scale with the bucket
+    _RES_LADDER = [256, 4096, 65536]
+
+    def _genotype_hist(
+        self,
+        batches: list[_BatchState],
+        host: list[ReadAlignment],
+        fused: dict,
+    ) -> list[VCFRecord]:
+        from ..kernels.genotyping import (
+            MAX_BASE_QS,
+            genotype_window_hist,
+            genotype_window_hist_resolve_batch,
+        )
+        from ..kernels.shear_pileup import build_stage
+        from .pileup import expand_batch_calls
+        from .realigner import IndelRealigner
+        from .single_sample import _window_for
+
+        det = self.detector
+        genome = self.genome
+        offs = genome.offsets
+        by_seq: dict[str, list[ReadAlignment]] = {}
+        for a in host:
+            by_seq.setdefault(a.sequence_name, []).append(a)
+
+        Lp, nq = fused["Lp"], fused["nq"]
+        colg = fused["colg"]
+        r0_pred, r0_rows = fused["r0_pred"], fused["r0_rows"]
+        res_pred, res_rows = fused["res_pred"], fused["res_rows"]
+        contribution = np.asarray(det._contribution)
+        het = np.float64(det.heterozygosity_rate)
+        minq = np.int32(det.min_quality)
+        CALL_CHUNK = 1 << 16
+        empty_pk = np.full(CALL_CHUNK, -1, np.int32)
+
+        # window descriptors first, then chunked stage builds: every chunk
+        # shares one static stage shape so the whole run compiles each
+        # program exactly once
+        win_desc = []  # (seq idx, name, w0, w1, w0_concat, window)
+        for si in range(genome.num_sequences):
+            name = genome.sequence_name(si)
+            seq_len = genome.sequence_length(si)
+            window = _window_for(seq_len)
+            base = int(offs[si])
+            for w0 in range(1, seq_len + 1, window):
+                w1 = min(seq_len, w0 + window - 1)
+                win_desc.append((si, name, w0, w1, base + w0 - 1, window))
+        CHUNK_MAX = 32 << 20
+        max_win = max(w[5] for w in win_desc) if win_desc else 1 << 16
+        chunk_cap = max(max_win, (CHUNK_MAX // max_win) * max_win)
+        # group consecutive windows into chunks of <= chunk_cap span; never
+        # span sequences: within one sequence window starts step by the
+        # window size (a 128-multiple), keeping every w0s 128-aligned for
+        # the shear kernel's DMA (sequence base offsets are arbitrary)
+        chunks = []  # (c0_concat, [win_desc...])
+        cur = None
+        cur_si = None
+        for wd in win_desc:
+            w0c, window = wd[4], wd[5]
+            if (
+                cur is None
+                or wd[0] != cur_si
+                or w0c + window - cur[0] > chunk_cap
+            ):
+                cur = (w0c, [])
+                cur_si = wd[0]
+                chunks.append(cur)
+            cur[1].append(wd)
+        from ..kernels.shear_pileup import _halo
+
+        halo = _halo(Lp)
+        max_span = max(
+            (c[1][-1][4] + c[1][-1][5]) - c[0] for c in chunks
+        )
+        s_cols = halo + max_span + 256
+
+        # per-sequence host work (realignment, indels, packed calls) once
+        seq_host = {}
+        for si in range(genome.num_sequences):
+            name = genome.sequence_name(si)
+            alns = by_seq.get(name, [])
+            alns.sort(key=lambda a: a.first)
+            realigner = IndelRealigner(genome, si, det.known_strs.get(name))
+            sites = realigner.realign(alns) if alns else []
+            indel_records = (
+                det._call_indels(si, name, alns, sites) if sites else []
+            )
+            pos, allele, qual, strand, _ = expand_batch_calls(alns)
+            o = np.argsort(pos, kind="stable")
+            seq_host[si] = (
+                indel_records,
+                pos[o],
+                np.clip(qual[o], 0, MAX_BASE_QS).astype(np.int32),
+                allele[o].astype(np.int32),
+                strand[o].astype(np.int32),
+            )
+
+        records: list[VCFRecord] = []
+        seq_records_by_name: dict[str, list[VCFRecord]] = {}
+        meta_list = []
+        resolved = []
+        for c0, wds in chunks:
+            lo = np.searchsorted(r0_pred, c0 - Lp, side="left")
+            hi = np.searchsorted(
+                r0_pred, c0 + chunk_cap, side="left"
+            )
+            nr = int(hi - lo)
+            bucket = 256
+            while bucket < nr:
+                bucket <<= 2
+            rows_b = np.zeros(bucket, np.int32)
+            pos_b = np.full(bucket, s_cols - 1, np.int32)
+            rows_b[:nr] = r0_rows[lo:hi]
+            pos_b[:nr] = (r0_pred[lo:hi] - c0 + halo).astype(np.int32)
+            stage_t = build_stage(colg, rows_b, pos_b, s_cols=s_cols)
+
+            pending = []
+            for si, name, w0, w1, w0c, window in wds:
+                indel_records, pos, qual_p, al_p, st_p = seq_host[si]
+                w1c = w0c + (w1 - w0)
+                rlo = np.searchsorted(res_pred, w0c - Lp, side="right")
+                rhi = np.searchsorted(res_pred, w1c, side="right")
+                n_res = int(rhi - rlo)
+                plo = np.searchsorted(pos, w0, side="left")
+                phi = np.searchsorted(pos, w1, side="right")
+                # fused coverage of this window (rank-0 reads whose lanes
+                # can reach it)
+                flo = np.searchsorted(r0_pred, w0c - Lp, side="right")
+                fhi = np.searchsorted(r0_pred, w1c, side="right")
+                if phi == plo and n_res == 0 and fhi == flo:
+                    continue  # no evidence touches this window
+                if phi > plo:
+                    pk = (
+                        (pos[plo:phi] - w0).astype(np.int32)
+                        | (qual_p[plo:phi] << 20)
+                        | (al_p[plo:phi] << 25)
+                        | (st_p[plo:phi] << 28)
+                    )
+                    pk = np.where(al_p[plo:phi] >= 0, pk, -1)
+                    n_chunks = -(-len(pk) // CALL_CHUNK)
+                    pk = np.pad(
+                        pk, (0, n_chunks * CALL_CHUNK - len(pk)),
+                        constant_values=-1,
+                    )
+                else:
+                    pk = empty_pk
+                rbucket = 256
+                while rbucket < n_res:
+                    rbucket <<= 4
+                res_idx = np.zeros(rbucket, np.int32)
+                res_prd = np.zeros(rbucket, np.int32)
+                res_idx[:n_res] = res_rows[rlo:rhi]
+                res_prd[:n_res] = (res_pred[rlo:rhi] - w0c).astype(np.int32)
+                ref_win = np.full(window, 4, dtype=np.int8)
+                ref_win[: w1 - w0 + 1] = genome.sequences[si].codes[w0 - 1 : w1]
+                w0s = np.int32(w0c - c0 + halo)
+                call_args = (
+                    stage_t, w0s, colg, res_idx, res_prd, np.int32(n_res),
+                    pk, ref_win, contribution,
+                    fused["expand"], fused["cdb32"], fused["qual_bin"],
+                    het, minq,
+                )
+                call_kwargs = dict(window=window, nq=nq, lanes=Lp)
+                first = genotype_window_hist(*call_args, **call_kwargs)
+                pending.append(((call_args, call_kwargs), first))
+                meta_list.append((name, w0, ref_win, indel_records))
+            resolved.extend(genotype_window_hist_resolve_batch(pending))
+
+        handled: dict[str, list] = {}
+        for (name, w0, ref_win, indel_records), res in zip(meta_list, resolved):
+            seq_records = seq_records_by_name.setdefault(name, [])
+            k = int(res["n_sites"])
+            for i in range(k):
+                p = int(res["site_idx"][i])
+                rec = det._build_record(
+                    name,
+                    w0 + p,
+                    int(ref_win[p]),
+                    int(res["bi"][i]),
+                    int(res["bj"][i]),
+                    int(res["gq"][i]),
+                    float(res["ref_prob"][i]),
+                    res["depths"][i],
+                    int(res["total"][i]),
+                    res["logcond"][i],
+                    res["strand_counts"][i],
+                )
+                if rec is not None:
+                    seq_records.append(rec)
+            handled[name] = indel_records
+        # sequences with indel records but no dispatched windows
+        for si in range(genome.num_sequences):
+            name = genome.sequence_name(si)
+            indel_records = seq_host[si][0]
+            if indel_records and name not in handled:
+                handled[name] = indel_records
+                seq_records_by_name.setdefault(name, [])
+        for name, indel_records in handled.items():
+            out = seq_records_by_name.get(name, [])
+            if indel_records:
+                spans = [(r.variant.first, r.variant.last) for r in indel_records]
+                out = [
+                    rec
+                    for rec in out
+                    if not any(f <= rec.variant.first <= l for f, l in spans)
+                ] + indel_records
+            out.sort(key=lambda r: r.variant.first)
+            records.extend(out)
+        return records
+
+    # ------------------------------------------------------------------
+    def _genotype_span(
         self, batches: list[_BatchState], host: list[ReadAlignment]
     ) -> list[VCFRecord]:
         from ..kernels.genotyping import (

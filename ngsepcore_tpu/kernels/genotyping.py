@@ -788,6 +788,222 @@ def genotype_window_span_resolved(span_args, first_res=None):
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("window", "nq", "lanes", "n_alleles", "max_flag", "max_out"),
+)
+def genotype_window_hist(
+    stage_t: jnp.ndarray,  # (Lp, S) uint8 transposed col-byte stage
+    w0s: jnp.ndarray,  # scalar int32: stage col of window position 0
+    colg: jnp.ndarray,  # (Fall, Lp) uint8 genome-oriented col bytes (all reads)
+    res_idx: jnp.ndarray,  # (Rb,) int32 residual rows into colg
+    res_pred: jnp.ndarray,  # (Rb,) int32 residual start rel. to window
+    res_n: jnp.ndarray,  # scalar int32 valid residual rows
+    packed: jnp.ndarray,  # (N,) int32 packed host-path calls (-1 = skip)
+    ref_codes: jnp.ndarray,  # (window,) int8
+    contribution: jnp.ndarray,  # (4, Q, 4, 4) float64 (full 31-bin table)
+    expand: jnp.ndarray,  # (128, 128) f32 0/1: binned cols -> dense 124-col
+    cdb32: jnp.ndarray,  # (128, 16) f32 screen table rows per BINNED col
+    qual_bin: jnp.ndarray,  # (31,) int32 quality -> bin
+    het_rate: jnp.ndarray,
+    min_quality: jnp.ndarray,
+    *,
+    window: int,
+    nq: int,
+    lanes: int,
+    n_alleles: int = 4,
+    max_flag: int = 1 << 12,
+    max_out: int = 1024,
+):
+    """Window genotyper over the scatter-free shear-histogram pileup
+    (kernels/shear_pileup.py).  Same screen/exact math and outputs as
+    genotype_window_span; the exact stage expands the adaptive-bin counts
+    back to the dense (allele x 31-qual) columns with an exact 0/1 matmul
+    so the float64 contraction (logcond = counts @ Cd) sums the same terms
+    in the same order (absent-quality columns contribute exact +0.0)."""
+    from .shear_pileup import (
+        hist_packed_scatter,
+        hist_residual_scatter,
+        shear_hist,
+    )
+
+    n = n_alleles
+    G = n * n
+    ncnt = 4 * nq + 2
+    hist = shear_hist(stage_t, w0s, window=window, nq=nq, lanes=lanes)
+    rb = res_idx.shape[0]
+    res_rows = jnp.take(colg, res_idx, axis=0)
+    res_ok = jnp.arange(rb, dtype=jnp.int32) < res_n
+    hist = hist_residual_scatter(hist, res_rows, res_pred, res_ok, nq)
+    hist = hist_packed_scatter(hist, packed, qual_bin, nq, MIN_BASE_QS)
+
+    ref = jnp.clip(ref_codes, 0, n - 1).astype(jnp.int32)
+    total = jnp.sum(hist[:, :ncnt], axis=1)
+
+    # ---- stage 1: f32 screen over all positions (binned columns) --------
+    ev32 = jnp.dot(
+        hist.astype(jnp.float32), cdb32, preferred_element_type=jnp.float32
+    )
+    eye_flat = np.eye(n, dtype=bool).reshape(-1)
+    log_prior_hetero32 = jnp.log10(het_rate / (n * (n - 1))).astype(jnp.float32)
+    log_prior_homo32 = jnp.log10((1 - het_rate) / n).astype(jnp.float32)
+    prior32 = jnp.where(jnp.asarray(eye_flat), log_prior_homo32, log_prior_hetero32)
+    pair32 = prior32 + jnp.asarray(
+        np.where(eye_flat, 0.0, np.log10(2.0)).astype(np.float32)
+    )
+    ev_pair = ev32 + pair32[None, :]
+    gref = ref * (n + 1)
+    gidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    is_ref_gt = gidx == gref[:, None]
+    ref_ev = jnp.sum(jnp.where(is_ref_gt, ev_pair, 0.0), axis=1)
+    best_ev = jnp.max(jnp.where(is_ref_gt, -jnp.inf, ev_pair), axis=1)
+    depth_tot = total.astype(jnp.float32)
+    slack = jnp.float32(0.01) + jnp.float32(1e-4) * depth_tot
+    flag = (best_ev >= ref_ev - slack) & (total > 0)
+    n_flagged = jnp.sum(flag.astype(jnp.int32))
+    fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
+    in_flag = jnp.arange(max_flag) < n_flagged
+
+    # ---- stage 2: exact f64 on flagged positions, dense 124-col layout --
+    csub_b = jnp.take(hist, fidx, axis=0)  # (F, 128) binned layout
+    csub = jnp.dot(
+        csub_b.astype(jnp.float32), expand, preferred_element_type=jnp.float32
+    ).astype(jnp.float64)  # exact: counts < 2^24, expand is 0/1
+    Cd = jnp.zeros((N_COLS, G), jnp.float64)
+    Cd = Cd.at[: n * N_QBINS].set(contribution.reshape(n * N_QBINS, G))
+    logcond = jnp.dot(csub, Cd).reshape(max_flag, n, n)
+    log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
+    log_prior_homo = jnp.log10((1 - het_rate) / n)
+    prior = jnp.where(
+        jnp.asarray(np.eye(n, dtype=bool)), log_prior_homo, log_prior_hetero
+    )
+    ev = logcond + prior[None, :, :]
+    F = max_flag
+    logmax = jnp.max(ev.reshape(F, -1), axis=1)[:, None, None]
+    rel = ev - logmax
+    p = jnp.where(rel < -20.0, 0.0, 10.0 ** rel)
+    post = p / jnp.sum(p.reshape(F, -1), axis=1)[:, None, None]
+    refs = jnp.take(ref, fidx)
+    frows = jnp.arange(F)
+    best = post[frows, refs, refs]
+    bi = refs
+    bj = refs
+    for i in range(n):
+        for j in range(i, n):
+            prob = post[:, i, j] + (post[:, j, i] if i != j else 0.0)
+            upd = prob > best + 0.01
+            best = jnp.where(upd, prob, best)
+            bi = jnp.where(upd, i, bi)
+            bj = jnp.where(upd, j, bj)
+    ref_prob = post[frows, refs, refs]
+    one_minus = 1.0 - best
+    gq = jnp.where(
+        one_minus <= 0,
+        255,
+        jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(one_minus, 1e-30))), 255),
+    ).astype(jnp.int32)
+    interesting = (
+        ((bi != refs) | (bj != refs))
+        & (jnp.take(ref_codes, fidx) < 4)
+        & (gq >= min_quality)
+        & (gq > 0)
+        & (jnp.take(total, fidx) > 0)
+        & in_flag
+    )
+    sidx = jnp.nonzero(interesting, size=max_flag, fill_value=0)[0][:max_out]
+    k_valid = jnp.sum(interesting.astype(jnp.int32))
+    gsel = jnp.take(fidx, sidx)
+    depths_f = (
+        jnp.take(csub, sidx, axis=0)[:, : n * N_QBINS]
+        .reshape(max_out, n, N_QBINS)
+        .sum(axis=2)
+    )
+    from .shear_pileup import STRAND_COL0
+
+    strand_rows = (
+        jnp.take(csub_b, sidx, axis=0)[:, STRAND_COL0:]
+        .reshape(max_out, n, 2)
+        .astype(jnp.int32)
+    )
+    return {
+        "site_idx": gsel.astype(jnp.int32),
+        "n_sites": k_valid,
+        "n_flagged": n_flagged,
+        "bi": jnp.take(bi, sidx).astype(jnp.int8),
+        "bj": jnp.take(bj, sidx).astype(jnp.int8),
+        "gq": jnp.take(gq, sidx),
+        "ref_prob": jnp.take(ref_prob, sidx),
+        "depths": depths_f,
+        "total": jnp.take(total, gsel),
+        "logcond": jnp.take(logcond, sidx, axis=0),
+        "strand_counts": strand_rows,
+    }
+
+
+def hist_tables(
+    nq: int,
+    qual_levels: np.ndarray,
+    contribution: np.ndarray | None = None,
+    n_alleles: int = 4,
+):
+    """(expand, cdb32, qual_bin) numpy tables for genotype_window_hist.
+
+    qual_levels: sorted distinct clamped base qualities present in the run
+    (length nq).  expand maps binned columns to the dense al*31+q layout;
+    cdb32 is the f32 screen table with one row per binned column (strand
+    and unused columns zero) built from the SAME contribution table the
+    exact stage uses; qual_bin maps a clamped quality 0..30 to its bin
+    (absent qualities map to bin 0 — they never occur in data)."""
+    n = n_alleles
+    C = (
+        np.asarray(contribution)
+        if contribution is not None
+        else snv_contribution_table(n)
+    )
+    G = n * n
+    expand = np.zeros((128, 128), np.float32)
+    cdb32 = np.zeros((128, G), np.float32)
+    qual_bin = np.zeros(31, np.int32)
+    for b, q in enumerate(qual_levels):
+        qual_bin[int(q)] = b
+        for a in range(n):
+            expand[a * nq + b, a * N_QBINS + int(q)] = 1.0
+            cdb32[a * nq + b] = C[a, int(q)].reshape(G).astype(np.float32)
+    return expand, cdb32, qual_bin
+
+
+def genotype_window_hist_resolve_batch(pending: list) -> list:
+    """Batched fetch + grow-and-retry for genotype_window_hist results.
+    `pending` entries are ((args, static_kwargs), first_res)."""
+    firsts = [first for _, first in pending]
+    if len(firsts) > 1:
+        stacked = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *firsts)
+        )
+        outs = [
+            jax.tree.map(lambda a, i=i: a[i], stacked)
+            for i in range(len(firsts))
+        ]
+    else:
+        outs = jax.device_get(firsts)
+    final = []
+    retry = []
+    for i, ((call_args, _), out) in enumerate(zip(pending, outs)):
+        if _needs_retry(out, DEF_MAX_FLAG, DEF_MAX_OUT):
+            retry.append((i, call_args, out))
+        final.append(out)
+    for i, (args, kwargs), out in retry:
+        max_flag, max_out = DEF_MAX_FLAG, DEF_MAX_OUT
+        while _needs_retry(out, max_flag, max_out):
+            max_flag, max_out = _grown_bounds(out, max_flag, max_out)
+            res = genotype_window_hist(
+                *args, **kwargs, max_flag=max_flag, max_out=max_out
+            )
+            out = jax.device_get(res)
+        final[i] = out
+    return final
+
+
 @partial(jax.jit, donate_argnames=("pq_out", "meta_out"))
 def place_fused_rows(
     pq_out: jnp.ndarray,  # (F_pad, Lp) uint8 compacted packed reads
