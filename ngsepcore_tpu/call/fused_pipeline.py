@@ -43,6 +43,12 @@ from ..vcf.io import VCFRecord
 # stay within one read length of the raw event: call/realigner.py)
 INDEL_PAD = 16
 
+# ASCII quality byte -> (clamped 0..30 quality) << 3, ready to OR into the
+# packed code|qual byte (kernels/genotyping.MAX_BASE_QS clamp)
+_QUAL_LUT3 = (
+    np.clip(np.arange(256, dtype=np.int16) - 33, 0, 30) << 3
+).astype(np.uint8)
+
 
 def _pack_seed_fetch(res):
     """Pack one batch's classify columns for the host fetch.
@@ -129,10 +135,11 @@ class AlignCallPipeline:
         self.aligner = aligner or ReadsAligner(genome)
         self.detector = detector or SingleSampleVariantsDetector(genome)
         self.batch_size = batch_size
-        # per-run distinct base qualities (clamped 0..30) for the adaptive
-        # shear-histogram column binning; accumulates across runs so the
-        # compiled bin count stays stable for a given data source
-        self._qual_counts = np.zeros(32, np.int64)
+        # per-run distinct base qualities (raw ASCII histogram; clamped and
+        # folded at compaction) for the adaptive shear-histogram column
+        # binning; accumulates across runs so the compiled bin count stays
+        # stable for a given data source
+        self._qual_ascii_counts = np.zeros(256, np.int64)
         # fused path preconditions: default single best alignment and a
         # mapping-quality threshold that multi-placement reads (MAPQ<=15)
         # and unique tier-1 reads (MAPQ>=?) fall on opposite sides of
@@ -237,15 +244,15 @@ class AlignCallPipeline:
         # one byte per base: bits 0-2 code, bits 3-7 quality pre-clamped to
         # 0..30 (the genotyping clamp, kernels/genotyping.MAX_BASE_QS) — the
         # single upload serves both seeding (masks the code bits) and the
-        # downstream pileup scatter, halving host-link traffic
-        qmat = np.clip(qmat.astype(np.int16) - 33, 0, 30).astype(np.uint8)
-        # distinct clamped qualities of the run drive the adaptive column
-        # binning of the shear-histogram pileup (kernels/shear_pileup.py)
+        # downstream pileup scatter, halving host-link traffic.  The ASCII
+        # -> (clamped qual << 3) transform is one 256-entry LUT pass (this
+        # 2-vCPU host pays real time for every extra full-matrix pass)
         if B:
-            self._qual_counts[: 31] += np.bincount(
-                np.clip(qflat.astype(np.int16) - 33, 0, 30), minlength=31
-            )[:31]
-        pq = (fwd_mat.view(np.uint8) & 7) | (qmat << 3)
+            # distinct clamped qualities of the run drive the adaptive
+            # column binning (kernels/shear_pileup.py); bincount on the raw
+            # bytes (uint8 is numpy's fast path), fold through ASCII later
+            self._qual_ascii_counts += np.bincount(qflat, minlength=256)
+        pq = (fwd_mat.view(np.uint8) & 7) | _QUAL_LUT3[qmat]
         pq_dev = jax.device_put(pq)
         lengths32 = lengths_h.astype(np.int32)
         hk, vhi, vlo, ro, ep = al.table.device_arrays()
@@ -695,7 +702,12 @@ class AlignCallPipeline:
         F = sum(len(r) for r in rows_per)
         if F == 0:
             return None
-        qlv = np.nonzero(self._qual_counts[:31])[0].astype(np.int32)
+        counts31 = np.bincount(
+            np.clip(np.arange(256) - 33, 0, 30),
+            weights=self._qual_ascii_counts,
+            minlength=31,
+        )
+        qlv = np.nonzero(counts31)[0].astype(np.int32)
         nq = max(1, len(qlv))
         if nq > 29:
             return None  # legacy span path bins all 31 qualities densely
@@ -795,8 +807,10 @@ class AlignCallPipeline:
         contribution = np.asarray(det._contribution)
         het = np.float64(det.heterozygosity_rate)
         minq = np.int32(det.min_quality)
-        CALL_CHUNK = 1 << 16
-        empty_pk = np.full(CALL_CHUNK, -1, np.int32)
+        # scatter cost scales with padded lanes, so the packed-call buffer
+        # starts small and grows by 16x steps (one compile per size)
+        PK_LADDER = [1 << 12, 1 << 16, 1 << 20]
+        empty_pk = np.full(PK_LADDER[0], -1, np.int32)
 
         # window descriptors first, then chunked stage builds: every chunk
         # shares one static stage shape so the whole run compiles each
@@ -902,16 +916,18 @@ class AlignCallPipeline:
                         | (st_p[plo:phi] << 28)
                     )
                     pk = np.where(al_p[plo:phi] >= 0, pk, -1)
-                    n_chunks = -(-len(pk) // CALL_CHUNK)
+                    size = next(
+                        (s for s in PK_LADDER if s >= len(pk)),
+                        -(-len(pk) // PK_LADDER[-1]) * PK_LADDER[-1],
+                    )
                     pk = np.pad(
-                        pk, (0, n_chunks * CALL_CHUNK - len(pk)),
-                        constant_values=-1,
+                        pk, (0, size - len(pk)), constant_values=-1
                     )
                 else:
                     pk = empty_pk
-                rbucket = 256
+                rbucket = 32
                 while rbucket < n_res:
-                    rbucket <<= 4
+                    rbucket <<= 3
                 res_idx = np.zeros(rbucket, np.int32)
                 res_prd = np.zeros(rbucket, np.int32)
                 res_idx[:n_res] = res_rows[rlo:rhi]
