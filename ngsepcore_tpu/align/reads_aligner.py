@@ -186,6 +186,11 @@ class ReadsAligner:
         ).astype(np.int8)
         hk, vhi, vlo, ro, ep = self.table.device_arrays()
         gp, gn2 = self.genome.device_packed()
+        cl = (
+            int(lengths_h[0])
+            if B and np.all(lengths_h[:B] == lengths_h[0])
+            else None
+        )
         res = jax.device_get(
             seed_cluster_screen(
                 fwd_mat,
@@ -200,6 +205,8 @@ class ReadsAligner:
                 k=self.kmer_length,
                 window=self.window_length,
                 genome_len=self.genome.total_length,
+                const_len=cl,
+                genome_has_n=self.genome.has_n,
             )
         )
         pred = res["pred_start"].astype(np.int64)  # (B, C) — strands merged

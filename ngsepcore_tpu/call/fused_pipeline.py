@@ -257,6 +257,7 @@ class AlignCallPipeline:
         lengths32 = lengths_h.astype(np.int32)
         hk, vhi, vlo, ro, ep = al.table.device_arrays()
         gp, gn2 = self.genome.device_packed()
+        cl = int(lengths_h[0]) if B and np.all(lengths_h[:B] == lengths_h[0]) else None
         res = seed_cluster_screen(
             pq_dev,
             lengths32,
@@ -264,6 +265,8 @@ class AlignCallPipeline:
             k=al.kmer_length,
             window=al.window_length,
             genome_len=self.genome.total_length,
+            const_len=cl,
+            genome_has_n=self.genome.has_n,
         )
         return reads, fwd_mat, lengths_h, pq_dev, lengths32, res
 

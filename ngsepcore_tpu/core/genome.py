@@ -80,6 +80,15 @@ class ReferenceGenome:
             self._device_concat = jnp.asarray(self.concat, jnp.int8)
         return self._device_concat
 
+    @property
+    def has_n(self) -> bool:
+        """True when any in-genome base is non-ACGT.  The tier-1 screen
+        skips the per-candidate N-mask gather for clean genomes (the
+        out-of-genome tail is masked by position bounds regardless)."""
+        if getattr(self, "_has_n", None) is None:
+            self._has_n = bool((self.concat >= 4).any())
+        return self._has_n
+
     def device_packed(self):
         """Device-resident bit-packed genome for the tier-1 screen:
         (packed, nmask2) uint32 arrays where word w holds bases

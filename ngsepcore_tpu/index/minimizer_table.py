@@ -267,23 +267,41 @@ class MinimizerTable:
             if U == 0 or slot.max() < W:
                 break
             NB *= 2  # a bucket overflowed (skewed hashes); re-spread
-        b_hi = np.full((NB, W), -1, np.int32)
-        b_lo = np.full((NB, W), -1, np.int32)
-        b_start = np.zeros((NB, W), np.int32)
-        b_cnt = np.zeros((NB, W), np.int32)
+        # ONE combined (NB, 4W) row per bucket — cols [hi | lo | row | cnt]
+        # — so a query is a single row gather (gather cost on this chip is
+        # per ROW: four separate (NB, W) tables quadrupled it).  The entry
+        # lists the kernel can consume (<= SEED_HITS_PER_KMER) live as one
+        # aligned (U, SEED_HITS_PER_KMER) row per code, gathered by the
+        # code's row index; b_cnt keeps the TRUE count for hit weighting.
+        from ..kernels.seeding import SEED_HITS_PER_KMER as KH
+
+        b_all = np.zeros((NB, 4 * W), np.int32)
+        b_all[:, :W] = -1
+        b_all[:, W : 2 * W] = -1
         counts = np.diff(self.row_offsets)
         if U:
-            b_hi[bs, slot] = code_hi[order]
-            b_lo[bs, slot] = code_lo[order]
-            b_start[bs, slot] = self.row_offsets[:-1][order]
-            b_cnt[bs, slot] = counts[order]
-        entries = self.entry_pos | (self.entry_strand.astype(np.int64) << 31)
+            b_all[bs, slot] = code_hi[order]
+            b_all[bs, W + slot] = code_lo[order]
+            b_all[bs, 2 * W + slot] = order.astype(np.int32)  # code row
+            b_all[bs, 3 * W + slot] = counts[order].astype(np.int32)
+        entries = (
+            self.entry_pos | (self.entry_strand.astype(np.int64) << 31)
+        ).astype(np.uint32).view(np.int32)
+        ep4 = np.zeros((max(U, 1), KH), np.int32)
+        if U:
+            take = np.minimum(counts, KH)
+            rows = np.repeat(np.arange(U, dtype=np.int64), take)
+            cols = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(take)[:-1]]), take
+            )
+            src = np.repeat(self.row_offsets[:-1], take) + cols
+            ep4[rows, cols] = entries[src]
         return (
-            jnp.asarray(b_hi),
-            jnp.asarray(b_lo),
-            jnp.asarray(b_start),
-            jnp.asarray(b_cnt),
-            jnp.asarray(entries.astype(np.uint32).view(np.int32)),
+            jnp.asarray(b_all),
+            jnp.zeros(0, jnp.int32),
+            jnp.zeros(0, jnp.int32),
+            jnp.zeros(0, jnp.int32),
+            jnp.asarray(ep4),
         )
 
     def save(self, path: str) -> None:

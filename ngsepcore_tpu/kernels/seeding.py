@@ -41,6 +41,9 @@ from .minimizers import lookup_hash32, minimizer_hash30, select_minimizers
 from .tier1 import tier1_stats_from_mask
 
 BIG32 = jnp.int32(1 << 30)
+# entry-row width of the bucketized table layout (index/minimizer_table.py
+# builds one aligned (U, SEED_HITS_PER_KMER) row per code)
+SEED_HITS_PER_KMER = 4
 
 
 def pack_codes_words(codes: jnp.ndarray):
@@ -68,16 +71,44 @@ def _bitrev_groups(x: jnp.ndarray) -> jnp.ndarray:
     return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
 
 
-def reverse_packed_rows(packed: jnp.ndarray, n2: jnp.ndarray, lengths: jnp.ndarray):
+def reverse_packed_rows(
+    packed: jnp.ndarray,
+    n2: jnp.ndarray,
+    lengths: jnp.ndarray,
+    const_len: int | None = None,
+):
     """Reverse(-complement) packed read rows entirely in the packed bit
     domain: group-reversal within words + word flip reverses the padded row;
     a per-row left shift of (L - qlen) bases re-aligns the read to offset 0;
     complement is a plain XOR (N positions stay flagged in n2, so their
-    garbage base bits never matter).  No per-base gathers."""
+    garbage base bits never matter).  No per-base gathers.
+
+    const_len: when every row has this length (the caller checks on host),
+    the realigning shift is static — no take_along_axis (minor-axis gathers
+    on this chip cost ~12ns per ELEMENT, dwarfing the actual bit math)."""
     R, W = packed.shape
     L = W * 16
     pr = jnp.flip(_bitrev_groups(packed), axis=1) ^ jnp.uint32(0xFFFFFFFF)
     nr = jnp.flip(_bitrev_groups(n2), axis=1)
+
+    if const_len is not None:
+        s = L - const_len
+        wsh, ob = s >> 4, 2 * (s & 15)
+
+        def shift_static(x):
+            if wsh:
+                x = jnp.concatenate(
+                    [x[:, wsh:], jnp.zeros((R, wsh), x.dtype)], axis=1
+                )
+            if ob:
+                hi = jnp.concatenate(
+                    [x[:, 1:], jnp.zeros((R, 1), x.dtype)], axis=1
+                )
+                x = (x >> jnp.uint32(ob)) | (hi << jnp.uint32(32 - ob))
+            return x
+
+        return shift_static(pr), shift_static(nr)
+
     s = (L - lengths).astype(jnp.int32)  # bases to shift out
     wsh = (s >> 4)[:, None]
     o = (2 * (s & 15)).astype(jnp.uint32)[:, None]
@@ -117,7 +148,7 @@ def gather_aligned_words(packed: jnp.ndarray, start: jnp.ndarray, n_words: int):
     jax.jit,
     static_argnames=(
         "k", "window", "genome_len", "max_minimizers", "hits_per_kmer",
-        "max_clusters",
+        "max_clusters", "const_len", "genome_has_n",
     ),
 )
 def seed_cluster_screen(
@@ -140,6 +171,8 @@ def seed_cluster_screen(
     max_minimizers: int = 16,
     hits_per_kmer: int = 4,
     max_clusters: int = 4,
+    const_len: int | None = None,  # uniform read length (static fast paths)
+    genome_has_n: bool = True,  # False skips the n2 word gather entirely
 ):
     from .kmers import kmer_codes_canonical_2x32
 
@@ -165,20 +198,32 @@ def seed_cluster_screen(
     # ---- stage 2: table lookup ------------------------------------------
     qhash = lookup_hash32(mhi, mlo)
     if hash_keys.ndim == 2:
-        # bucketized layout (MinimizerTable._build_bucketized): 4 row
-        # gathers of W-lane bucket rows + elementwise exact compare; at
-        # most one slot matches (codes are unique), so the select is a
-        # masked sum — no take_along_axis, no binary-search gather chain
-        b_hi, b_lo, b_start, b_cnt = hash_keys, ver_hi, ver_lo, row_offsets
-        NB = b_hi.shape[0]
+        # bucketized layout (MinimizerTable._build_bucketized): ONE row
+        # gather of a combined [hi | lo | code-row | cnt] bucket row (row
+        # gathers on this chip cost per row, so one 4W-lane gather beats
+        # four W-lane ones 4x), exact compare, then one aligned row gather
+        # of the code's (K,) entry row — no element-granular gathers at all
+        b_all, ep4 = hash_keys, entry_packed
+        W = b_all.shape[1] // 4
+        assert K <= ep4.shape[1]
+        NB = b_all.shape[0]
         bidx = (qhash & jnp.uint32(NB - 1)).astype(jnp.int32)
-        hi_rows = b_hi[bidx]  # (B, M, W)
-        lo_rows = b_lo[bidx]
-        match = (hi_rows == mhi[..., None]) & (lo_rows == mlo[..., None])
+        rows = b_all[bidx]  # (B, M, 4W)
+        match = (rows[..., :W] == mhi[..., None]) & (
+            rows[..., W : 2 * W] == mlo[..., None]
+        )
         found = msel & match.any(-1)
         mi = match.astype(jnp.int32)
-        start = jnp.where(found, jnp.sum(b_start[bidx] * mi, axis=-1), 0)
-        cnt = jnp.where(found, jnp.sum(b_cnt[bidx] * mi, axis=-1), 0)
+        crow = jnp.where(
+            found, jnp.sum(rows[..., 2 * W : 3 * W] * mi, axis=-1), 0
+        )
+        cnt = jnp.where(
+            found, jnp.sum(rows[..., 3 * W :] * mi, axis=-1), 0
+        )
+        cnt = jnp.minimum(cnt, K)
+        kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        hit_valid = kk < cnt[..., None]
+        entry = jnp.where(hit_valid, ep4[crow][..., :K], 0)
     else:
         U = hash_keys.shape[0]
         r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
@@ -190,11 +235,11 @@ def seed_cluster_screen(
             found = jnp.zeros_like(msel)
         start = jnp.where(found, row_offsets[r], 0)
         cnt = jnp.where(found, row_offsets[r + 1] - row_offsets[r], 0)
-    cnt = jnp.minimum(cnt, K)
-    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    hit_valid = kk < cnt[..., None]
-    eidx = jnp.where(hit_valid, start[..., None] + kk, 0)
-    entry = jnp.where(hit_valid, entry_packed[eidx], 0)
+        cnt = jnp.minimum(cnt, K)
+        kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        hit_valid = kk < cnt[..., None]
+        eidx = jnp.where(hit_valid, start[..., None] + kk, 0)
+        entry = jnp.where(hit_valid, entry_packed[eidx], 0)
     spos = entry & jnp.int32(0x7FFFFFFF)
     sflag = (entry >> 31) & 1
     # match strand = query canonical flag XOR entry canonical flag; on the
@@ -258,9 +303,13 @@ def seed_cluster_screen(
     Wr = L // 16
     pred_c = jnp.clip(pred, -BIG32, BIG32)  # avoid overflow in word math
     s_words = gather_aligned_words(packed_genome, pred_c, Wr)  # (B, C, Wr)
-    s_n2 = gather_aligned_words(genome_n2, pred_c, Wr)
+    s_n2 = (
+        gather_aligned_words(genome_n2, pred_c, Wr)
+        if genome_has_n
+        else jnp.uint32(0)
+    )
     q_packed, q_n2 = pack_codes_words(codes)  # (B, Wr)
-    qr_packed, qr_n2 = reverse_packed_rows(q_packed, q_n2, lengths)
+    qr_packed, qr_n2 = reverse_packed_rows(q_packed, q_n2, lengths, const_len)
     rev = (strand == 1)[..., None]
     q_words = jnp.where(rev, qr_packed[:, None, :], q_packed[:, None, :])
     qn2 = jnp.where(rev, qr_n2[:, None, :], q_n2[:, None, :])
