@@ -48,16 +48,19 @@ def main() -> None:
     )
     genome = ReferenceGenome(seqs)
 
+    from ngsepcore_tpu.core.sequences import ReadBlock
+
     sim = SingleIndividualSimulator(genome, snv_rate=0.001, indel_rate=0.0, seed=7)
     sim.simulate()
     hap = sim.build_haplotype_genomes()
-    reads = []
-    for h, hg in enumerate(hap):
-        reads.extend(
+    reads = ReadBlock.concatenate(
+        [
             SingleReadsSimulator(
                 hg, read_length=READ_LEN, substitution_error_rate=0.003, seed=11 + h
-            ).simulate(N_READS // 2)
-        )
+            ).simulate_block(N_READS // 2)
+            for h, hg in enumerate(hap)
+        ]
+    )
 
     from ngsepcore_tpu.call.fused_pipeline import AlignCallPipeline
 

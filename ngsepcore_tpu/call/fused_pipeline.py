@@ -207,17 +207,58 @@ class AlignCallPipeline:
         return self._call(batches)
 
     # ------------------------------------------------------------------
-    def _seed_batch(self, reads: list[RawRead]):
+    def _seed_batch(self, reads):
         """Pack + upload one batch and dispatch the seeding kernel
-        asynchronously; returns everything _classify_batch needs."""
+        asynchronously; returns everything _classify_batch needs.  `reads`
+        is a ReadBlock (dense matrices straight from IO/simulators — the
+        fast path on this 2-vCPU host) or a list of RawRead objects."""
         import jax
 
+        from ..core.sequences import ReadBlock
         from ..kernels.seeding import seed_cluster_screen
 
         al = self.aligner
         B = len(reads)
         al.total_reads += B
         bucket = _row_bucket(B, minimum=128)
+        if isinstance(reads, ReadBlock):
+            Lb = reads.codes.shape[1]
+            Lp = -(-Lb // al.read_pad) * al.read_pad
+            fwd_mat = np.full((bucket, Lp), 4, np.int8)
+            fwd_mat[:B, :Lb] = reads.codes
+            lengths_h = np.zeros(bucket, np.int32)
+            lengths_h[:B] = reads.lengths
+            if reads.quals is not None:
+                qmat = np.zeros((bucket, Lp), np.uint8)
+                qmat[:B, :Lb] = reads.quals
+                # pad lanes hold byte 0 (never a real quality, ASCII >= 33)
+                counts = np.bincount(qmat[:B].ravel(), minlength=256)
+                counts[0] = 0
+                self._qual_ascii_counts += counts
+            else:
+                qb = 33 + min(reads.default_quality, 93)
+                qmat = np.full((bucket, Lp), qb, np.uint8)
+                self._qual_ascii_counts[qb] += int(reads.lengths.sum())
+            pq = (fwd_mat.view(np.uint8) & 7) | _QUAL_LUT3[qmat]
+            pq_dev = jax.device_put(pq)
+            lengths32 = lengths_h
+            hk, vhi, vlo, ro, ep = al.table.device_arrays()
+            gp, gn2 = self.genome.device_packed()
+            cl = (
+                int(lengths_h[0])
+                if B and np.all(reads.lengths == reads.lengths[0])
+                else None
+            )
+            res = seed_cluster_screen(
+                pq_dev, lengths32,
+                hk, vhi, vlo, ro, ep, gp, gn2,
+                k=al.kmer_length,
+                window=al.window_length,
+                genome_len=self.genome.total_length,
+                const_len=cl,
+                genome_has_n=self.genome.has_n,
+            )
+            return reads, fwd_mat, lengths_h, pq_dev, lengths32, res
         pad_blk = [np.empty(0, np.int8)] * (bucket - B)
         fwd_mat, lengths_h, _ = pack_reads(
             [r.codes for r in reads] + pad_blk, pad_multiple=al.read_pad

@@ -219,6 +219,76 @@ class RawRead:
         return RawRead(self.name, reverse_complement(self.sequence), rq)
 
 
+class ReadBlock:
+    """Dense batch of reads — the TPU-native read container.
+
+    One (n, Lp) int8 code matrix + (n,) int32 lengths + optional (n, Lp)
+    uint8 ASCII quality matrix (lanes past each read's length hold 0) +
+    optional per-read names.  IO readers and simulators emit blocks
+    directly so the hot pipeline never touches per-read Python objects
+    (this host has 2 vCPUs; building 300k RawRead objects costs ~1s);
+    RawRead views are materialized lazily only for reads that drop to
+    host-object code paths (a few percent)."""
+
+    __slots__ = ("codes", "lengths", "quals", "names", "default_quality")
+
+    def __init__(self, codes, lengths, quals=None, names=None,
+                 default_quality: int = 20):
+        self.codes = codes
+        self.lengths = lengths
+        self.quals = quals
+        self.names = names
+        self.default_quality = default_quality
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return ReadBlock(
+                self.codes[i], self.lengths[i],
+                None if self.quals is None else self.quals[i],
+                None if self.names is None else self.names[i],
+                self.default_quality,
+            )
+        L = int(self.lengths[i])
+        c = np.ascontiguousarray(self.codes[i, :L])
+        if self.quals is not None:
+            q = self.quals[i, :L].tobytes().decode("ascii")
+        else:
+            q = chr(33 + self.default_quality) * L
+        name = self.names[i] if self.names is not None else f"read_{i}"
+        return RawRead(name=name, sequence=decode_dna(c), qualities=q, _codes=c)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    @staticmethod
+    def concatenate(blocks: "list[ReadBlock]") -> "ReadBlock":
+        Lp = max(b.codes.shape[1] for b in blocks)
+        codes = np.full((sum(len(b) for b in blocks), Lp), N_CODE, np.int8)
+        r = 0
+        for b in blocks:
+            codes[r : r + len(b), : b.codes.shape[1]] = b.codes
+            r += len(b)
+        lengths = np.concatenate([b.lengths for b in blocks])
+        if all(b.quals is not None for b in blocks):
+            quals = np.zeros((len(lengths), Lp), np.uint8)
+            r = 0
+            for b in blocks:
+                quals[r : r + len(b), : b.quals.shape[1]] = b.quals
+                r += len(b)
+        else:
+            quals = None
+        if all(b.names is not None for b in blocks):
+            names = [n for b in blocks for n in b.names]
+        else:
+            names = None
+        return ReadBlock(codes, lengths, quals, names,
+                         blocks[0].default_quality)
+
+
 # --- distances (ref: sequences/HammingSequenceDistanceMeasure.java,
 #     SimpleEditDistanceMeasure.java) -------------------------------------
 

@@ -66,6 +66,55 @@ class SingleReadsSimulator:
         return reads
 
 
+def _simulate_block(self, num_reads: int) -> "ReadBlock":
+    """Vectorized simulate() emitting one dense ReadBlock: same read model
+    (uniform placement, substitution errors, half reverse-complemented,
+    truth-encoding names), no per-read Python objects on the hot path."""
+    from ..core.sequences import ReadBlock
+
+    g = self.genome
+    L = self.read_length
+    rng = self.rng
+    n = num_reads
+    seq_lengths = np.diff(g.offsets).astype(np.float64)
+    ok = seq_lengths >= L
+    probs = np.where(ok, seq_lengths, 0.0)
+    probs = probs / probs.sum()
+    si = rng.choice(len(seq_lengths), size=n, p=probs)
+    start = (rng.random(n) * (seq_lengths[si] - L + 1)).astype(np.int64)
+    cstart = g.offsets[si] + start
+    codes = g.concat[cstart[:, None] + np.arange(L, dtype=np.int64)[None, :]]
+    codes = codes.astype(np.int8, copy=True)
+    if self.substitution_error_rate > 0:
+        errs = rng.random((n, L)) < self.substitution_error_rate
+        shift = rng.integers(1, 4, size=(n, L)).astype(np.int8)
+        codes = np.where(
+            errs & (codes < 4), (codes + shift) % 4, codes
+        ).astype(np.int8)
+    reverse = rng.random(n) < 0.5
+    flipped = codes[:, ::-1]
+    flipped = np.where(flipped < 4, 3 - flipped, flipped).astype(np.int8)
+    codes = np.where(reverse[:, None], flipped, codes)
+    Lp = -(-L // 16) * 16
+    if Lp != L:
+        codes = np.pad(codes, ((0, 0), (0, Lp - L)), constant_values=4)
+    names = [
+        f"{g.sequence_name(int(s))}_{int(p) + 1}_{bool(r)}_{i + 1}"
+        for i, (s, p, r) in enumerate(zip(si, start, reverse))
+    ]
+    return ReadBlock(
+        codes,
+        np.full(n, L, np.int32),
+        None,
+        names,
+        default_quality=self.base_quality,
+    )
+
+
+# bound as a method (defined at module level to keep the class body short)
+SingleReadsSimulator.simulate_block = _simulate_block
+
+
 def parse_simulated_read_name(name: str) -> tuple[str, int, bool]:
     """Inverse of the truth encoding: (seq_name, first 1-based, reverse)."""
     items = name.split("_")

@@ -104,3 +104,68 @@ def test_fused_falls_back_when_not_fusable():
     assert not pipe._fusable
     recs = pipe.run_reads(reads[:500])
     assert isinstance(recs, list)
+
+
+def test_read_block_path_identical():
+    """ReadBlock (dense matrices from IO/simulator) must produce exactly
+    the records of the per-object RawRead path on the same reads."""
+    import numpy as np
+
+    from ngsepcore_tpu.align.reads_aligner import ReadsAligner
+    from ngsepcore_tpu.call.fused_pipeline import AlignCallPipeline
+    from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import (
+        QualifiedSequence,
+        QualifiedSequenceList,
+        ReadBlock,
+    )
+    from ngsepcore_tpu.simulation.individual_simulator import (
+        SingleIndividualSimulator,
+    )
+    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+
+    rng = np.random.default_rng(3)
+    seqs = QualifiedSequenceList()
+    seqs.add(
+        QualifiedSequence(
+            name="chr1", codes=rng.integers(0, 4, size=40_000).astype(np.int8)
+        )
+    )
+    genome = ReferenceGenome(seqs)
+    sim = SingleIndividualSimulator(genome, snv_rate=0.002, indel_rate=0.0, seed=9)
+    sim.simulate()
+    hap = sim.build_haplotype_genomes()
+    blk = ReadBlock.concatenate(
+        [
+            SingleReadsSimulator(
+                hg, read_length=150, substitution_error_rate=0.003, seed=50 + h
+            ).simulate_block(2500)
+            for h, hg in enumerate(hap)
+        ]
+    )
+
+    def run(reads):
+        pipe = AlignCallPipeline(
+            genome,
+            aligner=ReadsAligner(genome),
+            detector=SingleSampleVariantsDetector(genome, sample_id="t"),
+            batch_size=4096,
+        )
+        return pipe.run_reads(reads)
+
+    def key(r):
+        c = r.calls[0]
+        a = c.called_alleles
+        return (
+            r.variant.sequence_name,
+            r.variant.first,
+            tuple(r.variant.alleles),
+            tuple(sorted(a() if callable(a) else a)),
+            c.genotype_quality,
+        )
+
+    rl = run(list(blk))
+    rb = run(blk)
+    assert [key(r) for r in rl] == [key(r) for r in rb]
+    assert len(rl) > 20
