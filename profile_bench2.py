@@ -53,9 +53,13 @@ def main():
     sim = SingleIndividualSimulator(genome, snv_rate=0.001, indel_rate=0.0, seed=7)
     sim.simulate()
     hap = sim.build_haplotype_genomes()
-    reads = []
-    for h, hg in enumerate(hap):
-        reads.extend(SingleReadsSimulator(hg, read_length=READ_LEN, substitution_error_rate=0.003, seed=11 + h).simulate(N_READS // 2))
+    from ngsepcore_tpu.core.sequences import ReadBlock
+    reads = ReadBlock.concatenate(
+        [
+            SingleReadsSimulator(hg, read_length=READ_LEN, substitution_error_rate=0.003, seed=11 + h).simulate_block(N_READS // 2)
+            for h, hg in enumerate(hap)
+        ]
+    )
 
     aligner = ReadsAligner(genome)
     detector = SingleSampleVariantsDetector(genome, sample_id="bench")
