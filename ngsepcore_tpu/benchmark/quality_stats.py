@@ -196,23 +196,64 @@ class QualityStatisticsOutbredF1Families:
                     self.inconsistent_datapoints += 1
 
 
-class QualityStatisticsTetraploidF1Families(QualityStatisticsOutbredF1Families):
-    """Dosage consistency for tetraploid F1s (ref:
-    QualityStatisticsTetraploidF1Families.java): progeny alt-allele dosage
-    must lie within the range producible by the parents' dosages assuming
-    bivalent pairing.  Genotypes collapse to dosage classes 0/het/full."""
+class QualityStatisticsTetraploidF1Families:
+    """MAF x minor-allele-dosage histogram for tetraploid F1s (ref:
+    QualityStatisticsTetraploidF1Families.java:44-108): for each biallelic
+    polymorphic site, row = round(100*MAF) (0..50) and each genotype call
+    adds 1 to the column equal to its minor-allele copy number (0..4).
+    Error interpretation happens by reading the histogram (e.g. OH<0.2
+    rows should hold only dosage-0 calls)."""
 
-    _POSSIBLE = {
-        (0, 0): {0},
-        (0, 1): {0, 1},
-        (1, 0): {0, 1},
-        (0, 2): {1},
-        (2, 0): {1},
-        (1, 1): {0, 1, 2},
-        (1, 2): {1, 2},
-        (2, 1): {1, 2},
-        (2, 2): {2},
-    }
+    NUM_ROWS = 51
+
+    def __init__(self):
+        # rows: MAF percent bins; columns: minor-allele dosage 0..4
+        self.counts_minor_allele_dosage = [
+            [0] * 5 for _ in range(self.NUM_ROWS)
+        ]
+
+    def process(self, records, samples=None, parent1=None, parent2=None) -> None:
+        from ..vcf.analytics import site_diversity
+
+        for rec in records:
+            if len(rec.variant.alleles) != 2:
+                continue
+            stats = site_diversity(rec)
+            counts = stats.allele_counts
+            total = sum(counts)
+            if total == 0 or stats.n_alleles_called < 2:
+                continue  # not polymorphic
+            minor_idx = min(range(len(counts)), key=lambda i: counts[i])
+            row = int(round(100 * stats.maf))
+            if not (0 <= row < self.NUM_ROWS):
+                continue
+            for call in rec.calls:
+                if call.is_undecided:
+                    continue
+                acn = call.allele_copy_numbers
+                if acn and minor_idx < len(acn):
+                    dosage = int(acn[minor_idx])
+                else:
+                    # derive dosage from called alleles at ploidy 4
+                    idxs = call.indexes_called_alleles
+                    if not idxs:
+                        continue
+                    if len(idxs) == 1:
+                        dosage = 4 if idxs[0] == minor_idx else 0
+                    else:
+                        dosage = 2 if minor_idx in idxs else 0
+                if 0 <= dosage <= 4:
+                    self.counts_minor_allele_dosage[row][dosage] += 1
+
+    def print_statistics(self, out) -> None:
+        print(
+            "MAF\tHomozygous major\tMinor1\tMinor2\tMinor3\tHomozygous minor",
+            file=out,
+        )
+        for i, row in enumerate(self.counts_minor_allele_dosage):
+            print(
+                f"{i / 100.0}\t" + "\t".join(str(c) for c in row), file=out
+            )
 
 
 class QualityStatisticsAlignmentSimulatedReads:

@@ -273,12 +273,24 @@ class ReadBlock:
             codes[r : r + len(b), : b.codes.shape[1]] = b.codes
             r += len(b)
         lengths = np.concatenate([b.lengths for b in blocks])
-        if all(b.quals is not None for b in blocks):
+        # blocks lacking quality matrices carry an implicit per-block
+        # default_quality; when those defaults differ, materialize explicit
+        # quality rows so no read's quality is silently misquoted
+        defaults = {b.default_quality for b in blocks if b.quals is None}
+        if all(b.quals is not None for b in blocks) or len(defaults) > 1:
             quals = np.zeros((len(lengths), Lp), np.uint8)
             r = 0
             for b in blocks:
-                quals[r : r + len(b), : b.quals.shape[1]] = b.quals
-                r += len(b)
+                n = len(b)
+                if b.quals is not None:
+                    quals[r : r + n, : b.quals.shape[1]] = b.quals
+                else:
+                    qb = 33 + min(b.default_quality, 93)
+                    cols = np.arange(Lp, dtype=np.int32)[None, :]
+                    quals[r : r + n] = np.where(
+                        cols < b.lengths[:, None], qb, 0
+                    ).astype(np.uint8)
+                r += n
         else:
             quals = None
         if all(b.names is not None for b in blocks):

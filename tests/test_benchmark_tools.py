@@ -70,6 +70,41 @@ def test_outbred_f1_consistency():
     assert q.inconsistent_datapoints == 1
 
 
+def test_tetraploid_f1_maf_dosage_histogram():
+    from ngsepcore_tpu.benchmark.quality_stats import (
+        QualityStatisticsTetraploidF1Families,
+    )
+
+    # 4 samples: hom-major, het, het, hom-minor -> MAF = 4/8 = 0.5
+    recs = [_rec([0, 1, 1, 2])]
+    q = QualityStatisticsTetraploidF1Families()
+    q.process(recs)
+    row = q.counts_minor_allele_dosage[50]
+    # diploid-derived dosages: hom major -> 0, het -> 2, hom minor -> 4
+    assert row[0] == 1 and row[2] == 2 and row[4] == 1
+    out = io.StringIO()
+    q.print_statistics(out)
+    assert out.getvalue().startswith("MAF\tHomozygous major")
+
+
+def test_readblock_concat_differing_default_quality():
+    from ngsepcore_tpu.core.sequences import ReadBlock
+
+    a = ReadBlock(
+        np.zeros((2, 4), np.int8), np.array([4, 3], np.int32),
+        default_quality=40,
+    )
+    b = ReadBlock(
+        np.ones((1, 4), np.int8), np.array([4], np.int32),
+        default_quality=20,
+    )
+    merged = ReadBlock.concatenate([a, b])
+    assert merged.quals is not None
+    assert merged[0].qualities == chr(33 + 40) * 4
+    assert merged[1].qualities == chr(33 + 40) * 3
+    assert merged[2].qualities == chr(33 + 20) * 4
+
+
 def test_alignment_simulated_stats():
     from ngsepcore_tpu.align.read_alignment import ReadAlignment, cigar_from_string
 
