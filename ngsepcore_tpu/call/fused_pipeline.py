@@ -148,6 +148,10 @@ class AlignCallPipeline:
             and 15 < self.detector.min_mq <= 60
             and not self.detector.known_strs
         )
+        # window-genotyper kernel hook: the mesh-sharded pipeline
+        # (distribute/pipeline.py) swaps in a shard_map-wrapped span kernel
+        # with psum-merged counts; None = the single-device kernel
+        self._span_kernel = None
 
     # ------------------------------------------------------------------
     def run_reads(self, reads: list[RawRead]) -> list[VCFRecord]:
@@ -207,6 +211,21 @@ class AlignCallPipeline:
         return self._call(batches)
 
     # ------------------------------------------------------------------
+    def _put_reads(self, pq: np.ndarray):
+        """Upload one packed read batch.  The mesh-sharded pipeline
+        overrides this to shard rows across the `reads` mesh axis."""
+        import jax
+
+        return jax.device_put(pq)
+
+    def _device_put_repl(self, x):
+        """Upload a small array every kernel needs (the mesh pipeline
+        overrides this to replicate across devices)."""
+        import jax
+
+        return jax.device_put(x)
+
+    # ------------------------------------------------------------------
     def _seed_batch(self, reads):
         """Pack + upload one batch and dispatch the seeding kernel
         asynchronously; returns everything _classify_batch needs.  `reads`
@@ -240,7 +259,7 @@ class AlignCallPipeline:
                 qmat = np.full((bucket, Lp), qb, np.uint8)
                 self._qual_ascii_counts[qb] += int(reads.lengths.sum())
             pq = (fwd_mat.view(np.uint8) & 7) | _QUAL_LUT3[qmat]
-            pq_dev = jax.device_put(pq)
+            pq_dev = self._put_reads(pq)
             lengths32 = lengths_h
             hk, vhi, vlo, ro, ep = al.table.device_arrays()
             gp, gn2 = self.genome.device_packed()
@@ -294,7 +313,7 @@ class AlignCallPipeline:
             # bytes (uint8 is numpy's fast path), fold through ASCII later
             self._qual_ascii_counts += np.bincount(qflat, minlength=256)
         pq = (fwd_mat.view(np.uint8) & 7) | _QUAL_LUT3[qmat]
-        pq_dev = jax.device_put(pq)
+        pq_dev = self._put_reads(pq)
         lengths32 = lengths_h.astype(np.int32)
         hk, vhi, vlo, ro, ep = al.table.device_arrays()
         gp, gn2 = self.genome.device_packed()
@@ -713,8 +732,8 @@ class AlignCallPipeline:
         cached = getattr(self, "_empty_fused_cache", None)
         if cached is None or cached["F"] < n:
             cached = {
-                "pq": jax.device_put(np.zeros((n, 128), np.uint8)),
-                "meta": jax.device_put(np.zeros((n, META_COLS), np.int32)),
+                "pq": self._device_put_repl(np.zeros((n, 128), np.uint8)),
+                "meta": self._device_put_repl(np.zeros((n, META_COLS), np.int32)),
                 "pred": np.empty(0, np.int64),
                 "Lp": 128,
                 "F": n,
@@ -1053,6 +1072,7 @@ class AlignCallPipeline:
         for a in host:
             by_seq.setdefault(a.sequence_name, []).append(a)
 
+        span_kernel = self._span_kernel or genotype_window_span
         fused = self._compact_fused(batches)
         CALL_CHUNK = 1 << 16
         records: list[VCFRecord] = []
@@ -1134,7 +1154,7 @@ class AlignCallPipeline:
                     np.int32(slo), np.int32(count), np.int32(w0_concat),
                     pk, ref_win, contribution, het, minq, window, rows,
                 )
-                first = genotype_window_span(
+                first = span_kernel(
                     *span_args[:10], out_size=window, rows=rows
                 )
                 pending.append(
@@ -1148,7 +1168,7 @@ class AlignCallPipeline:
 
         handled: dict[str, tuple[list, list]] = {}
         resolved = genotype_window_span_resolve_batch(
-            [(p[3], p[4]) for p in pending]
+            [(p[3], p[4]) for p in pending], kernel=span_kernel
         )
         for (name, w0, ref_win, span_args, first, indel_records,
              seq_records), res in zip(pending, resolved):

@@ -709,7 +709,7 @@ def genotype_window_span(
     )
 
 
-def genotype_window_span_resolve_batch(pending: list) -> list:
+def genotype_window_span_resolve_batch(pending: list, kernel=None) -> list:
     """Resolve MANY dispatched window programs with one batched fetch.
 
     `pending` is a list of (span_args, first_res).  A single jax.device_get
@@ -717,8 +717,13 @@ def genotype_window_span_resolve_batch(pending: list) -> list:
     per-window sequential fetch paid one network round trip per window,
     which dominated genotyping wall-clock on link-attached devices.
     Stragglers whose f32 screen overflowed the default bounds are
-    re-dispatched with grown bounds (pathological windows only)."""
+    re-dispatched with grown bounds (pathological windows only).
+    `kernel` overrides the retry dispatch (the mesh-sharded pipeline passes
+    its shard_map-wrapped span kernel)."""
     import jax.numpy as jnp
+
+    if kernel is None:
+        kernel = genotype_window_span
 
     firsts = [first for _, first in pending]
     # stack result leaves across windows before fetching: the host link
@@ -749,7 +754,7 @@ def genotype_window_span_resolve_batch(pending: list) -> list:
         ) = span_args
         while _needs_retry(out, max_flag, max_out):
             max_flag, max_out = _grown_bounds(out, max_flag, max_out)
-            res = genotype_window_span(
+            res = kernel(
                 pq, meta, start, count, w0, packed, ref_codes, contribution,
                 het, minq,
                 out_size=out_size, rows=rows, max_flag=max_flag,
