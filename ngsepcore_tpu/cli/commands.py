@@ -825,6 +825,8 @@ def _load_vcf(path: str):
 
 
 def _run_vcf_filter(opts: dict, args: list[str]) -> None:
+    from ..core.regions import GenomicRegionSortedCollection
+    from ..genome.builders import load_regions_file
     from ..vcf.analytics import VCFFilter
     from ..vcf.io import VCFFileWriter
 
@@ -832,6 +834,27 @@ def _run_vcf_filter(opts: dict, args: list[str]) -> None:
     out = opts.pop("output_file", None) or (args[1] if len(args) > 1 else None)
     if not inp or not out:
         raise SystemExit("Usage: VCFFilter -i <in.vcf> -o <out.vcf> [filters]")
+    for key in ("regions_to_filter", "regions_to_select"):
+        path = opts.pop(key, None)
+        if path:
+            coll = GenomicRegionSortedCollection()
+            for r in load_regions_file(path):
+                coll.add(r)
+            opts[key] = coll
+    saf = opts.pop("sample_ids", None)
+    if saf:
+        with open(saf) as fh:
+            opts["sample_ids"] = [
+                ln.split()[0].split("\t")[0] for ln in fh if ln.strip()
+            ]
+    gpath = opts.pop("genome", None)
+    if gpath:
+        from ..core.genome import ReferenceGenome
+
+        opts["genome"] = ReferenceGenome.load(gpath)
+    ann = opts.pop("annotations", None)
+    if ann:
+        opts["annotations"] = set(ann.split(","))
     reader, records = _load_vcf(inp)
     kept = VCFFilter(**opts).apply(records)
     with VCFFileWriter(out, reader.sample_ids) as w:
@@ -848,18 +871,49 @@ register(
         description="Filters VCF sites and genotypes",
         runner=_run_vcf_filter,
         options=[
+            # full reference surface (CommandsDescriptor.xml VCFFilter)
             Option("i", "input_file", "str", None, "Input VCF"),
             Option("o", "output_file", "str", None, "Output VCF"),
-            Option("q", "min_quality", "int", 0, "Minimum variant quality"),
-            Option("g", "min_genotype_quality", "int", 0, "Minimum genotype quality"),
-            Option("d", "min_depth", "int", 0, "Minimum genotype depth"),
-            Option("m", "min_samples_genotyped", "int", 0, "Min samples genotyped"),
+            Option("frs", "regions_to_filter", "str", None,
+                   "File with regions to filter out"),
+            Option("srs", "regions_to_select", "str", None,
+                   "File with regions to select"),
+            Option("d", "min_distance", "int", 0,
+                   "Minimum distance between variants"),
+            Option("q", "min_genotype_quality", "int", 0,
+                   "Minimum genotype quality (GQ)"),
+            Option("minRD", "min_depth", "int", 0,
+                   "Minimum genotype read depth (DP)"),
+            Option("s", "keep_biallelic_snvs", "bool", False,
+                   "Keep only biallelic SNVs"),
+            Option("fi", "filter_invariant", "bool", False,
+                   "Filter sites with one observed allele"),
+            Option("fir", "filter_invariant_reference", "bool", False,
+                   "Filter sites with only the reference allele"),
+            Option("fia", "filter_invariant_alternative", "bool", False,
+                   "Filter sites with only one alternative allele"),
+            Option("m", "min_samples_genotyped", "int", 0,
+                   "Min samples genotyped"),
             Option("minMAF", "min_maf", "float", 0.0, "Minimum MAF"),
             Option("maxMAF", "max_maf", "float", 0.5, "Maximum MAF"),
             Option("minOH", "min_oh", "float", 0.0, "Minimum observed het"),
             Option("maxOH", "max_oh", "float", 1.0, "Maximum observed het"),
-            Option("s", "keep_only_snvs", "bool", False, "Keep only SNVs"),
-            Option("fi", "keep_only_biallelic", "bool", False, "Keep only biallelic"),
+            Option("g", "genome", "str", None,
+                   "Reference genome FASTA for GC content"),
+            Option("minGC", "min_gc_content", "float", 0.0,
+                   "Minimum GC%% of the surrounding 100bp region"),
+            Option("maxGC", "max_gc_content", "float", 100.0,
+                   "Maximum GC%% of the surrounding 100bp region"),
+            Option("maxCNVs", "max_samples_cnvs", "int", -1,
+                   "Max samples with CNVs (INFO CNV)"),
+            Option("gene", "gene_id", "str", None,
+                   "Gene/transcript id (TID/TGN INFO)"),
+            Option("a", "annotations", "str", None,
+                   "Comma-separated functional annotations (TA INFO)"),
+            Option("saf", "sample_ids", "str", None,
+                   "File with sample ids to select/remove"),
+            Option("fs", "filter_samples", "bool", False,
+                   "Remove (not select) the -saf samples"),
         ],
     )
 )

@@ -46,66 +46,224 @@ def dosage_matrix(records: list[VCFRecord]) -> tuple[np.ndarray, list[str]]:
 # --------------------------------------------------------------------------
 @dataclass
 class VCFFilter:
-    """Site and genotype filters (subset of ref's 26 options, the common ones)."""
+    """Site and genotype filters — the reference's full 26-option surface
+    (ref: vcf/VCFFilter.java:65-92 fields, CommandsDescriptor.xml VCFFilter
+    entry: i,o,frs,srs,d,q,minRD,s,fi,fir,fia,minI,m,minC,minMAF,maxMAF,
+    minOH,maxOH,g,minGC,maxGC,maxCNVs,gene,a,saf,fs).
 
+    Processing order mirrors the reference (processVariantsFile:516-551):
+    distance filter over the record stream, then sample/genotype filtering
+    (filterSamplesAndGenotypes:677-698 — genotype calls below GQ/DP become
+    undecided; here a COPY is modified, input records are never mutated),
+    then the site filters in passFilters order (:567-617), then diversity
+    INFO fields are recomputed on the surviving records
+    (VCFRecord.updateDiversityStatistics:288-301)."""
+
+    # genotype filters (ref :71-72)
     min_genotype_quality: int = 0
-    min_depth: int = 0
-    min_quality: int = 0  # variant QS
+    min_depth: int = 0  # ref minReadDepth (-minRD)
+    # variant context filters (ref :73,90-92,83-84,86-87)
+    min_distance: int = 0
+    regions_to_filter: GenomicRegionSortedCollection | None = None
+    regions_to_select: GenomicRegionSortedCollection | None = None
+    genome: object | None = None  # ReferenceGenome for GC content (-g)
+    min_gc_content: float = 0.0
+    max_gc_content: float = 100.0
+    gene_id: str | None = None  # matches TID or TGN INFO (-gene)
+    annotations: set | None = None  # matches TA INFO values (-a)
+    # population filters (ref :74-82,85)
     min_samples_genotyped: int = 0
+    filter_invariant: bool = False
+    filter_invariant_reference: bool = False
+    filter_invariant_alternative: bool = False
+    keep_biallelic_snvs: bool = False  # ref keepBiallelicSNVs (-s)
     min_maf: float = 0.0
     max_maf: float = 0.5
     min_oh: float = 0.0
-    max_oh: float = 1.0  # observed heterozygosity bounds
+    max_oh: float = 1.0
+    max_samples_cnvs: int = -1  # -1 = no filter (-maxCNVs, INFO CNV)
+    # sample selection (ref :88-89)
+    sample_ids: list[str] | None = None
+    filter_samples: bool = False  # -fs: remove instead of select
+    # extensions kept from round 1 (not in the reference surface)
+    min_quality: int = 0  # variant QS gate
     keep_only_snvs: bool = False
     keep_only_biallelic: bool = False
-    regions: GenomicRegionSortedCollection | None = None
+    regions: GenomicRegionSortedCollection | None = None  # legacy alias
     invert_regions: bool = False
-    sample_ids: list[str] | None = None
     max_sites: int | None = None
 
-    def apply(self, records: list[VCFRecord]) -> list[VCFRecord]:
-        out = []
-        for r in records:
-            v = r.variant
-            if self.keep_only_snvs and not v.is_snv:
+    def __post_init__(self):
+        # legacy alias: `regions` selects; with invert_regions it filters
+        if self.regions is not None:
+            if self.invert_regions:
+                if self.regions_to_filter is None:
+                    self.regions_to_filter = self.regions
+            elif self.regions_to_select is None:
+                self.regions_to_select = self.regions
+
+    # ---- stage 1: sample selection + genotype filtering (copy-on-write) --
+    def _filter_samples_and_genotypes(self, r: VCFRecord) -> VCFRecord:
+        import dataclasses
+
+        keep = None
+        if self.sample_ids:
+            sel = set(self.sample_ids)
+            keep = lambda c: (c.sample_id in sel) != self.filter_samples
+        calls = []
+        changed = keep is not None
+        for c in r.calls:
+            if keep is not None and not keep(c):
                 continue
-            if self.keep_only_biallelic and not v.is_biallelic:
-                continue
-            if v.quality < self.min_quality:
-                continue
-            if self.regions is not None:
-                inside = bool(
-                    self.regions.find_spanning(v.sequence_name, v.first, v.last)
-                )
-                if inside == self.invert_regions:
-                    continue
-            calls = r.calls
-            if self.sample_ids is not None:
-                keep = set(self.sample_ids)
-                calls = [c for c in calls if c.sample_id in keep]
-                r = VCFRecord(
-                    variant=r.variant, calls=calls, info=r.info, filters=r.filters,
-                    format_str=r.format_str,
-                )
-            # genotype-level filters: drop low-quality genotypes to undecided
-            for c in calls:
-                if not c.is_undecided and (
-                    c.genotype_quality < self.min_genotype_quality
-                    or c.total_read_depth < self.min_depth
-                ):
-                    c.indexes_called_alleles = []
-            stats = site_diversity(r)
+            if not c.is_undecided and (
+                c.genotype_quality < self.min_genotype_quality
+                or c.total_read_depth < self.min_depth
+            ):
+                c = dataclasses.replace(c, indexes_called_alleles=[])
+                changed = True
+            calls.append(c)
+        if not changed:
+            return r
+        return VCFRecord(
+            variant=r.variant, calls=calls, info=dict(r.info),
+            filters=r.filters, format_str=r.format_str,
+        )
+
+    # ---- stage 3: site filters (ref passFilters order) -------------------
+    def _pass_filters(self, r: VCFRecord | None) -> bool:
+        if r is None:
+            return False
+        v = r.variant
+        if self.keep_biallelic_snvs and not (v.is_snv and v.is_biallelic):
+            return False
+        if self.keep_only_snvs and not v.is_snv:
+            return False
+        if self.keep_only_biallelic and not v.is_biallelic:
+            return False
+        if v.quality < self.min_quality:
+            return False
+        if self.max_samples_cnvs >= 0:
+            try:
+                n_cnvs = int(r.info.get("CNV", 0) or 0)
+            except (TypeError, ValueError):
+                n_cnvs = 0
+            if n_cnvs > self.max_samples_cnvs:
+                return False
+        if self.gene_id is not None and not (
+            r.info.get("TID") == self.gene_id or r.info.get("TGN") == self.gene_id
+        ):
+            return False
+        if self.annotations is not None and r.info.get("TA") not in self.annotations:
+            return False
+        stats = site_diversity(r) if r.calls else SiteDiversity()
+        if r.calls:
+            counts = stats.allele_counts
+            if self.filter_invariant and stats.n_alleles_called < 2:
+                return False
+            if (
+                self.filter_invariant_reference
+                and stats.n_alleles_called == 1
+                and counts and counts[0] > 0
+            ):
+                return False
+            if (
+                self.filter_invariant_alternative
+                and stats.n_alleles_called == 1
+                and counts and counts[0] == 0
+            ):
+                return False
             if stats.genotyped < self.min_samples_genotyped:
+                return False
+            if not (self.min_maf <= stats.maf <= self.max_maf):
+                return False
+            if not (self.min_oh <= stats.observed_het <= self.max_oh):
+                return False
+        if self.regions_to_filter is not None and self.regions_to_filter.find_spanning(
+            v.sequence_name, v.first, v.last
+        ):
+            return False
+        if self.regions_to_select is not None and not self.regions_to_select.find_spanning(
+            v.sequence_name, v.first, v.last
+        ):
+            return False
+        if self.genome is not None and self._filter_gc_content(v):
+            return False
+        if r.calls:
+            _update_diversity_info(r, stats)
+        return True
+
+    def _filter_gc_content(self, v) -> bool:
+        """GC%% of the +-100bp region (ref filterGCContent:650-675); regions
+        extending past the sequence bounds are filtered like the reference's
+        null getReference result."""
+        g = self.genome
+        try:
+            si = g.index_of(v.sequence_name)
+        except (KeyError, ValueError):
+            return True
+        codes = g.sequences[si].codes
+        lo = v.first - 100 - 1
+        hi = v.last + 100
+        if lo < 0 or hi > len(codes):
+            return True
+        seg = codes[lo:hi]
+        acgt = int(np.count_nonzero(seg < 4))
+        if acgt == 0:
+            gc = 0.0
+        else:
+            gc = (
+                int(np.count_nonzero((seg == 1) | (seg == 2))) * 100.0 / acgt
+            )
+        return gc < self.min_gc_content or gc > self.max_gc_content
+
+    # ---- driver: distance filter over the stream (ref :516-551) ----------
+    def apply(self, records: list[VCFRecord]) -> list[VCFRecord]:
+        out: list[VCFRecord] = []
+        last: VCFRecord | None = None
+        last_seq: str | None = None
+        last_pos = -self.min_distance
+        for rec in records:
+            vr = self._filter_samples_and_genotypes(rec)
+            gv = vr.variant
+            if gv.sequence_name != last_seq:
+                if self._pass_filters(last):
+                    out.append(last)
+                last = vr
+                last_seq = gv.sequence_name
+                last_pos = gv.last
                 continue
-            if calls and stats.genotyped > 0:
-                if not (self.min_maf <= stats.maf <= self.max_maf):
-                    continue
-                if not (self.min_oh <= stats.observed_het <= self.max_oh):
-                    continue
-            out.append(r)
-            if self.max_sites is not None and len(out) >= self.max_sites:
-                break
+            if self.min_distance <= 0 or gv.first - last_pos > self.min_distance:
+                if self._pass_filters(last):
+                    out.append(last)
+                last = vr
+            else:
+                last = None
+            last_seq = gv.sequence_name
+            last_pos = gv.last
+        if self._pass_filters(last):
+            out.append(last)
+        if self.max_sites is not None:
+            out = out[: self.max_sites]
         return out
+
+
+def _update_diversity_info(r: VCFRecord, stats: "SiteDiversity") -> None:
+    """Recompute the population INFO fields on a record that passed filters
+    (ref: VCFRecord.updateDiversityStatistics:288-301 — NS, AN, AFS, OH and,
+    for biallelic variants, MAF)."""
+    r.info["NS"] = str(stats.genotyped)
+    r.info["AN"] = str(stats.n_alleles_called)
+    r.info["AFS"] = ",".join(str(c) for c in stats.allele_counts)
+    r.info["OH"] = _jformat(stats.observed_het)
+    if r.variant.is_biallelic:
+        r.info["MAF"] = _jformat(stats.maf)
+
+
+def _jformat(x: float) -> str:
+    """Float formatting matching Java's Double.toString for the common
+    cases (0.5 -> '0.5', 0.0 -> '0.0')."""
+    s = repr(float(x))
+    return s
 
 
 # --------------------------------------------------------------------------
