@@ -142,6 +142,9 @@ class ReadsAligner:
         # word kernels need L%16==0; 150bp reads pad to 160 instead of 256,
         # which cuts seeding VPU work and host-link upload ~1.6x (XLA keeps
         # narrow int8 rows efficient; measured 631->361ms per 64k batch)
+        known_strs: dict[str, list] | None = None,  # tier-2 STR regions per
+        # sequence name (ref: ReadsAligner -knownSTRs; same dict shape as
+        # SingleSampleVariantsDetector.known_strs)
     ):
         self.genome = genome
         self.kmer_length = kmer_length
@@ -151,11 +154,85 @@ class ReadsAligner:
         if table is None:
             table = MinimizerTable.build_from_genome(genome, kmer_length, window_length)
         self.table = table
+        self.known_strs = known_strs
+        self._tier2 = None
         # stats (ref: ReadsAligner printStatistics)
         self.total_reads = 0
         self.aligned_reads = 0
         self.few_mismatches_alns = 0
         self.complete_alns = 0
+
+    @property
+    def tier2(self):
+        """Lazy tier-2 STR split aligner (align/str_tier2.py); rebuilt when
+        known_strs is (re)assigned after construction."""
+        if self.known_strs and (
+            self._tier2 is None or self._tier2.known_strs is not self.known_strs
+        ):
+            from .str_tier2 import Tier2STRAligner
+
+            self._tier2 = Tier2STRAligner(self.genome, self.known_strs)
+        return self._tier2 if self.known_strs else None
+
+    # ------------------------------------------------------------------
+    def _tier2_pass(
+        self,
+        cells,  # iterable of (ridx, c) candidate cells to consider
+        pred_b: np.ndarray,  # (B, C) predicted concat starts
+        seq_idx_m: np.ndarray,
+        strand_b: np.ndarray,
+        lengths: np.ndarray,
+        fwd_mat: np.ndarray,
+        rev_mat: np.ndarray | None,
+        weights: np.ndarray,
+    ) -> dict:
+        """Tier-2 attempt for every candidate cell whose predicted span
+        overlaps a known STR (ref buildAlignment:71-80: the repeat check
+        runs BEFORE the tier-1 mismatch accept).  Returns
+        {(ridx, c): _Candidate-with-aln} for successes plus the set of
+        attempted cells under key None (failures fall through to
+        tier-1/tier-3 exactly like the reference's null return)."""
+        t2 = self.tier2
+        result: dict = {None: set()}
+        if t2 is None:
+            return result
+        from .str_tier2 import _Tier2Job
+
+        offs = self.genome.offsets
+        jobs = []
+        for ridx, c in cells:
+            ridx, c = int(ridx), int(c)
+            si = int(seq_idx_m[ridx, c])
+            if not t2.has_strs(si):
+                continue
+            qlen = int(lengths[ridx])
+            first = int(pred_b[ridx, c]) - int(offs[si]) + 1
+            region = t2.region_for(si, first, first + qlen - 1)
+            if region is None:
+                continue
+            if strand_b[ridx, c]:
+                if rev_mat is not None:
+                    qcodes = rev_mat[ridx, :qlen]
+                else:
+                    r = fwd_mat[ridx, :qlen][::-1]
+                    qcodes = np.where(r < 4, 3 - r, r).astype(np.int8)
+            else:
+                qcodes = fwd_mat[ridx, :qlen]
+            cand = _Candidate(
+                read_idx=ridx,
+                reverse=bool(strand_b[ridx, c]),
+                seq_idx=si,
+                pred_start=int(pred_b[ridx, c]),
+                weight=float(weights[ridx, c]),
+            )
+            jobs.append(((ridx, c), _Tier2Job(cand, qcodes, first, region, si)))
+            result[None].add((ridx, c))
+        if jobs:
+            t2.align_batch([j for _, j in jobs])
+            for cell, job in jobs:
+                if job.cand.aln is not None:
+                    result[cell] = job.cand
+        return result
 
     # ------------------------------------------------------------------
     def align_batch(self, reads: list[RawRead]) -> list[list[ReadAlignment]]:
@@ -248,8 +325,20 @@ class ReadsAligner:
 
         selected: list[_Candidate] = []
         strand_b = strand[:B]
+        # tier-2: STR-overlapping candidates try the split aligner FIRST
+        t2_hits: dict = {None: set()}
+        if self.tier2 is not None:
+            t2_hits = self._tier2_pass(
+                zip(*np.nonzero(keep & in_b)), pred_b, seq_idx_m, strand_b,
+                lengths_h, fwd_mat, rev_mat, w,
+            )
+            for cell, cand in t2_hits.items():
+                if cell is not None:
+                    selected.append(cand)
         names = [self.genome.sequence_name(i) for i in range(self.genome.num_sequences)]
         for ridx, c in zip(*np.nonzero(t1)):
+            if (int(ridx), int(c)) in t2_hits:
+                continue  # replaced by the tier-2 alignment
             # tier-1 accept straight from the fused screen
             si = int(seq_idx_m[ridx, c])
             p = int(pred_b[ridx, c])
@@ -289,6 +378,7 @@ class ReadsAligner:
                 weight=float(w[ridx, c]),
             )
             for ridx, c in zip(*np.nonzero(dp))
+            if (int(ridx), int(c)) not in t2_hits
         ]
         # stage 4: affine-gap DP for candidates the screen didn't accept
         self._tier3(dp_cands, fwd_mat, rev_mat, lengths_h)

@@ -140,13 +140,21 @@ class AlignCallPipeline:
         # binning; accumulates across runs so the compiled bin count stays
         # stable for a given data source
         self._qual_ascii_counts = np.zeros(256, np.int64)
+        # known STRs drive both the aligner's tier-2 split alignment and
+        # the realigner; the pipeline shares the detector's region lists
+        # into the aligner so fused and classic flows see the same tiers
+        if self.detector.known_strs and self.aligner.known_strs is None:
+            self.aligner.known_strs = self.detector.known_strs
+        # concat-coordinate STR neighborhoods: fused reads overlapping them
+        # are demoted to the exact host path (tier-2 alignment + realigner
+        # STR conciliation both need host alignment objects)
+        self._str_iv_lo, self._str_iv_hi = self._build_str_intervals()
         # fused path preconditions: default single best alignment and a
         # mapping-quality threshold that multi-placement reads (MAPQ<=15)
         # and unique tier-1 reads (MAPQ>=?) fall on opposite sides of
         self._fusable = (
             self.aligner.max_alns_per_read == 1
             and 15 < self.detector.min_mq <= 60
-            and not self.detector.known_strs
         )
         # window-genotyper kernel hook: the mesh-sharded pipeline
         # (distribute/pipeline.py) swaps in a shard_map-wrapped span kernel
@@ -209,6 +217,36 @@ class AlignCallPipeline:
             st.selected = []
             st.dp_jobs = []
         return self._call(batches)
+
+    # ------------------------------------------------------------------
+    def _build_str_intervals(self):
+        """Merged concat-coordinate [lo, hi] neighborhoods of the known STR
+        regions (padded like the indel demotion intervals)."""
+        strs = self.detector.known_strs
+        if not strs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        offs = self.genome.offsets
+        ivs = []
+        for si in range(self.genome.num_sequences):
+            regions = strs.get(self.genome.sequence_name(si))
+            if not regions:
+                continue
+            base = int(offs[si])
+            for r in regions:
+                ivs.append(
+                    (base + r.first - 1 - INDEL_PAD, base + r.last + INDEL_PAD)
+                )
+        ivs.sort()
+        merged = [list(ivs[0])]
+        for lo, hi in ivs[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        return (
+            np.array([m[0] for m in merged], np.int64),
+            np.array([m[1] for m in merged], np.int64),
+        )
 
     # ------------------------------------------------------------------
     def _put_reads(self, pq: np.ndarray):
@@ -376,24 +414,55 @@ class AlignCallPipeline:
             & t1[:, 0]
             & (100 - mm[:, 0] * 5 >= max(1, self.detector.min_mq))
         )
+        # known-STR neighborhoods demote to the host path: tier-2 split
+        # alignment and realigner STR conciliation need host objects
+        if len(self._str_iv_lo):
+            rows = np.nonzero(fused)[0]
+            if len(rows):
+                # UNCLIPPED span: tier-2 triggers on the predicted span
+                # before clipping, so demotion must cover at least that
+                first = pred[rows, 0]
+                last = pred[rows, 0] + qlen[rows, 0]
+                k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
+                k = np.clip(k, 0, len(self._str_iv_lo) - 1)
+                overl = (self._str_iv_lo[k] <= last) & (
+                    self._str_iv_hi[k] >= first
+                )
+                fused[rows[overl]] = False
         al.few_mismatches_alns += int(fused.sum())
 
         # ---- host path for everything else -----------------------------
         host_rows = np.nonzero(keep.any(axis=1) & ~fused)[0]
         selected: list[_Candidate] = []
         dp_jobs: list = []
+        t2_hits: dict = {None: set()}
         if len(host_rows):
             names = [
                 self.genome.sequence_name(i)
                 for i in range(self.genome.num_sequences)
             ]
             host_set = set(int(x) for x in host_rows)
+            if al.tier2 is not None:
+                host_cells = [
+                    (r, c)
+                    for r, c in zip(*np.nonzero(keep & in_b))
+                    if int(r) in host_set
+                ]
+                t2_hits = al._tier2_pass(
+                    host_cells, pred, seq_idx_m, strand, lengths_h,
+                    fwd_mat, None, w,
+                )
+                for cell, cand in t2_hits.items():
+                    if cell is not None:
+                        selected.append(cand)
             for ridx, c in zip(*np.nonzero(t1)):
                 ridx = int(ridx)
                 if ridx not in host_set:
                     continue
                 if not keep[ridx, c]:
                     continue
+                if (ridx, int(c)) in t2_hits:
+                    continue  # replaced by the tier-2 alignment
                 si = int(seq_idx_m[ridx, c])
                 p = int(pred[ridx, c])
                 tcs, tce = int(cs[ridx, c]), int(ce[ridx, c])
@@ -431,6 +500,7 @@ class AlignCallPipeline:
                     weight=float(w[ridx, c]),
                 )
                 for ridx, c in zip(*np.nonzero(dp))
+                if (int(ridx), int(c)) not in t2_hits
             ]
             dp_jobs = al._tier3_jobs(dp_cands, fwd_mat, None, lengths_h)
             selected.extend(dp_cands)

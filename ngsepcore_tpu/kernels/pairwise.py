@@ -39,7 +39,10 @@ NEG = -(10 ** 7)  # "banned" score, matches spirit of length*-openGap*1000
 
 @partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "open_gap", "ext_gap", "free_start2", "free_end2"),
+    static_argnames=(
+        "match", "mismatch", "open_gap", "ext_gap",
+        "free_start1", "free_end1", "free_start2", "free_end2",
+    ),
 )
 def affine_gap_align_batch(
     query: jnp.ndarray,  # (B, Lq) int8 codes, padded
@@ -50,6 +53,8 @@ def affine_gap_align_batch(
     mismatch: int = 1,
     open_gap: int = 3,
     ext_gap: int = 1,
+    free_start1: bool = False,
+    free_end1: bool = False,
     free_start2: bool = True,
     free_end2: bool = True,
 ):
@@ -59,7 +64,14 @@ def affine_gap_align_batch(
     forceStart2=false/forceEnd2=false (subject ends unpenalized) — the
     configuration used for gapped read alignment
     (ShortReadsUngappedSearchHitsClusterAligner.java:137-141
-    createAlignerFullRead).  Query is always global (forceStart1/End1 true).
+    createAlignerFullRead).  free_start1/free_end1 unpenalize QUERY ends —
+    the tier-2 STR split aligners (createAlignerLeftTR/RightTR:338-349 set
+    forceEnd1/forceStart1 false).  With free_end1, the best score is taken
+    over the last M column with ties at the largest query row (ref
+    getAlignedStrings:193-202); the unaligned query tail [end_i, qlen) is
+    NOT emitted in `ops` — callers read `end_i` and treat the tail as a
+    trailing insertion/soft-clip.  With free_start1 the unaligned query
+    head IS emitted as leading OP_INS ops (same as the reference strings).
 
     Returns dict with:
       score   (B,) int32 — best alignment score
@@ -68,7 +80,9 @@ def affine_gap_align_batch(
       n_ops   (B,) int32
       start_j (B,) int32 — 0-based subject offset where alignment begins
       end_j   (B,) int32 — 0-based subject offset one past alignment end
+      end_i   (B,) int32 — query length consumed (== qlen unless free_end1)
     """
+    assert not (free_end1 and free_end2), "free_end1 with free_end2 unsupported"
     B, Lq = query.shape
     _, Ls = subject.shape
 
@@ -117,8 +131,12 @@ def affine_gap_align_batch(
             jnp.where(i_cand_i >= i_cand_d, 1, 2),
         ).astype(jnp.uint8)
         # boundary col: I[i][0] = -open-ext*(i-1) (query global, forceStart1)
-        i_bound = (-open_gap - ext_gap * (row_i - 1)).astype(jnp.int32)
-        i_row = i_row.at[:, 0].set(i_bound)
+        # or 0 when the query start is free (ref initMatrices:139-140)
+        if free_start1:
+            i_row = i_row.at[:, 0].set(0)
+        else:
+            i_bound = (-open_gap - ext_gap * (row_i - 1)).astype(jnp.int32)
+            i_row = i_row.at[:, 0].set(i_bound)
 
         # D matrix via cumulative max within the row:
         # D[j] = max(A[j-1], D[j-1]-ext), A = max(M,I) - open  (and M vs I for tb)
@@ -143,10 +161,17 @@ def affine_gap_align_batch(
         d_row = jnp.where(active[:, None], d_row, d_prev)
 
         tb = (mp | (ip[:, 1:] << 2) | (dp[:, 1:] << 4)).astype(jnp.uint8)  # (B, Ls)
-        return (m_row, i_row, d_row), tb
+        # last-column M value of this row (free_end1 end-cell search); rows
+        # past qlen emit NEG so they never win
+        m_at_slen = jnp.where(
+            row_i <= qlen,
+            jnp.take_along_axis(m_row, slen[:, None], axis=1)[:, 0],
+            NEG,
+        )
+        return (m_row, i_row, d_row), (tb, m_at_slen)
 
     rows = jnp.arange(1, Lq + 1, dtype=jnp.int32)
-    (m_fin, i_fin, d_fin), tb_rows = jax.lax.scan(
+    (m_fin, i_fin, d_fin), (tb_rows, m_cols) = jax.lax.scan(
         row_step, (m0, i0, d0), (query.T, rows)
     )
     # tb_rows: (Lq, B, Ls) -> (B, Lq, Ls).  Because rows past qlen are frozen,
@@ -171,6 +196,17 @@ def affine_gap_align_batch(
         score = best
         start_k = jnp.zeros((B,), jnp.int32)
         end_i = qlen
+    elif free_end1:
+        # best M over the last COLUMN (ref :193-202): rows h = 0..qlen, ties
+        # at the LARGEST h (the scan goes h descending, strictly-greater)
+        h0 = jnp.where(slen == 0, 0, NEG).astype(jnp.int32)[None, :]  # M[0][Ls]
+        mstack = jnp.concatenate([h0, m_cols], axis=0)  # (Lq+1, B)
+        best = jnp.max(mstack, axis=0)
+        rev_hit = (mstack == best[None, :])[::-1]
+        end_i = (Lq - jnp.argmax(rev_hit, axis=0)).astype(jnp.int32)
+        score = best
+        start_k = jnp.zeros((B,), jnp.int32)
+        end_j = slen
     else:
         score = m_corner
         start_k = jnp.zeros((B,), jnp.int32)
@@ -234,6 +270,7 @@ def affine_gap_align_batch(
         "n_ops": n_ops,
         "start_j": start_j,
         "end_j": end_j,
+        "end_i": end_i,
     }
 
 

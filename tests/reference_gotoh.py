@@ -45,7 +45,9 @@ def gotoh_align(
         if val < I[i][j]:
             k, val = 1, I[i][j]
         if val < D[i][j]:
-            k = 2
+            # Java sets only k here (getAlignedStrings:189-191) because it
+            # never returns val; this mirror does, so val must follow k
+            k, val = 2, D[i][j]
     if not force_end1:
         for h in range(i, -1, -1):
             if M[h][m] > val:

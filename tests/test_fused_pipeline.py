@@ -97,6 +97,81 @@ def test_fused_equals_classic(with_indels):
     assert ck == fk
 
 
+def test_fused_equals_classic_with_known_strs():
+    """Config #4 (known STRs supplied): the fused path must no longer
+    disable itself; STR-overlapping reads demote to the host path where
+    tier-2 split alignment + STR realignment run, and the records equal
+    the classic flow's exactly."""
+    from ngsepcore_tpu.core.regions import GenomicRegion
+    from ngsepcore_tpu.core.sequences import RawRead, decode_dna
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=40000).astype(np.int8)
+    # two tandem arrays: chr1:15001 (4bp x 12) and chr1:30001 (3bp x 10)
+    unit1 = np.array([0, 1, 3, 3], np.int8)
+    codes[15000 : 15000 + 48] = np.tile(unit1, 12)
+    unit2 = np.array([2, 0, 1], np.int8)
+    codes[30000 : 30000 + 30] = np.tile(unit2, 10)
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=codes))
+    genome = ReferenceGenome(seqs)
+    strs = {
+        "chr1": [
+            GenomicRegion("chr1", 15001, 15048),
+            GenomicRegion("chr1", 30001, 30030),
+        ]
+    }
+    # individual: first STR expanded by 2 units (homozygous)
+    ind = np.concatenate(
+        [codes[:15000], np.tile(unit1, 14), codes[15048:]]
+    )
+    sim_reads = []
+    rr = np.random.default_rng(5)
+    starts = [int(rr.integers(0, len(ind) - 100)) for _ in range(3000)]
+    # dense coverage over the expanded array so spanning reads exist
+    starts += [int(rr.integers(14880, 15010)) for _ in range(300)]
+    for i, start in enumerate(starts):
+        rc = ind[start : start + 100]
+        if rr.random() < 0.5:
+            rc = np.where(rc[::-1] < 4, 3 - rc[::-1], rc[::-1]).astype(np.int8)
+        sim_reads.append(
+            RawRead(
+                name=f"r_{i}", sequence=decode_dna(rc), qualities="F" * 100
+            )
+        )
+
+    aligner_c = ReadsAligner(genome, known_strs=strs)
+    det_c = SingleSampleVariantsDetector(genome, sample_id="s1")
+    det_c.known_strs = strs
+    alns = []
+    for i in range(0, len(sim_reads), 1024):
+        for r in aligner_c.align_batch(sim_reads[i : i + 1024]):
+            alns.extend(r)
+    classic = det_c.find_variants(alns)
+
+    det_f = SingleSampleVariantsDetector(genome, sample_id="s1")
+    det_f.known_strs = strs
+    pipe = AlignCallPipeline(
+        genome,
+        aligner=ReadsAligner(genome, table=aligner_c.table),
+        detector=det_f,
+        batch_size=1024,
+    )
+    assert pipe._fusable, "known STRs must no longer disable the fused path"
+    fused = pipe.run_reads(sim_reads)
+    ck = [_record_key(r) for r in classic]
+    fk = [_record_key(r) for r in fused]
+    assert ck == fk
+    # the expanded STR is genotyped as a homozygous insertion at the array
+    ins = [
+        r
+        for r in classic
+        if 14950 <= r.variant.first <= 15050
+        and max(len(a) for a in r.variant.alleles) > 1
+    ]
+    assert ins, "expanded STR produced no indel call"
+
+
 def test_fused_falls_back_when_not_fusable():
     genome, reads = _simulate(False, seed=11)
     det = SingleSampleVariantsDetector(genome, sample_id="s1", min_mq=0)
