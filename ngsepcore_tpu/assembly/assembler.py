@@ -48,6 +48,10 @@ class Assembler:
         merge_ends: bool = True,
         circular: bool = False,
         ploidy: int = 1,
+        min_score_proportion: float = 0.5,  # ref: Assembler.java:65
+        graph_file: str | None = None,  # load a saved graph (ref -graphFile)
+        save_graph_file: str | None = None,  # checkpoint after filtering
+        remove_chimeras: bool = True,
     ):
         self.kmer_length = kmer_length
         self.window_length = window_length
@@ -58,6 +62,10 @@ class Assembler:
         self.merge_ends = merge_ends
         self.circular = circular
         self.ploidy = ploidy
+        self.min_score_proportion = min_score_proportion
+        self.graph_file = graph_file
+        self.save_graph_file = save_graph_file
+        self.remove_chimeras = remove_chimeras
         self.corrections = 0
         self.circularized = 0
 
@@ -102,7 +110,7 @@ class Assembler:
     def build_graph(self, reads: list[np.ndarray]) -> AssemblyGraph:
         lens = np.array([len(r) for r in reads], np.int64)
         codes, read_idx, pos, strand = self._read_minimizers(reads)
-        graph = AssemblyGraph(len(reads))
+        graph = AssemblyGraph(len(reads), [int(x) for x in lens])
         if len(codes) == 0:
             return graph
         # group boundaries by code
@@ -110,14 +118,25 @@ class Assembler:
             np.concatenate([[True], codes[1:] != codes[:-1]])
         )[0]
         ends = np.concatenate([starts[1:], [len(codes)]])
-        # pair votes: key=(r1, r2, orient) -> diagonals in r1 coords
+        # pair votes: key=(r1, r2, orient) -> diagonals + r1 positions
         pair_keys = []
         pair_diags = []
+        pair_p1 = []
         k = self.kmer_length
-        MAX_GROUP = 12  # repeats produce huge groups; skip (ref hit caps)
+        # skip repeat-inflated minimizer groups, but scale the cap with
+        # coverage: the typical group size IS the read coverage (every
+        # read over a locus contributes the same minimizer), so a fixed
+        # cap starves the graph of evidence at deep coverage (ref:
+        # GraphBuilderMinimizers limits hits per kmer relative to mean
+        # coverage the same way)
+        group_sizes = ends - starts
+        med_group = int(np.median(group_sizes[group_sizes >= 2])) if np.any(
+            group_sizes >= 2
+        ) else 2
+        max_group = max(12, 3 * med_group)
         for s, e in zip(starts, ends):
             g = e - s
-            if g < 2 or g > MAX_GROUP:
+            if g < 2 or g > max_group:
                 continue
             r = read_idx[s:e]
             p = pos[s:e]
@@ -141,22 +160,26 @@ class Assembler:
             key = (r1.astype(np.int64) * len(reads) + r2) * 2 + orient
             pair_keys.append(key)
             pair_diags.append(diag)
+            pair_p1.append(p1)
         if not pair_keys:
             return graph
         keys = np.concatenate(pair_keys)
         diags = np.concatenate(pair_diags)
+        p1s = np.concatenate(pair_p1)
         order = np.argsort(keys, kind="stable")
-        keys, diags = keys[order], diags[order]
+        keys, diags, p1s = keys[order], diags[order], p1s[order]
         starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
         ends = np.concatenate([starts[1:], [len(keys)]])
         for s, e in zip(starts, ends):
             n_hits = e - s
             if n_hits < self.min_shared:
                 continue
-            d = np.sort(diags[s:e])
-            med = int(np.median(d))
+            d = diags[s:e]
+            med = int(np.median(np.sort(d)))
+            cons = np.abs(d - med) <= 100
+            n_cons = int(cons.sum())
             # require diagonal consistency
-            if np.sum(np.abs(d - med) <= 100) < self.min_shared:
+            if n_cons < self.min_shared:
                 continue
             key = int(keys[s])
             orient = key & 1
@@ -164,22 +187,78 @@ class Assembler:
             r1, r2 = divmod(pair, len(reads))
             L1, L2 = int(lens[r1]), int(lens[r2])
             rev2 = orient == 1
-            score = float(n_hits)
+            score = float(n_cons)
+            # relation evidence statistics (ref: AssemblyEdge evidence
+            # spans, coverage shared kmers, indels/kbp)
+            pc = p1s[s:e][cons]
+            ev1_start = int(pc.min())
+            ev1_end = int(pc.max()) + k
+            csk = int(min(len(np.unique(pc)) * k, L1))
+            dd = np.abs(d[cons] - med)
+            # evidence span in r2 FORWARD coords: p2_eff = p1 - med, and
+            # orient 1 maps p2_eff back through the reverse complement
+            if rev2:
+                ev2_start = max(0, L2 - ev1_end + med)
+                ev2_end = min(L2, L2 - ev1_start + med)
+            else:
+                ev2_start = max(0, ev1_start - med)
+                ev2_end = min(L2, ev1_end - med)
             if med >= 0 and med + L2 <= L1:
-                graph.add_embedded(AssemblyEmbedded(r2, r1, med, rev2))
+                ev_prop = min(1.0, (ev1_end - ev1_start) / max(1, L2))
+                graph.add_embedded(
+                    AssemblyEmbedded(
+                        r2, r1, med, rev2, nshared=n_cons, csk=csk,
+                        ev_prop=ev_prop, host_evidence_start=ev1_start,
+                        host_evidence_end=ev1_end, score=score,
+                    )
+                )
             elif med < 0 and -med + L1 <= L2:
-                graph.add_embedded(AssemblyEmbedded(r1, r2, -med, rev2))
+                # host evidence span translated into r2 coordinates
+                if rev2:
+                    h_start = max(0, L2 - (ev1_end - med))
+                    h_end = min(L2, L2 - (ev1_start - med))
+                else:
+                    h_start = max(0, ev1_start - med)
+                    h_end = min(L2, ev1_end - med)
+                ev_prop = min(1.0, (ev1_end - ev1_start) / max(1, L1))
+                graph.add_embedded(
+                    AssemblyEmbedded(
+                        r1, r2, -med, rev2, nshared=n_cons, csk=csk,
+                        ev_prop=ev_prop, host_evidence_start=h_start,
+                        host_evidence_end=h_end, score=score,
+                    )
+                )
             elif med > 0:
                 overlap = L1 - med
                 if overlap >= self.min_overlap:
+                    ikbp = float(np.median(dd)) * 1000.0 / max(1, overlap)
+                    ev_prop = min(
+                        1.0, (ev1_end - max(ev1_start, med)) / max(1, overlap)
+                    )
                     graph.add_edge(
-                        AssemblyEdge(r1, False, r2, rev2, overlap, score)
+                        AssemblyEdge(
+                            r1, False, r2, rev2, overlap, score,
+                            nshared=n_cons, csk=min(csk, overlap),
+                            ev_prop=max(0.0, ev_prop), ikbp=ikbp,
+                            ev1_start=ev1_start, ev1_end=ev1_end,
+                            ev2_start=ev2_start, ev2_end=ev2_end,
+                        )
                     )
             else:
                 overlap = L2 + med
                 if overlap >= self.min_overlap:
+                    ikbp = float(np.median(dd)) * 1000.0 / max(1, overlap)
+                    ev_prop = min(
+                        1.0, (min(ev1_end, overlap) - ev1_start) / max(1, overlap)
+                    )
                     graph.add_edge(
-                        AssemblyEdge(r2, rev2, r1, False, overlap, score)
+                        AssemblyEdge(
+                            r2, rev2, r1, False, overlap, score,
+                            nshared=n_cons, csk=min(csk, overlap),
+                            ev_prop=max(0.0, ev_prop), ikbp=ikbp,
+                            ev1_start=ev2_start, ev1_end=ev2_end,
+                            ev2_start=ev1_start, ev2_end=ev1_end,
+                        )
                     )
         return graph
 
@@ -187,93 +266,39 @@ class Assembler:
     def layout_and_consensus(
         self, reads: list[np.ndarray], graph: AssemblyGraph
     ) -> list[np.ndarray]:
-        """Greedy path layout + overlap-concatenation consensus.
+        """Path layout + overlap-concatenation consensus.
 
-        Ref: LayoutBuilderKruskalPath (greedy over best overlaps with each
-        physical read end used at most once) +
-        ConsensusBuilderBidirectionalSimple.  An overlap edge joins the
-        3'-side end of one oriented read to the 5'-side end of another;
-        both directions of the same physical junction are equivalent, so
-        junctions are keyed by physical (read, L/R) ends.
-        """
-        n = len(reads)
-        # edge priority per layout algorithm (ref: LayoutBuilderKruskalPath
-        # sorts by relationship score; LayoutBuilderGreedyMaxOverlap /
-        # MinCost are the greedy variants)
-        keys = {
-            "KruskalPath": lambda e: (-e.score, -e.overlap),
-            "MaxOverlap": lambda e: (-e.overlap, -e.score),
-            "MinCost": lambda e: (e.cost if hasattr(e, "cost") else -e.score),
-        }
-        algo = getattr(self, "layout_algorithm", "MaxOverlap")
-        edges = sorted(graph.filtered_edges(), key=keys.get(algo, keys["MaxOverlap"]))
-        parent = list(range(n))
+        Layout defaults to the reference's MST-based KruskalPath algorithm
+        (assembly/layout.py: safe reciprocal-best edges seed paths, path
+        ends merge Kruskal-style under cost/IKBP constraints, small
+        repeat-bubble paths are absorbed); `layout_algorithm` selects the
+        greedy variants instead (ref LayoutBuilderGreedyMaxOverlap /
+        MinCost / MaxCoverageSharedKmers)."""
+        from .layout import LayoutBuilderGreedy, LayoutBuilderKruskalPath
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        # physical end of an oriented read: exit end of (r, rev) is R when
-        # forward, L when reversed; entry end is the opposite
-        def exit_end(r, rev):
-            return (r, "L" if rev else "R")
-
-        def entry_end(r, rev):
-            return (r, "R" if rev else "L")
-
-        junction: dict[tuple[int, str], tuple[tuple[int, str], int]] = {}
-        for e in edges:
-            e1 = exit_end(e.read1, e.rev1)
-            e2 = entry_end(e.read2, e.rev2)
-            if e1 in junction or e2 in junction:
-                continue
-            if find(e.read1) == find(e.read2):
-                continue
-            junction[e1] = (e2, e.overlap)
-            junction[e2] = (e1, e.overlap)
-            parent[find(e.read2)] = find(e.read1)
-
+        algo = getattr(self, "layout_algorithm", "KruskalPath")
+        if algo == "KruskalPath":
+            builder = LayoutBuilderKruskalPath()
+        else:
+            builder = LayoutBuilderGreedy(algo)
+        paths = builder.find_paths(graph)
         contigs: list[np.ndarray] = []
-        visited: set[int] = set(graph.embedded.keys())
-
-        def walk(r0: int, entry: str) -> np.ndarray:
-            """Walk a path entering read r0 at physical end `entry`."""
+        for p in paths:
             pieces = []
-            r, ent = r0, entry
             prev_overlap = 0
-            while True:
-                visited.add(r)
-                rev = ent == "R"
-                seq = reads[r] if not rev else reverse_complement_codes(reads[r])
-                pieces.append(seq[prev_overlap:] if prev_overlap < len(seq) else seq[:0])
-                ex = (r, "R" if ent == "L" else "L")
-                nxt = junction.get(ex)
-                if nxt is None:
-                    break
-                (r2, ent2), overlap = nxt
-                if r2 in visited:
-                    break
-                r, ent, prev_overlap = r2, ent2, overlap
-            return np.concatenate(pieces)
-
-        # path starts: reads whose entry end is free (degree<=1 chains)
-        for r in range(n):
-            if r in visited:
-                continue
-            lfree = (r, "L") not in junction
-            rfree = (r, "R") not in junction
-            if lfree and rfree:
-                continue  # handled as singleton later unless part of a loop
-            if lfree:
-                contigs.append(walk(r, "L"))
-            elif rfree:
-                contigs.append(walk(r, "R"))
-        # leftover circular components + isolated reads
-        for r in range(n):
-            if r not in visited:
-                contigs.append(walk(r, "L"))
+            for (r, rev), ov in zip(p.reads, [0] + p.overlaps):
+                prev_overlap = ov
+                seq = (
+                    reads[r]
+                    if not rev
+                    else reverse_complement_codes(reads[r])
+                )
+                pieces.append(
+                    seq[prev_overlap:]
+                    if prev_overlap < len(seq)
+                    else seq[:0]
+                )
+            contigs.append(np.concatenate(pieces))
         contigs.sort(key=len, reverse=True)
         return contigs
 
@@ -285,7 +310,21 @@ class Assembler:
         (ref: ploidy loop :461-484)."""
         if self.ploidy >= 2:
             return self._assemble_phased(reads)
-        graph = self.build_graph(reads)
+        if self.graph_file:
+            # resume from a graph checkpoint (ref: Assembler.java:323 load
+            # path skipping graph construction)
+            graph = AssemblyGraph.load(self.graph_file)
+        else:
+            graph = self.build_graph(reads)
+            if self.remove_chimeras:
+                # ref: Assembler.java:455 removeVerticesChimericReads
+                graph.remove_chimeric_reads()
+            graph.update_scores()
+            graph.filter_edges_and_embedded(self.min_score_proportion)
+        if self.save_graph_file:
+            # ref: Assembler.java:417-434 saves the filtered graph so later
+            # runs skip construction
+            graph.save(self.save_graph_file)
         contigs = self.layout_and_consensus(reads, graph)
         if self.merge_ends and len(contigs) > 1:
             from .polishing import merge_contig_ends
@@ -324,6 +363,14 @@ class Assembler:
         from ..core.sequences import RawRead
         from .phasing import phase_reads
 
+        # the draft exists only to DISCOVER het sites for phasing, so it
+        # wants maximal contiguity, not conservative path building: the
+        # greedy MaxOverlap layout chains reads of both haplotypes into
+        # the longest possible backbone (cross-haplotype joins are fine
+        # here — the het columns they expose are exactly the phasing
+        # signal), while the conservative Kruskal reciprocal-best layout
+        # fragments on diploid data because same-locus reads of the two
+        # haplotypes compete for every junction
         draft_asm = Assembler(
             self.kmer_length,
             self.window_length,
@@ -332,7 +379,10 @@ class Assembler:
             self.batch_rows,
             polish_rounds=0,
             merge_ends=self.merge_ends,
+            min_score_proportion=0.0,
+            remove_chimeras=False,
         )
+        draft_asm.layout_algorithm = "MaxOverlap"
         draft = draft_asm.assemble(reads)
         raw = [
             RawRead(name=f"r{i}", sequence=decode_dna(r))
@@ -353,7 +403,10 @@ class Assembler:
                 polish_rounds=self.polish_rounds,
                 merge_ends=self.merge_ends,
                 circular=self.circular,
+                min_score_proportion=self.min_score_proportion,
+                remove_chimeras=self.remove_chimeras,
             )
+            sub.layout_algorithm = getattr(self, "layout_algorithm", "KruskalPath")
             contigs = sub.assemble(sub_reads)
             self.corrections += sub.corrections
             self.circularized += sub.circularized
