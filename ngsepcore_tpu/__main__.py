@@ -46,11 +46,33 @@ def _ensure_backend() -> None:
         jax.devices()
 
 
+def _log_parameters(cmd, opts: dict, pos: list[str]) -> None:
+    """Log the full effective parameter set at command start (ref:
+    every engine's logParameters, e.g. ReadsAligner.java:345-366)."""
+    lines = [f"Running {cmd.id}"]
+    for o in cmd.options:
+        if o.attr in opts:
+            lines.append(f"  -{o.flag} ({o.attr}): {opts[o.attr]}")
+    if pos:
+        lines.append(f"  positional: {' '.join(pos)}")
+    print("\n".join(lines), file=sys.stderr, flush=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    # global flags (any position): --profile dumps the per-stage
+    # wall-clock ledger at exit (utils/profiling.py)
+    profile = False
+    while "--profile" in argv:
+        argv.remove("--profile")
+        profile = True
     if not argv or argv[0] in ("-h", "--help", "help"):
         print_help()
         return 0
+    if profile:
+        from .utils import profiling
+
+        profiling.enable()
     _ensure_backend()
     from .cli import commands  # noqa: F401
     from .cli.registry import get_command, parse_args
@@ -65,7 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     for o in cmd.options:
         if o.attr not in opts and o.default is not None:
             opts[o.attr] = o.default
-    cmd.runner(opts, pos)
+    _log_parameters(cmd, opts, pos)
+    try:
+        cmd.runner(opts, pos)
+    finally:
+        if profile:
+            from .utils import profiling
+
+            profiling.report()
     return 0
 
 

@@ -34,6 +34,7 @@ from ..align.reads_aligner import (
 )
 from ..core.genome import ReferenceGenome
 from ..core.sequences import RawRead, pack_reads
+from ..utils.profiling import stage
 from ..vcf.io import VCFRecord
 
 # a read whose single accepted placement might interact with indel
@@ -135,6 +136,9 @@ class AlignCallPipeline:
         self.aligner = aligner or ReadsAligner(genome)
         self.detector = detector or SingleSampleVariantsDetector(genome)
         self.batch_size = batch_size
+        # cooperative cancellation (ref: ProgressNotifier.keepRunning
+        # polled in run() loops); polled at batch and window boundaries
+        self.progress_notifier = None
         # per-run distinct base qualities (raw ASCII histogram; clamped and
         # folded at compaction) for the adaptive shear-histogram column
         # binning; accumulates across runs so the compiled bin count stays
@@ -185,7 +189,13 @@ class AlignCallPipeline:
             i += size
         if i < n:
             spans.append((i, n))
-        seeded = [self._seed_batch(reads[a:b]) for a, b in spans]
+        from ..utils.progress import check as _progress_check
+
+        with stage("align.seed_dispatch"):
+            seeded = []
+            for bi, (a, b) in enumerate(spans):
+                _progress_check(self.progress_notifier, bi)
+                seeded.append(self._seed_batch(reads[a:b]))
         # one link round trip for ALL batches' seeding results, with the
         # classify columns bit-packed to 12 bytes/candidate on device: the
         # host link is both latency- (per-array) and bandwidth-bound, so
@@ -194,28 +204,32 @@ class AlignCallPipeline:
         # and never crosses the link.
         import jax
 
-        fetched = jax.device_get(
-            [_pack_seed_fetch(s[5]) for s in seeded]
-        )
-        batches = [
-            self._classify_batch(*s[:5], s[5], _unpack_seed_fetch(pred, pk16))
-            for s, (pred, pk16) in zip(seeded, fetched)
-        ]
+        with stage("align.seed_fetch"):
+            fetched = jax.device_get(
+                [_pack_seed_fetch(s[5]) for s in seeded]
+            )
+        with stage("align.classify"):
+            batches = [
+                self._classify_batch(*s[:5], s[5], _unpack_seed_fetch(pred, pk16))
+                for s, (pred, pk16) in zip(seeded, fetched)
+            ]
         for st, (a, _b) in zip(batches, spans):
             st.read0 = a
         # one DP sweep over all batches' fallback candidates (a per-batch
         # sweep would pay the fixed-row DP kernel once per batch for a
         # handful of jobs each)
         all_jobs = [j for st in batches for j in st.dp_jobs]
-        self.aligner._tier3_run(all_jobs)
-        for st in batches:
-            out, n_aligned = select_final_alignments(
-                st.reads, st.selected, self.aligner.max_alns_per_read
-            )
-            self.aligner.aligned_reads += n_aligned
-            st.host_alns = out
-            st.selected = []
-            st.dp_jobs = []
+        with stage("align.tier3_dp"):
+            self.aligner._tier3_run(all_jobs)
+        with stage("align.select_final"):
+            for st in batches:
+                out, n_aligned = select_final_alignments(
+                    st.reads, st.selected, self.aligner.max_alns_per_read
+                )
+                self.aligner.aligned_reads += n_aligned
+                st.host_alns = out
+                st.selected = []
+                st.dp_jobs = []
         return self._call(batches)
 
     # ------------------------------------------------------------------
@@ -599,16 +613,17 @@ class AlignCallPipeline:
             for i in range(self.genome.num_sequences)
         }
         ivs: list[tuple[int, int]] = []
-        for a in host:
-            calls = a.indel_calls()
-            if not calls:
-                continue
-            base = int(offs[name_to_idx[a.sequence_name]])
-            read_len = len(a.read_chars) if a.read_chars else 256
-            for c0, c1, length in calls:
-                lo = base + c0 - INDEL_PAD - max(length, c1 - c0 + 1)
-                hi = base + c1 + INDEL_PAD + max(length, c1 - c0 + 1) + read_len
-                ivs.append((lo, hi))
+        with stage("call.indel_neighborhoods"):
+            for a in host:
+                calls = a.indel_calls()
+                if not calls:
+                    continue
+                base = int(offs[name_to_idx[a.sequence_name]])
+                read_len = len(a.read_chars) if a.read_chars else 256
+                for c0, c1, length in calls:
+                    lo = base + c0 - INDEL_PAD - max(length, c1 - c0 + 1)
+                    hi = base + c1 + INDEL_PAD + max(length, c1 - c0 + 1) + read_len
+                    ivs.append((lo, hi))
         if ivs:
             ivs.sort()
             merged = [list(ivs[0])]
@@ -623,26 +638,30 @@ class AlignCallPipeline:
             iv_lo = iv_hi = np.empty(0, np.int64)
 
         # demote fused reads overlapping an indel neighborhood
-        for bi, st in enumerate(batches):
-            rows = np.nonzero(st.fused)[0]
-            if not len(rows) or not len(iv_lo):
-                continue
-            first = st.pred[rows] + st.cs[rows]  # 0-based concat
-            last = st.pred[rows] + st.lengths[rows].astype(np.int64) - st.ce[rows]
-            k = np.searchsorted(iv_lo, last, side="right") - 1
-            k = np.clip(k, 0, len(iv_lo) - 1)
-            overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
-            demote = rows[overl]
-            b0 = st.read0
-            for row in demote:
-                st.fused[row] = False
-                host_tagged.append((b0 + int(row), self._materialize(st, int(row))))
-        host_tagged.sort(key=lambda t: t[0])
+        with stage("call.demote_materialize"):
+            for bi, st in enumerate(batches):
+                rows = np.nonzero(st.fused)[0]
+                if not len(rows) or not len(iv_lo):
+                    continue
+                first = st.pred[rows] + st.cs[rows]  # 0-based concat
+                last = st.pred[rows] + st.lengths[rows].astype(np.int64) - st.ce[rows]
+                k = np.searchsorted(iv_lo, last, side="right") - 1
+                k = np.clip(k, 0, len(iv_lo) - 1)
+                overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
+                demote = rows[overl]
+                b0 = st.read0
+                for row in demote:
+                    st.fused[row] = False
+                    host_tagged.append(
+                        (b0 + int(row), self._materialize(st, int(row)))
+                    )
+            host_tagged.sort(key=lambda t: t[0])
         host = [a for _, a in host_tagged]
 
         # joint per-start cap in arrival order (AlignmentsPileupGenerator
         # caps 5 alignments per start position; pileup.cap_alignments_per_start)
-        self._joint_cap(batches, host_tagged)
+        with stage("call.joint_cap"):
+            self._joint_cap(batches, host_tagged)
         host = [a for _, a in host_tagged]
 
         # per-sequence windows: realign host objects, accumulate both paths
@@ -817,7 +836,8 @@ class AlignCallPipeline:
         """Dispatch: scatter-free shear-histogram path (default) or the
         legacy span-scatter path (no fused reads, or >29 distinct base
         qualities — the 7-bit stage byte cannot bin those exactly)."""
-        fused = self._compact_hist(batches)
+        with stage("call.compact_fused"):
+            fused = self._compact_hist(batches)
         if fused is None:
             return self._genotype_span(batches, host)
         return self._genotype_hist(batches, host, fused)
@@ -993,12 +1013,15 @@ class AlignCallPipeline:
             alns = by_seq.get(name, [])
             alns.sort(key=lambda a: a.first)
             realigner = IndelRealigner(genome, si, det.known_strs.get(name))
-            sites = realigner.realign(alns) if alns else []
-            indel_records = (
-                det._call_indels(si, name, alns, sites) if sites else []
-            )
-            pos, allele, qual, strand, _ = expand_batch_calls(alns)
-            o = np.argsort(pos, kind="stable")
+            with stage("call.realign"):
+                sites = realigner.realign(alns) if alns else []
+            with stage("call.indel_genotype"):
+                indel_records = (
+                    det._call_indels(si, name, alns, sites) if sites else []
+                )
+            with stage("call.expand_host_calls"):
+                pos, allele, qual, strand, _ = expand_batch_calls(alns)
+                o = np.argsort(pos, kind="stable")
             seq_host[si] = (
                 indel_records,
                 pos[o],
@@ -1007,11 +1030,14 @@ class AlignCallPipeline:
                 strand[o].astype(np.int32),
             )
 
+        from ..utils.progress import check as _progress_check
+
         records: list[VCFRecord] = []
         seq_records_by_name: dict[str, list[VCFRecord]] = {}
         meta_list = []
         resolved = []
-        for c0, wds in chunks:
+        for ci, (c0, wds) in enumerate(chunks):
+            _progress_check(self.progress_notifier, ci)
             lo = np.searchsorted(r0_pred, c0 - Lp, side="left")
             hi = np.searchsorted(
                 r0_pred, c0 + chunk_cap, side="left"
@@ -1075,12 +1101,16 @@ class AlignCallPipeline:
                     het, minq,
                 )
                 call_kwargs = dict(window=window, nq=nq, lanes=Lp)
-                first = genotype_window_hist(*call_args, **call_kwargs)
+                with stage("call.window_dispatch"):
+                    first = genotype_window_hist(*call_args, **call_kwargs)
                 pending.append(((call_args, call_kwargs), first))
                 meta_list.append((name, w0, ref_win, indel_records))
-            resolved.extend(genotype_window_hist_resolve_batch(pending))
+            with stage("call.window_resolve"):
+                resolved.extend(genotype_window_hist_resolve_batch(pending))
 
         handled: dict[str, list] = {}
+        rec_stage = stage("call.build_records")
+        rec_stage.__enter__()
         for (name, w0, ref_win, indel_records), res in zip(meta_list, resolved):
             seq_records = seq_records_by_name.setdefault(name, [])
             k = int(res["n_sites"])
@@ -1120,6 +1150,7 @@ class AlignCallPipeline:
                 ] + indel_records
             out.sort(key=lambda r: r.variant.first)
             records.extend(out)
+        rec_stage.__exit__(None, None, None)
         return records
 
     # ------------------------------------------------------------------

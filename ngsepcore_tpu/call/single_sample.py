@@ -92,6 +92,9 @@ class SingleSampleVariantsDetector:
         self.find_svs = find_svs
         self.run_long_read_svs = run_long_read_svs
         self.min_sv_quality = min_sv_quality
+        # cooperative cancel hook (ref: SingleSampleVariantsDetector polls
+        # progressNotifier.keepRunning at :600,614,624,641)
+        self.progress_notifier = None
         self.known_strs: dict[str, list] = {}
         if known_strs_file:
             from ..genome.builders import load_regions_file
@@ -149,7 +152,7 @@ class SingleSampleVariantsDetector:
         if self.find_svs:
             from .read_pair_sv import ReadPairAnalyzer
 
-            for c in ReadPairAnalyzer().find_variants(alns):
+            for c in ReadPairAnalyzer(genome=self.genome).find_variants(alns):
                 c.sample_id = self.sample_id
                 svs.append(c)
                 records.append(
@@ -241,8 +244,11 @@ class SingleSampleVariantsDetector:
             if a.is_unmapped or a.alignment_quality < self.min_mq:
                 continue
             by_seq.setdefault(a.sequence_name, []).append(a)
+        from ..utils.progress import check as _progress_check
+
         records: list[VCFRecord] = []
         for si in range(self.genome.num_sequences):
+            _progress_check(self.progress_notifier, si)
             name = self.genome.sequence_name(si)
             alns = by_seq.get(name)
             if not alns:

@@ -15,10 +15,23 @@ from ..core.sequences import QualifiedSequence, QualifiedSequenceList, encode_dn
 
 
 def _open_text(path: str) -> TextIO:
+    """Open a text stream; `-` reads standard input (gzip detected from
+    the magic bytes, so `cat reads.fastq.gz | ... -i -` streams too —
+    ref: ReadsAligner.java:300-301, KmersExtractor.java:235 pipe support
+    via ConcatGZIPInputStream)."""
     if path == "-":
         import sys
 
-        return sys.stdin
+        buf = getattr(sys.stdin, "buffer", None)
+        if buf is None:
+            return sys.stdin  # already a text stream (tests)
+        try:
+            head = buf.peek(2)[:2] if hasattr(buf, "peek") else b""
+        except Exception:
+            head = b""
+        if head == b"\x1f\x8b":
+            return io.TextIOWrapper(gzip.open(buf, "rb"))
+        return io.TextIOWrapper(buf)
     if path.endswith(".gz"):
         return io.TextIOWrapper(gzip.open(path, "rb"))
     return open(path, "rt")
