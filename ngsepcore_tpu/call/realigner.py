@@ -99,10 +99,13 @@ class IndelRealigner:
         max_span = int((lasts - firsts).max() + 1) if len(alns) else 0
 
         def spanning(first: int, last: int) -> list[ReadAlignment]:
-            """Alignments overlapping [first,last] (pileup membership)."""
+            """Alignments overlapping [first,last] (pileup membership).
+            Only starts within one max read span can overlap, so the scan
+            is O(coverage), not O(all alignments left of the site)."""
+            lo = np.searchsorted(firsts_s, first - max_span, side="left")
             hi = np.searchsorted(firsts_s, last, side="right")
             out = []
-            for oi in order[:hi]:
+            for oi in order[lo:hi]:
                 a = alns[oi]
                 if a.last >= first:
                     out.append(a)

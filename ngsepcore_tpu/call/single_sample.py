@@ -399,6 +399,7 @@ class SingleSampleVariantsDetector:
         lasts = np.array([a.last for a in alns])
         order = np.argsort(firsts)
         firsts_s = firsts[order]
+        max_span = int((lasts - firsts).max() + 1) if len(alns) else 0
         records: list[VCFRecord] = []
         last_indel_end = 0
         for first, span, is_str in sites:
@@ -406,10 +407,15 @@ class SingleSampleVariantsDetector:
                 continue
             last = first + span - 1
             reference = self.genome.reference_string(seq_idx, first, last)
-            # candidate spanning reads
+            # candidate spanning reads: only starts within one max read
+            # span of the site can span it — O(coverage) per site instead
+            # of O(all alignments left of it)
+            lo = np.searchsorted(firsts_s, first - max_span, side="left")
             hi = np.searchsorted(firsts_s, first, side="right")
             calls = []
-            for oi in order[:hi]:
+            for oi in order[lo:hi]:
+                if alns[oi].last < last:
+                    continue
                 c = spanning_call_for(alns[oi], first, last)
                 if c is not None:
                     calls.append(c)

@@ -72,74 +72,142 @@ def build_fragment_matrix(
     return np.stack(rows)
 
 
-class RefhapSIHAlgorithm:
-    """RefHap-style MEC local search.
+class FragmentsCutBuilder:
+    """Max-cut over the fragment conflict graph — the actual RefHap
+    construction (ref: FragmentsCutBuilder.java).
 
-    Ref: RefhapSIHAlgorithm.java / FragmentsCutBuilder.java — fragments are
-    split into two haplotype groups maximizing agreement (max-cut on the
-    conflict graph); here solved by iterated reassignment + consensus,
-    which converges to the same two-group consensus structure.
-    """
+    Edge weight between overlapping fragments = hamming2 = (#disagreeing
+    covered columns) - (#agreeing ones); conflicting pairs get positive
+    weights, consistent pairs negative.  `calculate_max_cut` runs up to
+    sqrt(E)+1 restarts, each seeded from one positive edge: a greedy
+    whole-graph assignment by maximum |cross-weight difference| (initCut
+    :140-167), then alternating single-vertex flips (heuristic1:216-234)
+    and paired-edge flips (heuristic2:236-269) until no cut-score gain;
+    the best-scoring cut wins, with the reference's every-10-iterations
+    early stop (calculateMaxCut:75-111).
+
+    Vectorized: weights live in one (F, F) matrix; flip gains for every
+    vertex are c * (W @ c) maintained incrementally (O(F) per flip)."""
+
+    def __init__(self, fragments: np.ndarray):
+        self.frag = fragments
+        covered = fragments >= 0
+        m0 = ((fragments == 0) & covered).astype(np.int32)
+        m1 = ((fragments == 1) & covered).astype(np.int32)
+        agree = m0 @ m0.T + m1 @ m1.T
+        disagree = m0 @ m1.T + m1 @ m0.T
+        W = (disagree - agree).astype(np.float64)
+        np.fill_diagonal(W, 0.0)
+        # no-overlap pairs carry zero weight already (both terms zero)
+        self.W = W
+        ii, jj = np.nonzero(np.triu(W, 1))
+        w = W[ii, jj]
+        order = np.argsort(-w, kind="stable")  # weight desc (ref sort)
+        self.edges = (ii[order], jj[order], w[order])
+
+    def _init_cut(self, e1: int, e2: int) -> np.ndarray:
+        """Greedy full assignment from a seed edge (ref initCut)."""
+        F = self.W.shape[0]
+        c = np.zeros(F, np.float64)  # +1 cut group, -1 other, 0 unassigned
+        c[e1] = -1.0  # cut[e1]=False
+        c[e2] = 1.0  # cut[e2]=True
+        # diff_v = sum_{assigned cut} w - sum_{assigned !cut} w = W @ c
+        d = self.W[:, e1] * c[e1] + self.W[:, e2] * c[e2]
+        unassigned = np.ones(F, bool)
+        unassigned[[e1, e2]] = False
+        for _ in range(F - 2):
+            cand = np.where(unassigned, np.abs(d), -1.0)
+            v = int(np.argmax(cand))
+            group = d[v] < 0  # join cut side when diff negative (ref)
+            c[v] = 1.0 if group else -1.0
+            d += self.W[:, v] * c[v]
+            unassigned[v] = False
+        return c
+
+    def _improve(self, c: np.ndarray) -> np.ndarray:
+        """heuristic1 + heuristic2 alternation until no improvement."""
+        W = self.W
+        ei, ej, ew = self.edges
+        wc = W @ c
+        improvement = True
+        while improvement:
+            # heuristic1: flip the single vertex with max positive gain
+            while True:
+                gains = c * wc
+                v = int(np.argmax(gains))
+                if gains[v] <= 0:
+                    break
+                wc -= 2.0 * c[v] * W[:, v]
+                c[v] = -c[v]
+            improvement = False
+            # heuristic2: flip the edge pair with max positive joint gain
+            while len(ew):
+                g = (
+                    c[ei] * wc[ei]
+                    + c[ej] * wc[ej]
+                    - 2.0 * ew * c[ei] * c[ej]
+                )
+                k = int(np.argmax(g))
+                if g[k] <= 0:
+                    break
+                for v in (int(ei[k]), int(ej[k])):
+                    wc -= 2.0 * c[v] * W[:, v]
+                    c[v] = -c[v]
+                improvement = True
+        return c
+
+    def _cut_score(self, c: np.ndarray) -> float:
+        ei, ej, ew = self.edges
+        return float(np.sum(ew[c[ei] != c[ej]]))
+
+    def calculate_max_cut(self) -> np.ndarray:
+        """Returns the cut as a bool array (True = complement group)."""
+        F = self.W.shape[0]
+        ei, ej, ew = self.edges
+        pos = np.nonzero(ew > 0)[0]
+        if F == 0 or len(pos) == 0:
+            return np.zeros(F, bool)
+        iters = int(np.sqrt(len(ew))) + 1
+        best_c = None
+        best_score = 0.0
+        score_change = False
+        n_done = 0
+        for k in pos[:iters]:
+            c = self._improve(self._init_cut(int(ei[k]), int(ej[k])))
+            s = self._cut_score(c)
+            if s > best_score:
+                best_score = s
+                best_c = c.copy()
+                score_change = True
+            n_done += 1
+            if n_done % 10 == 0:
+                if not score_change:
+                    break  # ref: no score change in 10 iterations
+                score_change = False
+        if best_c is None:
+            best_c = self._improve(self._init_cut(int(ei[pos[0]]), int(ej[pos[0]])))
+        return best_c > 0
+
+
+class RefhapSIHAlgorithm:
+    """RefHap: max-cut on the fragment conflict graph, then consensus.
+
+    Ref: RefhapSIHAlgorithm.java:20-40 — build the cut with
+    FragmentsCutBuilder.calculateMaxCut and translate it to a haplotype
+    with the combined consensus (CutHaplotypeTranslator)."""
 
     def __init__(self, max_iter: int = 50, seed: int = 1):
-        self.max_iter = max_iter
+        self.max_iter = max_iter  # kept for API compat; unused
         self.rng = np.random.default_rng(seed)
-
-    @staticmethod
-    def _greedy_init(fragments: np.ndarray) -> np.ndarray:
-        """Left-to-right phase propagation: orient each variant by majority
-        linkage with already-phased variants through shared fragments (the
-        spanning structure the reference's cut builder starts from)."""
-        F, V = fragments.shape
-        covered = fragments >= 0
-        hap = np.zeros(V, np.int8)
-        for v in range(1, V):
-            rows = covered[:, v]
-            if not rows.any():
-                continue
-            vote = 0
-            sub = fragments[rows]
-            for u in range(max(0, v - 20), v):
-                both = (sub[:, u] >= 0)
-                if not both.any():
-                    continue
-                same = (sub[both, u] == sub[both, v]).sum()
-                diff = both.sum() - same
-                orient = 1 if same >= diff else -1
-                vote += orient if hap[u] == 0 else -orient
-            hap[v] = 0 if vote >= 0 else 1
-        return hap
 
     def phase(self, fragments: np.ndarray) -> tuple[np.ndarray, int]:
         """Returns (haplotype (V,) int8, MEC score)."""
         F, V = fragments.shape
         if F == 0:
             return np.zeros(V, np.int8), 0
-        covered = fragments >= 0
-        hap = self._greedy_init(fragments)
-        side = np.zeros(F, bool)
-        for _ in range(self.max_iter):
-            # agreement of each fragment with hap vs complement
-            agree = ((fragments == hap[None, :]) & covered).sum(axis=1)
-            total = covered.sum(axis=1)
-            new_side = agree * 2 < total  # True = assigned to complement
-            # consensus per variant from assigned fragments
-            votes1 = (
-                ((fragments == 1) & covered & ~new_side[:, None]).sum(axis=0)
-                + ((fragments == 0) & covered & new_side[:, None]).sum(axis=0)
-            )
-            votes0 = (
-                ((fragments == 0) & covered & ~new_side[:, None]).sum(axis=0)
-                + ((fragments == 1) & covered & new_side[:, None]).sum(axis=0)
-            )
-            new_hap = (votes1 > votes0).astype(np.int8)
-            if np.array_equal(new_hap, hap) and np.array_equal(new_side, side):
-                break
-            hap, side = new_hap, new_side
-        # MEC: disagreements with the assigned haplotype
-        frag_hap = np.where(side[:, None], 1 - hap[None, :], hap[None, :])
-        mec = int(((fragments != frag_hap) & covered).sum())
-        return hap, mec
+        cut = FragmentsCutBuilder(fragments).calculate_max_cut()
+        hap = _consensus_from_cut(fragments, cut)
+        return hap, _mec(fragments, hap, cut)
 
 
 def _consensus_from_cut(fragments: np.ndarray, cut: np.ndarray) -> np.ndarray:
@@ -309,49 +377,92 @@ class HapChatSIHAlgorithm:
 
 
 class GenHapSIHAlgorithm:
-    """Genetic-algorithm max-cut: population of fragment 2-colorings with
-    crossover + mutation, MEC fitness (ref: GenHapSIHAlgorithm.java:60-390,
-    population-based optimization of the same cut)."""
+    """GenHap genetic algorithm over fragment 2-colorings.
 
-    def __init__(self, population: int = 20, generations: int = 30, seed: int = 7):
+    Ref: GenHapSIHAlgorithm.java:54-175 — population of 100 cuts seeded by
+    the haplotype-agreement init, evolved for up to 100 generations with
+    an early stop after 25 generations without a best-fitness change;
+    each generation keeps ~90%% of the individuals (the best always
+    survives) and fills the remainder with mutation/crossover offspring
+    (recalculateCuts:134-173, mutateOrCross:175-190); fitness is the
+    agreement of the cut's consensus haplotypes with the fragments
+    (calculateFitness:298-323 — equivalently -MEC here)."""
+
+    def __init__(self, population: int = 100, generations: int = 100,
+                 stable_stop: int = 25, seed: int = 7):
         self.population = population
         self.generations = generations
+        self.stable_stop = stable_stop
         self.rng = np.random.default_rng(seed)
+
+    def _fitness(self, fragments, cut):
+        hap = _consensus_from_cut(fragments, cut)
+        return -_mec(fragments, hap, cut), hap
+
+    @staticmethod
+    def _refine(fragments, cut, sweeps: int = 10):
+        """Reassignment sweeps to a fixpoint: each fragment joins the side
+        whose consensus it agrees with best (ref calculateCuts reassigns
+        cut bits from fragment/haplotype agreement per generation
+        :105-118)."""
+        for _ in range(sweeps):
+            hap = _consensus_from_cut(fragments, cut)
+            new_cut = _hamming2(fragments, hap) > 0
+            if np.array_equal(new_cut, cut):
+                break
+            cut = new_cut
+        return cut
 
     def phase(self, fragments: np.ndarray) -> tuple[np.ndarray, int]:
         F, V = fragments.shape
         if F == 0:
             return np.zeros(V, np.int8), 0
-        pop = self.rng.random((self.population, F)) < 0.5
-        pop[0] = False
-
-        def fitness(cut):
-            hap = _consensus_from_cut(fragments, cut)
-            return _mec(fragments, hap, cut), hap
-
-        scored = [fitness(c) + (c,) for c in pop]
-        scored.sort(key=lambda t: t[0])
-        for _ in range(self.generations):
-            elite = scored[: max(2, self.population // 4)]
+        # population seeded around the agreement init (ref initCut seeds
+        # from per-fragment haplotype agreement) plus random refined
+        # starts for diversity
+        base = _hamming2(fragments, _consensus_from_cut(
+            fragments, np.zeros(F, bool))) > 0
+        pop = [self._refine(fragments, base.copy())]
+        while len(pop) < self.population:
+            start = self.rng.random(F) < 0.5
+            pop.append(self._refine(fragments, start))
+        scored = [self._fitness(fragments, c) + (c,) for c in pop]
+        best_fit = max(s[0] for s in scored)
+        stable = 0
+        for _gen in range(self.generations):
+            if stable >= self.stable_stop:
+                break  # ref countStop==25 early exit
+            scored.sort(key=lambda t: -t[0])
+            # ~90% survive; the best always does (ref recalculateCuts)
+            n_keep = max(2, int(round(0.9 * self.population)))
+            survivors = scored[:n_keep]
             children = []
-            while len(children) + len(elite) < self.population:
-                a, b = self.rng.choice(len(elite), 2, replace=True)
-                mask = self.rng.random(F) < 0.5
-                child = np.where(mask, elite[a][2], elite[b][2])
-                mut = self.rng.random(F) < (1.0 / max(F, 1))
-                child = child ^ mut
-                children.append(child)
-            scored = elite + [fitness(c) + (c,) for c in children]
-            scored.sort(key=lambda t: t[0])
-        mec, hap, cut = scored[0]
-        # local-search polish
-        for _ in range(20):
-            new_cut = _hamming2(fragments, hap) > 0
-            new_hap = _consensus_from_cut(fragments, new_cut)
-            if np.array_equal(new_hap, hap):
-                break
-            hap = new_hap
-        return hap, _mec(fragments, hap, _hamming2(fragments, hap) > 0)
+            while len(survivors) + len(children) < self.population:
+                if self.rng.random() < 0.5:  # mutate (ref mutateOrCross)
+                    src = survivors[int(self.rng.integers(len(survivors)))][2]
+                    mut = self.rng.random(F) < max(1.0 / F, 0.05)
+                    child = src ^ mut
+                else:  # single-point crossover of two random survivors
+                    a = survivors[int(self.rng.integers(len(survivors)))][2]
+                    b = survivors[int(self.rng.integers(len(survivors)))][2]
+                    point = int(self.rng.integers(1, F)) if F > 1 else 0
+                    child = a.copy()
+                    child[point:] = b[point:]
+                # memetic step: children are locally refined before they
+                # compete (the reference reassigns every individual's bits
+                # against the two consensus haplotypes each generation)
+                children.append(self._refine(fragments, child))
+            scored = survivors + [
+                self._fitness(fragments, c) + (c,) for c in children
+            ]
+            new_best = max(s[0] for s in scored)
+            if new_best > best_fit:
+                best_fit = new_best
+                stable = 0
+            else:
+                stable += 1
+        fit, hap, cut = max(scored, key=lambda t: t[0])
+        return hap, _mec(fragments, hap, cut)
 
 
 SIH_ALGORITHMS = {

@@ -143,3 +143,78 @@ def test_all_sih_algorithms_phase_correctly():
         match = max((hap == truth).mean(), (hap == 1 - truth).mean())
         assert match >= 0.9, f"{name}: phase accuracy {match}"
         assert mec < 0.1 * (frags >= 0).sum(), f"{name}: mec {mec}"
+
+
+# ---- max-cut construction + MEC comparison (VERDICT r1 #9) ----------------
+
+def _simulated_fragments(V=40, F=120, cov_len=8, err=0.03, seed=5):
+    """Planted two-haplotype fragment matrix + truth."""
+    rng = np.random.default_rng(seed)
+    truth = rng.integers(0, 2, V).astype(np.int8)
+    frags = np.full((F, V), -1, np.int8)
+    for i in range(F):
+        start = int(rng.integers(0, V - cov_len))
+        side = int(rng.integers(0, 2))
+        row = truth[start : start + cov_len] if side == 0 else 1 - truth[
+            start : start + cov_len
+        ]
+        noise = rng.random(cov_len) < err
+        frags[i, start : start + cov_len] = np.where(noise, 1 - row, row)
+    n_err = 0  # count planted errors for the MEC lower-bound check
+    return frags, truth
+
+
+def test_fragments_cut_builder_weights_and_cut():
+    from ngsepcore_tpu.haplotyping.sih import FragmentsCutBuilder
+
+    # two conflicting fragment families over 4 variants
+    frags = np.array(
+        [
+            [0, 0, 0, 0],
+            [0, 0, 0, -1],
+            [1, 1, 1, 1],
+            [-1, 1, 1, 1],
+        ],
+        np.int8,
+    )
+    b = FragmentsCutBuilder(frags)
+    # hamming2: fragments 0,1 agree on 3 columns -> weight -3
+    assert b.W[0, 1] == -3
+    # fragments 0,2 disagree on all 4 -> +4
+    assert b.W[0, 2] == 4
+    cut = b.calculate_max_cut()
+    # the cut separates the two families
+    assert cut[0] == cut[1]
+    assert cut[2] == cut[3]
+    assert cut[0] != cut[2]
+
+
+def test_mec_comparison_across_algorithms():
+    """RefHap's real max-cut must reach planted-noise-level MEC; all
+    algorithms phase the same matrix and report comparable MEC (ref test
+    strategy: benchmark/ accuracy comparison tooling)."""
+    from ngsepcore_tpu.haplotyping.sih import SIH_ALGORITHMS
+
+    frags, truth = _simulated_fragments()
+    covered = frags >= 0
+    # MEC of the TRUTH haplotype = planted noise errors
+    truth_mec = 0
+    for i in range(len(frags)):
+        row = frags[i]
+        cov = covered[i]
+        d_same = int(((row != truth) & cov).sum())
+        d_flip = int(((row != (1 - truth)) & cov).sum())
+        truth_mec += min(d_same, d_flip)
+    mecs = {}
+    for name, cls in SIH_ALGORITHMS.items():
+        hap, mec = cls().phase(frags.copy())
+        assert hap.shape == truth.shape
+        mecs[name] = mec
+    # RefHap (real max-cut) matches the planted noise closely
+    assert mecs["Refhap"] <= truth_mec * 1.3 + 2, (mecs, truth_mec)
+    # GenHap's GA lands in the same regime
+    assert mecs["GenHap"] <= truth_mec * 2 + 4, (mecs, truth_mec)
+    # every algorithm produces a finite, sane MEC
+    total_calls = int(covered.sum())
+    for name, mec in mecs.items():
+        assert 0 <= mec <= total_calls // 2, (name, mec)
