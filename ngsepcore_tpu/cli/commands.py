@@ -1538,6 +1538,32 @@ register(
 )
 
 
+def _run_uneak_to_vcf(opts: dict, args: list[str]) -> None:
+    from ..gbs.uneak import convert_uneak
+
+    if len(args) < 3:
+        raise SystemExit(
+            "Usage: UneakToVCFConverter <hapmap.txt> <consensus.fa> <out_prefix>"
+        )
+    n_sites, n_samples = convert_uneak(args[0], args[1], args[2])
+    print(
+        f"Converted {n_sites} UNEAK sites x {n_samples} samples",
+        file=sys.stderr,
+    )
+
+
+register(
+    Command(
+        id="UneakToVCFConverter",
+        group="VariantsDownstream",
+        description="Converts UNEAK HapMap+consensus output to VCF",
+        runner=_run_uneak_to_vcf,
+        hidden=True,  # main-class-only tool in the reference (no XML entry)
+        options=[],
+    )
+)
+
+
 def _run_tilling_simulator(opts: dict, args: list[str]) -> None:
     from ..core.genome import ReferenceGenome
     from ..simulation.tilling import TillingPopulationSimulator
