@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..core.degenerate import compile_degenerate
 from ..core.sequences import RawRead
 from ..io.fastq import FastqFileReader, write_fastq
 
@@ -56,6 +57,11 @@ class ReadsDemultiplex:
         self.trim_barcode = trim_barcode
         self.min_read_length = min_read_length
         self.adapter = adapter
+        # trim sequences may carry IUPAC degenerate bases (ref
+        # ReadsDemultiplex.java:174 compiles them to regexes)
+        self._adapter_pattern = (
+            compile_degenerate(adapter) if adapter else None
+        )
         self.stats = DemuxStats()
 
     def demultiplex_file(self, fastq_path: str, out_prefix: str, gzip_out: bool = True):
@@ -72,11 +78,11 @@ class ReadsDemultiplex:
             if self.trim_barcode:
                 seq = seq[len(barcode) :]
                 qual = qual[len(barcode) :] if qual else None
-            if self.adapter:
-                idx = seq.find(self.adapter)
-                if idx >= 0:
-                    seq = seq[:idx]
-                    qual = qual[:idx] if qual else None
+            if self._adapter_pattern is not None:
+                m = self._adapter_pattern.search(seq)
+                if m is not None:
+                    seq = seq[: m.start()]
+                    qual = qual[: m.start()] if qual else None
             if len(seq) < self.min_read_length:
                 continue
             self.stats.assigned += 1

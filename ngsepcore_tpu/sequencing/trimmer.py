@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.degenerate import compile_degenerate
 from ..core.sequences import RawRead, qualities_to_phred
 from ..io.fastq import FastqFileReader, write_fastq
 
@@ -23,6 +24,10 @@ class RawReadsTrimmer:
         self.min_quality = min_quality
         self.min_read_length = min_read_length
         self.adapters = adapters or []
+        # adapters may carry IUPAC degenerate bases; the reference trims at
+        # the first regex hit (RawReadsTrimmer.java:55, DegenerateSequence
+        # makeRegularExpression)
+        self._adapter_patterns = [compile_degenerate(a) for a in self.adapters]
         self.trimmed_reads = 0
         self.dropped_reads = 0
 
@@ -31,10 +36,10 @@ class RawReadsTrimmer:
         qual = read.qualities
         # adapter clip (first occurrence of any adapter)
         cut = len(seq)
-        for a in self.adapters:
-            idx = seq.find(a)
-            if 0 <= idx < cut:
-                cut = idx
+        for pat in self._adapter_patterns:
+            m = pat.search(seq, 0, cut + len(pat.pattern))
+            if m is not None and m.start() < cut:
+                cut = m.start()
         if qual:
             q = qualities_to_phred(qual[:cut]).astype(np.int32)
             delta = q - self.min_quality
