@@ -30,7 +30,12 @@ from ..core.sequences import (
     reverse_complement_codes,
 )
 from ..index.minimizer_table import MinimizerTable
-from ..kernels.pairwise import affine_gap_align_batch, ops_to_cigar_and_strings
+from ..kernels.pairwise import (
+    OP_DEL,
+    OP_INS,
+    OP_MATCH,
+    affine_gap_align_batch,
+)
 from .read_alignment import FLAG_READ_REVERSE, ReadAlignment
 
 DEF_KMER_LENGTH = 25  # ref: ReadsAligner.java:62
@@ -426,13 +431,24 @@ class ReadsAligner:
     def _tier3_run(self, jobs: list) -> None:
         """Run prebuilt DP jobs in fixed-size row chunks with lane-aligned
         lengths so the DP kernel compiles once per read-length bucket
-        instead of once per batch-dependent shape."""
+        instead of once per batch-dependent shape.
+
+        All chunks are DISPATCHED before any result is touched (device
+        kernels overlap host packing of later chunks), then fetched with a
+        single device_get — repeat-dense inputs produce hundreds of chunks,
+        and one blocking link round trip per chunk dominated tier-3 time."""
         if not jobs:
             return
+        import jax
+
         concat = self.genome.concat
         self.complete_alns += len(jobs)
+        pend = []
         for c0 in range(0, len(jobs), self.DP_ROWS):
-            self._tier3_chunk(jobs[c0 : c0 + self.DP_ROWS], concat)
+            pend.append(self._tier3_dispatch(jobs[c0 : c0 + self.DP_ROWS], concat))
+        fetched = jax.device_get([p[2] for p in pend])
+        for (chunk, qc, _), out in zip(pend, fetched):
+            self._tier3_decode(chunk, qc, out, concat)
 
     def _tier3(
         self,
@@ -446,7 +462,9 @@ class ReadsAligner:
             return
         self._tier3_run(self._tier3_jobs(dp_cands, fwd_mat, rev_mat, lengths))
 
-    def _tier3_chunk(self, jobs: list, concat: np.ndarray) -> None:
+    def _tier3_dispatch(self, jobs: list, concat: np.ndarray):
+        """Pack one chunk and launch the DP kernel asynchronously.
+        Returns (jobs, query matrix, device output handles)."""
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
         pad_rows = [np.empty(0, np.int8)] * (self.DP_ROWS - len(jobs))
@@ -459,22 +477,75 @@ class ReadsAligner:
         out = affine_gap_align_batch(
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )
-        ops = np.asarray(out["ops"])
-        n_ops = np.asarray(out["n_ops"])
-        start_j = np.asarray(out["start_j"])
-        for i, (c, qcodes, first, last) in enumerate(jobs):
-            qlen = len(qcodes)
-            window = concat[first:last]
-            cigar, mism = ops_to_cigar_and_strings(
-                ops[i], int(n_ops[i]), qcodes, window, int(start_j[i])
-            )
-            if mism > 0.1 * qlen:
-                continue
-            # normalize indel placement so all reads report the same event
-            # position (ref: IndelRealignerPileupListener.moveIndelStarts)
-            from .read_alignment import left_align_indels
+        return jobs, qc, (out["ops"], out["n_ops"], out["start_j"])
 
-            cigar = left_align_indels(cigar, qcodes, window, int(start_j[i]))
+    def _tier3_decode(
+        self, jobs: list, qc: np.ndarray, out, concat: np.ndarray
+    ) -> None:
+        """Vectorized decode of one fetched chunk.
+
+        Mismatch counting (ops_to_cigar_and_strings semantics: +1 per
+        mismatched pair, +2 per gap run entered after a match, -2 when the
+        alignment ends in a gap — ShortReadsUngappedSearchHitsClusterAligner
+        .java:140-156) runs as numpy array passes over the whole chunk;
+        per-job Python survives only for accepted rows, and the dominant
+        gapless rows take a constant-time single-run CIGAR path."""
+        from .read_alignment import left_align_indels
+
+        ops_all, n_ops_all, start_j_all = out
+        n = len(jobs)
+        ops = np.asarray(ops_all)[:n]
+        n_ops = np.asarray(n_ops_all)[:n].astype(np.int64)
+        start_j = np.asarray(start_j_all)[:n].astype(np.int64)
+        S = ops.shape[1]
+        col = np.arange(S, dtype=np.int64)[None, :]
+        valid = col < n_ops[:, None]
+        m = (ops == OP_MATCH) & valid
+        ins = (ops == OP_INS) & valid
+        dele = (ops == OP_DEL) & valid
+        g = ins | dele
+        # exclusive cumsums = query/subject cursor BEFORE each op
+        qcons = m | ins
+        scons = m | dele
+        qi = np.cumsum(qcons, axis=1) - qcons
+        sj = np.cumsum(scons, axis=1) - scons
+        firsts = np.fromiter((j[2] for j in jobs), np.int64, n)
+        s_abs = np.clip(firsts[:, None] + start_j[:, None] + sj, 0, len(concat) - 1)
+        s_codes = concat[s_abs]
+        q_codes = np.take_along_axis(
+            qc[:n], np.minimum(qi, qc.shape[1] - 1), axis=1
+        )
+        sub_mm = (m & (q_codes != s_codes)).sum(axis=1)
+        z = np.zeros((n, 1), bool)
+        run_start = g & ~np.concatenate([z, g[:, :-1]], axis=1)
+        after_m = np.concatenate([z, m[:, :-1]], axis=1)
+        k_runs = (run_start & after_m).sum(axis=1)
+        last_op = ops[np.arange(n), np.maximum(n_ops - 1, 0)]
+        ends_gap = (n_ops > 0) & ((last_op == OP_INS) | (last_op == OP_DEL))
+        mism_all = sub_mm + 2 * k_runs - 2 * ends_gap
+        has_gap = g.any(axis=1)
+        qlen_all = np.fromiter((len(j[1]) for j in jobs), np.int64, n)
+        ok = np.nonzero(mism_all <= 0.1 * qlen_all)[0]
+
+        for i in ok:
+            c, qcodes, first, last = jobs[i]
+            mism = int(mism_all[i])
+            if has_gap[i]:
+                o = ops[i, : n_ops[i]]
+                b = np.flatnonzero(o[1:] != o[:-1]) + 1
+                bounds = np.concatenate([[0], b, [len(o)]])
+                cigar = [
+                    (int(bounds[t + 1] - bounds[t]), "MID"[int(o[bounds[t]]) - 1])
+                    for t in range(len(bounds) - 1)
+                ]
+                # normalize indel placement so all reads report the same
+                # event position (ref: IndelRealignerPileupListener
+                # .moveIndelStarts)
+                cigar = left_align_indels(
+                    cigar, qcodes, concat[first:last], int(start_j[i])
+                )
+            else:
+                cigar = [(int(n_ops[i]), "M")]
             aln_first_concat = first + int(start_j[i])
             seq_idx, pos1 = self.genome.split_concat_pos(aln_first_concat)
             aln = ReadAlignment(

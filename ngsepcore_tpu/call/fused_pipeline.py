@@ -230,7 +230,65 @@ class AlignCallPipeline:
                 st.host_alns = out
                 st.selected = []
                 st.dp_jobs = []
+        with stage("align.late_fuse"):
+            for st in batches:
+                self._late_fuse(st)
         return self._call(batches)
+
+    # ------------------------------------------------------------------
+    def _late_fuse(self, st: _BatchState) -> None:
+        """Promote gapless host-path survivors onto the device path.
+
+        A host read whose final list is a single primary alignment with an
+        S/M-only CIGAR carries exactly the evidence the fused path encodes
+        as (pred, cs, ce, strand): full-row base calls over [cs, len-ce).
+        Promoting it skips the per-alignment expand/realign host work; the
+        indel-neighborhood demotion in _call still pulls it back (via
+        _materialize, which rebuilds the identical S/M/S alignment) when
+        realignment could touch it.  DP-resolved repeat reads — the bulk of
+        the host path on repeat-dense genomes — are gapless and land here."""
+        offs = self.genome.offsets
+        name_to_idx = {
+            self.genome.sequence_name(i): i
+            for i in range(self.genome.num_sequences)
+        }
+        min_mq = self.detector.min_mq
+        for row, per_read in enumerate(st.host_alns):
+            if len(per_read) != 1:
+                continue
+            a = per_read[0]
+            if a.is_unmapped or a.alignment_quality < min_mq:
+                continue
+            cig = a.cigar
+            if not cig or any(op not in ("S", "M") for _, op in cig):
+                continue
+            if sum(1 for _, op in cig if op == "M") != 1:
+                continue
+            if a.bases_to_ignore_start or a.bases_to_ignore_end:
+                continue
+            tcs = cig[0][0] if cig[0][1] == "S" else 0
+            tce = cig[-1][0] if len(cig) > 1 and cig[-1][1] == "S" else 0
+            m_len = sum(l for l, op in cig if op == "M")
+            ql = int(st.lengths[row])
+            if tcs + m_len + tce != ql:
+                continue  # defensive: CIGAR must span the packed row
+            base = int(offs[name_to_idx[a.sequence_name]])
+            pred = base + a.first - 1 - tcs
+            if len(self._str_iv_lo):
+                first, last = pred, pred + ql
+                k = int(
+                    np.searchsorted(self._str_iv_lo, last, side="right") - 1
+                )
+                k = min(max(k, 0), len(self._str_iv_lo) - 1)
+                if self._str_iv_lo[k] <= last and self._str_iv_hi[k] >= first:
+                    continue  # STR conciliation needs the host object
+            st.fused[row] = True
+            st.pred[row] = pred
+            st.cs[row] = tcs
+            st.ce[row] = tce
+            st.mm[row] = a.num_mismatches
+            st.strand[row] = 1 if a.is_negative_strand else 0
+            st.host_alns[row] = []
 
     # ------------------------------------------------------------------
     def _build_str_intervals(self):
@@ -428,6 +486,46 @@ class AlignCallPipeline:
             & t1[:, 0]
             & (100 - mm[:, 0] * 5 >= max(1, self.detector.min_mq))
         )
+        # ---- multi-candidate tier-1 resolution --------------------------
+        # Rows whose EVERY kept candidate passed the tier-1 screen resolve
+        # without host objects: select_final_alignments ranks candidates by
+        # q = 100-5*mm and keeps the prefix with q > int(0.8*best).  Under
+        # the _fusable gate (max_alns_per_read==1, min_mq>15), >=2
+        # survivors always produce MAPQ 0.3q/n <= 15 which find_variants
+        # drops, so only a UNIQUE survivor above min_mq contributes — the
+        # same evidence as a unique tier-1 read at the winner's placement.
+        # Repeat-dense genomes put most multi-mapping reads through here.
+        sel_col = np.zeros(B, np.int64)
+        resolved_drop = np.zeros(B, bool)
+        multi = (n_kept >= 2) & (t1 | ~keep).all(axis=1)
+        if multi.any():
+            q = np.where(keep, 100 - 5 * mm, -(10 ** 9))
+            best = q.max(axis=1)
+            thr = np.trunc(0.8 * best)
+            n_final = (q > thr[:, None]).sum(axis=1)
+            win = np.argmax(q, axis=1)  # first max = classic stable order
+            if len(self._str_iv_lo):
+                # candidates near known STRs must take the host tier-2 path
+                mr, mc = np.nonzero(multi[:, None] & keep)
+                first = pred[mr, mc]
+                last = first + qlen[mr, 0]
+                k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
+                k = np.clip(k, 0, len(self._str_iv_lo) - 1)
+                overl = (self._str_iv_lo[k] <= last) & (
+                    self._str_iv_hi[k] >= first
+                )
+                multi[mr[overl]] = False
+            one = multi & (n_final == 1) & (
+                best >= max(1, self.detector.min_mq)
+            )
+            resolved_drop = multi & ~one
+            sel_col[one] = win[one]
+            fused = fused | one
+            # classic counts a read aligned when its final list is
+            # non-empty, even if the caller then drops it on MAPQ
+            al.aligned_reads += int(
+                (resolved_drop & ((n_final >= 2) | (best > 0))).sum()
+            )
         # known-STR neighborhoods demote to the host path: tier-2 split
         # alignment and realigner STR conciliation need host objects
         if len(self._str_iv_lo):
@@ -435,8 +533,8 @@ class AlignCallPipeline:
             if len(rows):
                 # UNCLIPPED span: tier-2 triggers on the predicted span
                 # before clipping, so demotion must cover at least that
-                first = pred[rows, 0]
-                last = pred[rows, 0] + qlen[rows, 0]
+                first = pred[rows, sel_col[rows]]
+                last = first + qlen[rows, 0]
                 k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
                 k = np.clip(k, 0, len(self._str_iv_lo) - 1)
                 overl = (self._str_iv_lo[k] <= last) & (
@@ -446,7 +544,7 @@ class AlignCallPipeline:
         al.few_mismatches_alns += int(fused.sum())
 
         # ---- host path for everything else -----------------------------
-        host_rows = np.nonzero(keep.any(axis=1) & ~fused)[0]
+        host_rows = np.nonzero(keep.any(axis=1) & ~fused & ~resolved_drop)[0]
         selected: list[_Candidate] = []
         dp_jobs: list = []
         t2_hits: dict = {None: set()}
@@ -520,14 +618,15 @@ class AlignCallPipeline:
             selected.extend(dp_cands)
         al.aligned_reads += int(fused.sum())
 
-        f32 = lambda a: a[:, 0].astype(np.int32)
+        rows_all = np.arange(B)
+        f32 = lambda a: a[rows_all, sel_col].astype(np.int32)
         return _BatchState(
             reads=reads,
             fwd_mat=fwd_mat,
             pq_dev=pq_dev,
             res_dev=res_dev,
             lengths=lengths32,
-            pred=np.where(fused, pred[:, 0], -1).astype(np.int64),
+            pred=np.where(fused, pred[rows_all, sel_col], -1).astype(np.int64),
             cs=f32(cs),
             ce=f32(ce),
             mm=f32(mm),
@@ -752,12 +851,23 @@ class AlignCallPipeline:
     def _compact_fused(self, batches: list[_BatchState]):
         """Scatter every batch's fused rows into run-wide device arrays
         sorted by predicted start, so each window's reads are one contiguous
-        span.  The packed read matrices and seeding-result columns are
-        already device-resident, so only row indices cross the host link."""
+        span.  The packed read matrices are already device-resident, so read
+        BASES never re-cross the host link; the 5-int32 meta columns come
+        from the host-side per-read arrays (which carry the FINAL accepted
+        placements — multi-candidate winners and late-fused DP reads
+        included — unlike the device seeding columns)."""
         import jax
         import jax.numpy as jnp
 
-        from ..kernels.genotyping import META_COLS, place_fused_rows
+        from ..kernels.genotyping import (
+            META_CE,
+            META_COLS,
+            META_CS,
+            META_LEN,
+            META_PRED,
+            META_STRAND,
+            place_fused_rows,
+        )
 
         rows_per = [np.nonzero(st.fused)[0] for st in batches]
         F = sum(len(r) for r in rows_per)
@@ -783,25 +893,27 @@ class AlignCallPipeline:
         # always (padded rows carry zero meta and are masked by span counts)
         pad = self._span_bucket(F)
         pq = jnp.zeros((F + pad, Lp), jnp.uint8)
-        meta = jnp.zeros((F + pad, META_COLS), jnp.int32)
+        meta_h = np.zeros((F + pad, META_COLS), np.int32)
         r0 = 0
         for st, rows in zip(batches, rows_per):
             if not len(rows):
                 continue
             nb = len(rows)
+            dst_rows = inv[r0 : r0 + nb]
+            meta_h[dst_rows, META_PRED] = st.pred[rows]
+            meta_h[dst_rows, META_CS] = st.cs[rows]
+            meta_h[dst_rows, META_CE] = st.ce[rows]
+            meta_h[dst_rows, META_STRAND] = np.clip(st.strand[rows], 0, 1)
+            meta_h[dst_rows, META_LEN] = st.lengths[rows]
             bucket = _row_bucket(nb, minimum=128)
             src = np.zeros(bucket, np.int32)
             src[:nb] = rows
             # sentinel lanes overwrite a pad row; span counts mask it
             dst = np.full(bucket, F + pad - 1, np.int32)
-            dst[:nb] = inv[r0 : r0 + nb]
-            rd = st.res_dev
-            pq, meta = place_fused_rows(
-                pq, meta, st.pq_dev,
-                rd["pred_start"], rd["clip_start"], rd["clip_end"],
-                rd["strand"], st.lengths, src, dst,
-            )
+            dst[:nb] = dst_rows
+            pq = place_fused_rows(pq, st.pq_dev, src, dst)
             r0 += nb
+        meta = self._device_put_repl(meta_h)
         return {
             "pq": pq,
             "meta": meta,

@@ -112,6 +112,99 @@ def expand_alignment_calls(
 _SIMPLE_OPS = frozenset("SM=X")
 
 
+def _expand_complex_calls(
+    alns: list[ReadAlignment],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
+    """Batched expansion for gapped alignments.
+
+    One Python pass per CIGAR run collects (alignment, ref start, read
+    start, length) integer lists plus IndelEvents; the per-base expansion
+    of every M run across the whole batch is then one repeat/arange pass —
+    the per-alignment numpy allocations of expand_alignment_calls were the
+    dominant host cost per gapped read (tandem-array reads make those
+    common on real genomes)."""
+    A = len(alns)
+    m_aid: list[int] = []
+    m_ref: list[int] = []
+    m_read: list[int] = []
+    m_len: list[int] = []
+    indels: list[IndelEvent] = []
+    lens = np.empty(A, np.int64)
+    ig5 = np.empty(A, np.int64)
+    ig3 = np.empty(A, np.int64)
+    strand_a = np.empty(A, np.int8)
+    codes_parts = []
+    qual_parts = []
+    for i, a in enumerate(alns):
+        codes = a.read_codes
+        n = len(codes)
+        lens[i] = n
+        ig5[i] = a.bases_to_ignore_start
+        ig3[i] = a.bases_to_ignore_end
+        strand_a[i] = 1 if a.is_negative_strand else 0
+        codes_parts.append(codes)
+        qual_parts.append(a.qualities if a.qualities else "+" * n)
+        ref = a.first
+        ridx = 0
+        for l, op in a.cigar:
+            if op == "M" or op == "=" or op == "X":
+                m_aid.append(i)
+                m_ref.append(ref)
+                m_read.append(ridx)
+                m_len.append(l)
+                ref += l
+                ridx += l
+            elif op == "I":
+                indels.append(
+                    IndelEvent(
+                        ref_pos=ref - 1,
+                        length=0,
+                        inserted=a.read_chars[ridx : ridx + l],
+                        read_name=a.read_name,
+                    )
+                )
+                ridx += l
+            elif op == "D" or op == "N":
+                indels.append(
+                    IndelEvent(
+                        ref_pos=ref - 1, length=l, inserted="",
+                        read_name=a.read_name,
+                    )
+                )
+                ref += l
+            elif op == "S":
+                ridx += l
+    codes_flat = (
+        np.concatenate(codes_parts) if codes_parts else np.empty(0, np.int8)
+    )
+    qflat = (
+        np.frombuffer("".join(qual_parts).encode("ascii"), np.uint8).astype(
+            np.int16
+        )
+        - 33
+    ).astype(np.int8)
+    offsets = np.zeros(A, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    rlen = np.asarray(m_len, np.int64)
+    R = len(rlen)
+    if R == 0:
+        z = np.empty(0, np.int64)
+        return z, z.astype(np.int8), z.astype(np.int8), z.astype(np.int8), indels
+    rid = np.repeat(np.arange(R), rlen)
+    cum_excl = np.zeros(R, np.int64)
+    np.cumsum(rlen[:-1], out=cum_excl[1:])
+    off = np.arange(int(rlen.sum()), dtype=np.int64) - cum_excl[rid]
+    aid = np.asarray(m_aid, np.int64)[rid]
+    pos = np.asarray(m_ref, np.int64)[rid] + off
+    ri = np.asarray(m_read, np.int64)[rid] + off
+    # read-end bases flagged by the indel realigner contribute no calls
+    # (ref: ReadAlignment.getAlleleCall honors basesToIgnore5P/3P)
+    keep = (ri >= ig5[aid]) & (ri < lens[aid] - ig3[aid])
+    pos, ri, aid = pos[keep], ri[keep], aid[keep]
+    src = offsets[aid] + ri
+    return pos, codes_flat[src], qflat[src], strand_a[aid], indels
+
+
 def _expand_simple_calls(
     alns: list[ReadAlignment],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -190,13 +283,12 @@ def expand_batch_calls(
         q_l.append(sq)
         s_l.append(ss)
     indels: list[IndelEvent] = []
-    for a in complex_:
-        rp, codes, quals, ind = expand_alignment_calls(a)
-        pos_l.append(rp)
-        al_l.append(codes)
-        q_l.append(quals)
-        s_l.append(np.full(len(rp), 1 if a.is_negative_strand else 0, dtype=np.int8))
-        indels.extend(ind)
+    if complex_:
+        cp, ca, cq, cs, indels = _expand_complex_calls(complex_)
+        pos_l.append(cp)
+        al_l.append(ca)
+        q_l.append(cq)
+        s_l.append(cs)
     if not pos_l:
         return (
             np.empty(0, np.int64),

@@ -1024,23 +1024,19 @@ def genotype_window_hist_resolve_batch(pending: list) -> list:
     return final
 
 
-@partial(jax.jit, donate_argnames=("pq_out", "meta_out"))
+@partial(jax.jit, donate_argnames=("pq_out",))
 def place_fused_rows(
     pq_out: jnp.ndarray,  # (F_pad, Lp) uint8 compacted packed reads
-    meta_out: jnp.ndarray,  # (F_pad, META_COLS) int32
     pq_batch: jnp.ndarray,  # (B, Lpb) uint8 one aligner batch, device-resident
-    pred: jnp.ndarray,  # (B, C) int32 seeding result columns (device)
-    cs: jnp.ndarray,
-    ce: jnp.ndarray,
-    strand: jnp.ndarray,
-    lengths: jnp.ndarray,  # (B,) int32
     src: jnp.ndarray,  # (Rb,) int32 fused row indices within the batch
     dst: jnp.ndarray,  # (Rb,) int32 destination rows (sorted-by-pred order;
     # sentinel lanes point at a pad row and are later masked by span counts)
 ):
-    """Scatter one batch's fused rows into the run-wide compacted arrays —
-    the batch matrix uploaded for seeding is reused, so reads cross the
-    host link exactly once per run."""
+    """Scatter one batch's fused rows into the run-wide compacted read
+    array — the batch matrix uploaded for seeding is reused, so read bases
+    cross the host link exactly once per run.  Placement meta is built on
+    the host (the per-read accepted placements live there after
+    multi-candidate resolution and late fusing)."""
     rows = jnp.take(pq_batch, src, axis=0)
     Lp_out = pq_out.shape[1]
     if rows.shape[1] > Lp_out:  # compacted width trimmed to longest read
@@ -1049,13 +1045,7 @@ def place_fused_rows(
         pq_out = pq_out.at[dst].set(rows)
     else:
         pq_out = pq_out.at[dst, : rows.shape[1]].set(rows)
-    s = src
-    meta_out = meta_out.at[dst, META_PRED].set(pred[s, 0])
-    meta_out = meta_out.at[dst, META_CS].set(cs[s, 0])
-    meta_out = meta_out.at[dst, META_CE].set(ce[s, 0])
-    meta_out = meta_out.at[dst, META_STRAND].set(jnp.clip(strand[s, 0], 0, 1))
-    meta_out = meta_out.at[dst, META_LEN].set(lengths[s])
-    return pq_out, meta_out
+    return pq_out
 
 
 DEF_MAX_FLAG = 1 << 12

@@ -244,3 +244,55 @@ def test_read_block_path_identical():
     rb = run(blk)
     assert [key(r) for r in rl] == [key(r) for r in rb]
     assert len(rl) > 20
+
+
+def test_fused_equals_classic_repeat_genome():
+    """Multi-mapping reads from repeat families resolve on the device path
+    (classify's multi-candidate tier-1 resolution) — records must still be
+    identical to the classic flow, which builds host objects for them."""
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 4, size=60000).astype(np.int8)
+    # dispersed repeat family: 6 copies of a 1.5 kb segment at ~95-99% id
+    seg = codes[5000:6500].copy()
+    for dst, div in ((12000, 0.01), (22000, 0.02), (31000, 0.05),
+                     (40000, 0.0), (52000, 0.03)):
+        cp = seg.copy()
+        nm = int(div * len(cp))
+        if nm:
+            mp = rng.choice(len(cp), size=nm, replace=False)
+            cp[mp] = (cp[mp] + rng.integers(1, 4, size=nm)) % 4
+        codes[dst : dst + len(cp)] = cp
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chrR", codes=codes))
+    genome = ReferenceGenome(seqs)
+    sim = SingleIndividualSimulator(genome, snv_rate=0.002,
+                                    indel_rate=0.0003, seed=5)
+    sim.simulate()
+    hap = sim.build_haplotype_genomes()
+    reads = []
+    for h, hg in enumerate(hap):
+        reads.extend(
+            SingleReadsSimulator(
+                hg, read_length=100, substitution_error_rate=0.004,
+                seed=60 + h,
+            ).simulate(3000)
+        )
+
+    aligner_c = ReadsAligner(genome)
+    det_c = SingleSampleVariantsDetector(genome, sample_id="s1")
+    alns = []
+    for i in range(0, len(reads), 1024):
+        for r in aligner_c.align_batch(reads[i : i + 1024]):
+            alns.extend(r)
+    classic = det_c.find_variants(alns)
+
+    pipe = AlignCallPipeline(
+        genome,
+        aligner=ReadsAligner(genome, table=aligner_c.table),
+        detector=SingleSampleVariantsDetector(genome, sample_id="s1"),
+        batch_size=1024,
+    )
+    fused = pipe.run_reads(reads)
+
+    assert len(classic) > 10
+    assert [_record_key(r) for r in classic] == [_record_key(r) for r in fused]
