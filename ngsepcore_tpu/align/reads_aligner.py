@@ -397,7 +397,13 @@ class ReadsAligner:
         return out
 
     # ------------------------------------------------------------------
-    DP_ROWS = 256  # fixed DP batch rows: one compile shape per (Lq, Ls)
+    # max DP batch rows per kernel call.  Large chunks amortize the
+    # tunnel's per-transfer latency (the post-dispatch fetch pays ~3 link
+    # round trips per chunk) and the DP kernel is row-vectorized, so batch
+    # width is nearly free on device; small job sets still pad only to the
+    # next power of two >= DP_ROWS_MIN (one compile per pow2 bucket)
+    DP_ROWS = 2048
+    DP_ROWS_MIN = 256
 
     def _tier3_jobs(
         self,
@@ -467,7 +473,8 @@ class ReadsAligner:
         Returns (jobs, query matrix, device output handles)."""
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
-        pad_rows = [np.empty(0, np.int8)] * (self.DP_ROWS - len(jobs))
+        rows = _row_bucket(len(jobs), minimum=self.DP_ROWS_MIN)
+        pad_rows = [np.empty(0, np.int8)] * (rows - len(jobs))
         qc, ql, _ = pack_reads(
             [j[1] for j in jobs] + pad_rows, pad_to=max_q, pad_multiple=64
         )
