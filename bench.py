@@ -3,7 +3,8 @@
 Runs the flagship pipeline (simulate a repeat-bearing yeast-scale genome ->
 diploid individual with SNVs+indels -> WGS reads -> minimizer index ->
 batched align -> pileup genotyping) on the available accelerator and prints
-ONE JSON line.
+ONE JSON line per completed run (each line supersedes the previous, so a
+timeout still leaves a parseable best-so-far number on stdout).
 
 Honesty guards (VERDICT round 1 #3):
 - the simulated genome carries dispersed repeat families (92-99% identity)
@@ -11,42 +12,61 @@ Honesty guards (VERDICT round 1 #3):
   multi-mapping/MAPQ logic is inside the timed region;
 - indel_rate > 0, so indel realignment + indel calling run in the timed
   region (reads near indels take the exact host path);
-- the bench ASSERTS SNV precision/recall against the simulator's truth and
-  fails if accuracy collapses; both are reported in the JSON;
-- the timed run is best-of-3 (the shared-TPU link shows 2x run-to-run
-  variance; the best run is the one that measures the program, not the
+- the bench ASSERTS SNV precision/recall AND indel recall/precision
+  against the simulator's truth and fails if accuracy collapses;
+- the timed result is the best completed run (the shared-TPU link shows
+  2x run-to-run variance; the best run measures the program, not the
   neighbors).
 
+Driver-budget guards (VERDICT round 2 #1a):
+- simulated inputs and the minimizer index are cached on disk keyed by
+  the workload config hash (.bench_cache/), so re-runs skip ~3 min of
+  setup; the persistent XLA cache (.jax_cache/) skips recompiles;
+- a JSON line is printed after EVERY completed run;
+- the run loop stops when wall-clock approaches BENCH_BUDGET_S.
+
 Baseline note (see BASELINE.md): the reference publishes no numbers and no
-JVM exists in this image, so the Java throughput cannot be measured here.
-`vs_baseline` is computed against JAVA_BASELINE_READS_PER_S, a documented
-assumption standing in for NGSEP 4.3.2 single-node align+genotype
-throughput until a measured number replaces it.
+JVM exists in this image.  JAVA_BASELINE_READS_PER_S is DERIVED by
+measuring a numpy mirror of the reference's per-read hot loop on this
+host (see baseline_probe.py, results recorded in BASELINE.md), standing
+in for NGSEP 4.3.2 single-node align+genotype throughput.
 """
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
 
-JAVA_BASELINE_READS_PER_S = 5000.0  # assumed Java align+genotype throughput
+JAVA_BASELINE_READS_PER_S = 5000.0  # derivation: BASELINE.md "Java baseline"
 
 GENOME_MBP = 12.0  # yeast-genome scale (S. cerevisiae ~12 Mbp)
 N_READS = 900_000  # ~11.25x diploid coverage at 150 bp
 READ_LEN = 150
-BEST_OF = 3
+MAX_RUNS = 4  # first run doubles as warmup (compile replay + autotuning)
 BATCH = 65536  # big batches amortize fixed per-program costs (link round
 # trips, kernel tails); 64k x 256 intermediates still fit HBM comfortably
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+SIM_VERSION = 3  # bump to invalidate .bench_cache
 
-# Accuracy gates (vs the simulator's truth). Recall is gated on truth sites
-# outside repeat regions (reads there multi-map and are MAPQ-filtered — the
-# reference misses them too; that is what its -noRep handling is about).
+# Accuracy gates (vs the simulator's truth). SNV recall is gated on truth
+# sites outside repeat regions (reads there multi-map and are
+# MAPQ-filtered — the reference misses them too; that is what its -noRep
+# handling is about).  Indel gates guard the indel path (VERDICT r2 #6).
 MIN_PRECISION = 0.90
 MIN_RECALL_UNIQUE = 0.85
+MIN_INDEL_RECALL_UNIQUE = 0.60
+MIN_INDEL_PRECISION = 0.60
+
+# chip peak for the roofline columns: TPU v5e ~197 TFLOP/s bf16.  The
+# genotyping math runs in emulated f64 / f32 (parity), so vs_peak is a
+# deliberately harsh upper-bound comparison.
+CHIP_PEAK_FLOPS = 197e12
 
 
 def build_repeat_genome(rng: np.random.Generator, L: int):
@@ -96,9 +116,111 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    import os
+def _cache_dir() -> str:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(d, exist_ok=True)
+    return d
 
+
+def _config_key() -> str:
+    cfg = dict(
+        v=SIM_VERSION, mbp=GENOME_MBP, n=N_READS, rl=READ_LEN,
+        snv=0.001, ind=0.0001, err=0.003, seed=2024,
+    )
+    return hashlib.sha1(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:12]
+
+
+def load_or_simulate():
+    """Simulated genome + reads + truth, cached on disk by config hash."""
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import (
+        QualifiedSequence,
+        QualifiedSequenceList,
+        ReadBlock,
+    )
+
+    path = os.path.join(_cache_dir(), f"inputs_{_config_key()}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        codes = d["codes"]
+        repeat_iv = d["repeat_iv"]
+        reads = ReadBlock(d["read_codes"], d["read_lengths"])
+        truth_snv_pos = d["snv_pos"]
+        truth_snv_alt = d["snv_alt"]
+        truth_indel_pos = d["indel_pos"]
+        _log(f"inputs loaded from cache ({path})")
+    else:
+        from ngsepcore_tpu.simulation.individual_simulator import (
+            SingleIndividualSimulator,
+        )
+        from ngsepcore_tpu.simulation.reads_simulator import (
+            SingleReadsSimulator,
+        )
+
+        rng = np.random.default_rng(2024)
+        L = int(GENOME_MBP * 1e6)
+        codes, repeat_iv = build_repeat_genome(rng, L)
+        _log(f"genome built: {L} bp")
+        seqs = QualifiedSequenceList()
+        seqs.add(QualifiedSequence(name="chr1", codes=codes))
+        genome0 = ReferenceGenome(seqs)
+        sim = SingleIndividualSimulator(
+            genome0, snv_rate=0.001, indel_rate=0.0001, seed=7
+        )
+        sim.simulate()
+        hap = sim.build_haplotype_genomes()
+        reads = ReadBlock.concatenate(
+            [
+                SingleReadsSimulator(
+                    hg, read_length=READ_LEN,
+                    substitution_error_rate=0.003, seed=11 + h,
+                ).simulate_block(N_READS // 2)
+                for h, hg in enumerate(hap)
+            ]
+        )
+        _log(f"reads simulated: {len(reads)}")
+        snvs = [c for c in sim.calls if c.is_snv]
+        truth_snv_pos = np.array([c.first for c in snvs], np.int64)
+        truth_snv_alt = np.array(
+            [ord(c.alleles[1]) for c in snvs], np.int64
+        )
+        truth_indel_pos = np.array(
+            sorted(c.first for c in sim.calls if not c.is_snv), np.int64
+        )
+        np.savez(
+            path,
+            codes=codes, repeat_iv=repeat_iv,
+            read_codes=reads.codes, read_lengths=reads.lengths,
+            snv_pos=truth_snv_pos, snv_alt=truth_snv_alt,
+            indel_pos=truth_indel_pos,
+        )
+        _log("inputs cached")
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=codes))
+    genome = ReferenceGenome(seqs)
+    return (
+        genome, repeat_iv, reads, truth_snv_pos, truth_snv_alt,
+        truth_indel_pos,
+    )
+
+
+def load_or_build_index(genome):
+    from ngsepcore_tpu.index.minimizer_table import MinimizerTable
+
+    path = os.path.join(_cache_dir(), f"index_{_config_key()}.npz")
+    if os.path.exists(path):
+        t = MinimizerTable.load(path)
+        _log("index loaded from cache")
+        return t
+    t0 = time.time()
+    t = MinimizerTable.build_from_genome(genome)
+    _log(f"index built: {time.time()-t0:.1f}s")
+    t.save(path)
+    return t
+
+
+def main() -> None:
+    t_start = time.time()
     import jax
 
     # persistent compilation cache: re-runs (and the driver's run after a
@@ -113,75 +235,91 @@ def main() -> None:
     from ngsepcore_tpu.align.reads_aligner import ReadsAligner
     from ngsepcore_tpu.call.fused_pipeline import AlignCallPipeline
     from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
-    from ngsepcore_tpu.core.genome import ReferenceGenome
-    from ngsepcore_tpu.core.sequences import (
-        QualifiedSequence,
-        QualifiedSequenceList,
-        ReadBlock,
-    )
-    from ngsepcore_tpu.simulation.individual_simulator import (
-        SingleIndividualSimulator,
-    )
-    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
 
-    rng = np.random.default_rng(2024)
-    L = int(GENOME_MBP * 1e6)
-    codes, repeat_iv = build_repeat_genome(rng, L)
-    _log(f"genome built: {L} bp")
-    seqs = QualifiedSequenceList()
-    seqs.add(QualifiedSequence(name="chr1", codes=codes))
-    genome = ReferenceGenome(seqs)
+    (genome, repeat_iv, reads, truth_snv_pos, truth_snv_alt,
+     truth_indel_pos) = load_or_simulate()
+    L = genome.total_length
 
-    sim = SingleIndividualSimulator(
-        genome, snv_rate=0.001, indel_rate=0.0001, seed=7
-    )
-    sim.simulate()
-    hap = sim.build_haplotype_genomes()
-    reads = ReadBlock.concatenate(
-        [
-            SingleReadsSimulator(
-                hg, read_length=READ_LEN, substitution_error_rate=0.003,
-                seed=11 + h,
-            ).simulate_block(N_READS // 2)
-            for h, hg in enumerate(hap)
-        ]
-    )
-
-    _log(f"reads simulated: {len(reads)}")
-    aligner = ReadsAligner(genome)
+    aligner = ReadsAligner(genome, table=load_or_build_index(genome))
     detector = SingleSampleVariantsDetector(genome, sample_id="bench")
     pipe = AlignCallPipeline(genome, aligner=aligner, detector=detector,
                              batch_size=BATCH)
-    _log("index built")
+    _log("pipeline ready")
 
-    # warmup: one full identical run compiles every bucketed shape the
-    # timed runs will hit (row buckets of the window spans depend on the
-    # whole read set, so a partial warmup would leave compiles in the
-    # timed region)
-    records = pipe.run_reads(reads)
-    _log(f"warmup done: {len(records)} records")
-
-    times = []
-    for i in range(BEST_OF):
-        aligner.total_reads = aligner.aligned_reads = 0
-        t0 = time.time()
-        records = pipe.run_reads(reads)
-        times.append(time.time() - t0)
-        _log(f"run {i}: {times[-1]:.2f}s")
-    total = min(times)
-    rps = len(reads) / total
-
-    # ---- accuracy vs the simulator's truth (bench fails on collapse) ----
-    truth_snv = {
-        (c.first, c.alleles[1]) for c in sim.calls if c.is_snv
-    }
-    truth_indel_pos = np.array(
-        sorted(c.first for c in sim.calls if not c.is_snv), dtype=np.int64
-    )
+    truth_snv = set(zip(truth_snv_pos.tolist(),
+                        map(chr, truth_snv_alt.tolist())))
     in_repeat = np.zeros(L + 2, bool)
     for lo, hi in repeat_iv:
         in_repeat[max(0, lo - READ_LEN) : hi + READ_LEN] = True
 
+    times: list[float] = []
+    accuracy: dict | None = None
+    warmup_s = None
+    bases = int(np.asarray(reads.lengths, dtype=np.int64).sum())
+
+    def emit(records):
+        nonlocal accuracy
+        if accuracy is None:
+            accuracy = check_accuracy(
+                records, truth_snv, truth_indel_pos, in_repeat
+            )
+        best = min(times) if times else warmup_s
+        rps = len(reads) / best
+        # roofline-ish accounting: DP cell updates (tier-3 Gotoh) and the
+        # genotyping table math (16 f64 log-lik updates + ~16 flops per
+        # aligned base through the histogram einsum) vs chip peak
+        dp_cells = getattr(aligner, "dp_cells", 0)
+        einsum_flops = 32.0 * bases
+        result = {
+            "metric": "yeast-scale WGS reads aligned+genotyped/s/chip",
+            "value": round(rps, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(rps / JAVA_BASELINE_READS_PER_S, 3),
+            "detail": {
+                "n_reads": len(reads),
+                "runs_completed": len(times),
+                "warmup_s": round(warmup_s, 2),
+                "run_s": [round(t, 2) for t in times],
+                "aligned": aligner.aligned_reads,
+                "variants_called": accuracy["n_called"],
+                "genome_mbp": GENOME_MBP,
+                "repeat_frac": round(
+                    float((repeat_iv[:, 1] - repeat_iv[:, 0]).sum()) / L, 4
+                ),
+                "coverage_x": round(bases / L, 2),
+                "indel_rate": 0.0001,
+                **accuracy["metrics"],
+                "pileup_lanes_per_s": round(bases / best, 0),
+                "dp_cell_updates_per_s": round(dp_cells / best, 0),
+                "einsum_flops_per_s": round(einsum_flops / best, 0),
+                "einsum_vs_chip_peak": round(
+                    einsum_flops / best / CHIP_PEAK_FLOPS, 6
+                ),
+            },
+        }
+        print(json.dumps(result), flush=True)
+
+    for i in range(MAX_RUNS):
+        aligner.total_reads = aligner.aligned_reads = 0
+        aligner.dp_cells = 0
+        t0 = time.time()
+        records = pipe.run_reads(reads)
+        dt = time.time() - t0
+        if i == 0:
+            warmup_s = dt
+            _log(f"warmup run: {dt:.2f}s ({len(records)} records)")
+        else:
+            times.append(dt)
+            _log(f"run {i}: {dt:.2f}s")
+        emit(records)
+        elapsed = time.time() - t_start
+        if elapsed + dt * 1.2 > BUDGET_S:
+            _log(f"stopping: {elapsed:.0f}s elapsed of {BUDGET_S:.0f}s budget")
+            break
+
+
+def check_accuracy(records, truth_snv, truth_indel_pos, in_repeat):
+    """Accuracy vs the simulator's truth; hard-fails on collapse."""
     called_snv = {
         (r.variant.first, r.variant.alleles[1])
         for r in records
@@ -198,17 +336,25 @@ def main() -> None:
         sorted(r.variant.first for r in records if not r.variant.is_snv),
         dtype=np.int64,
     )
-    ind_tp = 0
-    if len(truth_indel_pos) and len(called_indel_pos):
-        j = np.searchsorted(called_indel_pos, truth_indel_pos)
-        near = np.zeros(len(truth_indel_pos), bool)
+    truth_iu = np.array(
+        [p for p in truth_indel_pos if not in_repeat[p]], np.int64
+    )
+
+    def _near(queries, targets, tol=5):
+        if len(queries) == 0 or len(targets) == 0:
+            return np.zeros(len(queries), bool)
+        j = np.searchsorted(targets, queries)
+        near = np.zeros(len(queries), bool)
         for d in (0, 1):
-            k = np.clip(j - d, 0, len(called_indel_pos) - 1)
-            near |= np.abs(called_indel_pos[k] - truth_indel_pos) <= 5
-            k = np.clip(j + d, 0, len(called_indel_pos) - 1)
-            near |= np.abs(called_indel_pos[k] - truth_indel_pos) <= 5
-        ind_tp = int(near.sum())
-    indel_recall = ind_tp / max(1, len(truth_indel_pos))
+            k = np.clip(j - d, 0, len(targets) - 1)
+            near |= np.abs(targets[k] - queries) <= tol
+            k = np.clip(j + d, 0, len(targets) - 1)
+            near |= np.abs(targets[k] - queries) <= tol
+        return near
+
+    indel_recall = float(_near(truth_indel_pos, called_indel_pos).mean()) if len(truth_indel_pos) else 1.0
+    indel_recall_unique = float(_near(truth_iu, called_indel_pos).mean()) if len(truth_iu) else 1.0
+    indel_precision = float(_near(called_indel_pos, np.sort(truth_indel_pos)).mean()) if len(called_indel_pos) else 1.0
 
     assert precision >= MIN_PRECISION, (
         f"SNV precision collapsed: {precision:.3f} < {MIN_PRECISION}"
@@ -217,36 +363,27 @@ def main() -> None:
         f"SNV recall (unique regions) collapsed: "
         f"{recall_unique:.3f} < {MIN_RECALL_UNIQUE}"
     )
-
-    # rough throughput accounting so MFU regressions are visible
-    bases = int(np.asarray(reads.lengths, dtype=np.int64).sum())
-    result = {
-        "metric": "yeast-scale WGS reads aligned+genotyped/s/chip",
-        "value": round(rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / JAVA_BASELINE_READS_PER_S, 3),
-        "detail": {
-            "n_reads": len(reads),
-            "best_of": BEST_OF,
-            "run_s": [round(t, 2) for t in times],
-            "aligned": aligner.aligned_reads,
-            "variants_called": len(records),
-            "genome_mbp": GENOME_MBP,
-            "repeat_frac": round(
-                float((repeat_iv[:, 1] - repeat_iv[:, 0]).sum()) / L, 4
-            ),
-            "coverage_x": round(bases / L, 2),
-            "indel_rate": 0.0001,
+    assert indel_recall_unique >= MIN_INDEL_RECALL_UNIQUE, (
+        f"indel recall (unique regions) collapsed: "
+        f"{indel_recall_unique:.3f} < {MIN_INDEL_RECALL_UNIQUE}"
+    )
+    assert indel_precision >= MIN_INDEL_PRECISION, (
+        f"indel precision collapsed: "
+        f"{indel_precision:.3f} < {MIN_INDEL_PRECISION}"
+    )
+    return {
+        "n_called": len(records),
+        "metrics": {
             "snv_precision": round(precision, 4),
             "snv_recall_unique": round(recall_unique, 4),
             "snv_recall_all": round(recall_all, 4),
             "indel_recall": round(indel_recall, 4),
+            "indel_recall_unique": round(indel_recall_unique, 4),
+            "indel_precision": round(indel_precision, 4),
             "n_truth_snv": len(truth_snv),
             "n_truth_indel": int(len(truth_indel_pos)),
-            "pileup_lanes_per_s": round(bases / total, 0),
         },
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

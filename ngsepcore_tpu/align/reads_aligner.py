@@ -166,6 +166,7 @@ class ReadsAligner:
         self.aligned_reads = 0
         self.few_mismatches_alns = 0
         self.complete_alns = 0
+        self.dp_cells = 0  # device DP cell updates (roofline accounting)
 
     @property
     def tier2(self):
@@ -481,6 +482,7 @@ class ReadsAligner:
         sc, sl, _ = pack_reads(
             [concat[j[2] : j[3]] for j in jobs] + pad_rows, pad_to=max_s, pad_multiple=64
         )
+        self.dp_cells += qc.shape[0] * qc.shape[1] * sc.shape[1]
         out = affine_gap_align_batch(
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )

@@ -26,6 +26,52 @@ DEF_KMER_LENGTH = 25  # ref: ReadsAligner.java:62
 DEF_WINDOW_LENGTH = 20  # ref: ReadsAligner.java:63
 DEF_MAX_HITS_PER_CODE = 500
 
+_COMPACT_JIT = []
+
+
+def _minimizers_compact(mat, lengths, bases, *, k, window, cap):
+    """Select minimizers over a (R, chunk) genome-chunk batch and compact
+    the selected entries on device: returns ((cap, 4) int32 [hi, lo, pos,
+    strand] rows, selected count).  Only the compacted rows cross the
+    host link."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _COMPACT_JIT:
+        from functools import partial
+
+        from ..kernels.minimizers import extract_minimizers_canonical
+
+        @partial(jax.jit, static_argnames=("k", "window", "cap"))
+        def fn(codes, lengths, bases, k, window, cap):
+            hi, lo, flag, sel, _valid = extract_minimizers_canonical(
+                codes, lengths, k, window
+            )
+            R, nk = sel.shape
+            pos = bases[:, None] + jax.lax.broadcasted_iota(
+                jnp.int32, (R, nk), 1
+            )
+            self_ = sel.reshape(-1)
+            dst = jnp.cumsum(self_.astype(jnp.int32)) - 1
+            count = dst[-1] + 1
+            dst = jnp.where(self_, dst, cap)  # cap = dropped (mode="drop")
+            lanes = jnp.stack(
+                [
+                    hi.reshape(-1),
+                    lo.reshape(-1),
+                    pos.reshape(-1),
+                    flag.reshape(-1).astype(jnp.int32),
+                ],
+                axis=-1,
+            )
+            out = jnp.zeros((cap, 4), jnp.int32).at[dst].set(
+                lanes, mode="drop"
+            )
+            return out, count
+
+        _COMPACT_JIT.append(fn)
+    return _COMPACT_JIT[0](mat, lengths, bases, k=k, window=window, cap=cap)
+
 
 class MinimizerTable:
     def __init__(
@@ -50,46 +96,71 @@ class MinimizerTable:
         k: int = DEF_KMER_LENGTH,
         window: int = DEF_WINDOW_LENGTH,
         max_hits_per_code: int = DEF_MAX_HITS_PER_CODE,
-        chunk: int = 1 << 18,
+        chunk: int = 1 << 20,
     ) -> "MinimizerTable":
-        from ..kernels.minimizers import extract_minimizers_canonical
+        """One batched device pass over the whole genome.
 
+        All chunks ride a single (R, chunk) upload; selection AND
+        compaction happen on device (_minimizers_compact), so only the
+        ~2L/(w+1) selected entries cross the host link — the previous
+        per-chunk dispatch+fetch paid ~46 blocking link round trips of
+        full-chunk arrays on a 12 Mbp genome (141 s); this build is one
+        round trip of ~20 MB."""
         t = cls(k, window, max_hits_per_code)
-        all_codes: list[np.ndarray] = []
-        all_pos: list[np.ndarray] = []
-        all_strand: list[np.ndarray] = []
         lo_bits = 2 * min(k, 15)
         overlap = k + window - 1
+        # pow2 chunk sized to the genome (tiny test genomes stay tiny; big
+        # genomes batch 1 Mbp rows) so jit shapes repeat across builds
+        longest = max(
+            (len(genome.sequences[si].codes) for si in range(genome.num_sequences)),
+            default=0,
+        )
+        chunk = 1 << 12
+        while chunk < min(longest, 1 << 20):
+            chunk <<= 1
+        rows: list[np.ndarray] = []
+        row_base: list[int] = []
+        row_len: list[int] = []
         for si in range(genome.num_sequences):
             seq = genome.sequences[si].codes
             base = int(genome.offsets[si])
             L = len(seq)
             step = chunk - overlap
-            starts = range(0, max(1, L - k + 1), step)
-            for s in starts:
+            for s in range(0, max(1, L - k + 1), step):
                 piece = seq[s : s + chunk]
                 if len(piece) < k:
                     continue
-                # always pad to the full chunk length: one shape -> one compile
-                codes, lengths, _ = pack_reads([piece], pad_to=chunk, pad_multiple=chunk)
-                hi, lo, flag, sel, valid = extract_minimizers_canonical(
-                    codes, lengths.astype(np.int32), k, window
-                )
-                sel = np.asarray(sel[0])
-                idx = np.nonzero(sel)[0]
-                kcodes = (
-                    np.asarray(hi[0])[idx].astype(np.int64) << lo_bits
-                ) | np.asarray(lo[0])[idx].astype(np.int64)
-                # a minimizer near the chunk seam may be selected in either
-                # chunk; dedupe later
-                all_codes.append(kcodes)
-                all_pos.append(base + s + idx.astype(np.int64))
-                all_strand.append(np.asarray(flag[0])[idx].astype(np.int64))
-        if not all_codes:
+                rows.append(piece)
+                row_base.append(base + s)
+                row_len.append(len(piece))
+        if not rows:
             return t
-        codes = np.concatenate(all_codes)
-        pos = np.concatenate(all_pos)
-        strand = np.concatenate(all_strand)
+        R = 1
+        while R < len(rows):  # pow2 row bucket: shapes repeat across builds
+            R <<= 1
+        mat = np.full((R, chunk), 4, np.int8)
+        for i, piece in enumerate(rows):
+            mat[i, : len(piece)] = piece
+        lengths = np.zeros(R, np.int32)
+        lengths[: len(rows)] = row_len
+        bases = np.zeros(R, np.int32)
+        bases[: len(rows)] = row_base
+        # density ~2/(window+1) plus seam duplicates; retry on overflow
+        cap = max(4096, int(mat.size * 2.5 / (window + 1)))
+        while True:
+            out, count = _minimizers_compact(
+                mat, lengths, bases, k=k, window=window, cap=cap
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            cap = int(count * 1.1) + 1024
+        out = np.asarray(out[:count])
+        hi = out[:, 0].astype(np.int64)
+        lo = out[:, 1].astype(np.int64) & 0xFFFFFFFF
+        codes = (hi << lo_bits) | lo
+        pos = out[:, 2].astype(np.int64)
+        strand = out[:, 3].astype(np.int64)
         # dedupe seam duplicates, then CSR by code
         pairs = np.stack([codes, pos, strand], axis=1)
         pairs = np.unique(pairs, axis=0)
