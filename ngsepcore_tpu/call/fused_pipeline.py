@@ -114,6 +114,151 @@ class _BatchState:
     selected: list = field(default_factory=list)  # host-path candidates
     dp_jobs: list = field(default_factory=list)  # deferred tier-3 DP jobs
     read0: int = 0  # global index of this batch's first read (chunks vary)
+    # realigner end-trims for fused reads inside indel neighborhoods
+    # (alignment-space bases to ignore; folded into cs/ce at compaction)
+    ig5: np.ndarray | None = None
+    ig3: np.ndarray | None = None
+
+
+class _ArrayReads:
+    """Per-sequence registry of gapless fused reads inside indel/STR
+    neighborhoods.  These reads STAY on the device pileup path; the
+    realigner's end-trim pass and the indel genotyper's spanning calls
+    operate on these arrays instead of per-read ReadAlignment objects
+    (the previous demote-and-materialize step was ~15s of the 900k-read
+    bench: VERDICT r2 #2).  Sorted by (first, gorder)."""
+
+    __slots__ = (
+        "batches", "bi", "row", "gorder", "first", "last", "cs", "ce",
+        "length", "strand", "max_span",
+    )
+
+    def __init__(self, batches, bi, row, gorder, first, last, cs, ce,
+                 length, strand):
+        self.batches = batches
+        self.bi = bi
+        self.row = row
+        self.gorder = gorder
+        self.first = first
+        self.last = last
+        self.cs = cs
+        self.ce = ce
+        self.length = length
+        self.strand = strand
+        self.max_span = int((last - first).max() + 1) if len(first) else 0
+
+    def __len__(self):
+        return len(self.first)
+
+    def ig5(self, i: int) -> int:
+        return int(self.batches[self.bi[i]].ig5[self.row[i]])
+
+    def ig3(self, i: int) -> int:
+        return int(self.batches[self.bi[i]].ig3[self.row[i]])
+
+    def trim(self, first: int, last: int) -> None:
+        """processEndsOfAlignments trim branch for gapless array reads
+        (ref: IndelRealignerPileupListener.java:420-530; the has_indel
+        branches are always False for gapless reads)."""
+        from ..call.realigner import MIN_BP_GOOD_REF_ALN
+
+        if not len(self.first):
+            return
+        lo = np.searchsorted(self.first, first - self.max_span, side="left")
+        hi = np.searchsorted(self.first, last, side="right")
+        for i in range(lo, hi):
+            if self.last[i] < first:
+                continue
+            st = self.batches[self.bi[i]]
+            r = self.row[i]
+            if first - self.first[i] < MIN_BP_GOOD_REF_ALN:
+                ig = last - self.first[i] + 1 + self.cs[i]
+                if ig > st.ig5[r]:
+                    st.ig5[r] = ig
+            if self.last[i] - last < MIN_BP_GOOD_REF_ALN:
+                ig = self.last[i] - first + 1 + self.ce[i]
+                if ig > st.ig3[r]:
+                    st.ig3[r] = ig
+
+    def spanning_calls(self, first: int, last: int):
+        """(first, gorder, SpanningCall) tuples for array reads reliably
+        spanning [first, last] — mirrors indels.spanning_call_for for the
+        gapless S/M/S case."""
+        from ..core.sequences import decode_dna
+        from .indels import SpanningCall
+
+        out = []
+        if not len(self.first):
+            return out
+        lo = np.searchsorted(self.first, first - self.max_span, side="left")
+        hi = np.searchsorted(self.first, first, side="right")
+        for i in range(lo, hi):
+            af, al = int(self.first[i]), int(self.last[i])
+            if al < last or af > first:
+                continue
+            cs, ce = int(self.cs[i]), int(self.ce[i])
+            n = int(self.length[i])
+            rp_f = cs + (first - af)
+            rp_l = cs + (last - af)
+            if cs and rp_f <= cs + 2:
+                continue
+            if ce and rp_l >= n - ce - 3:
+                continue
+            if rp_f < self.ig5(i):
+                continue
+            if rp_l >= n - self.ig3(i):
+                continue
+            st = self.batches[self.bi[i]]
+            r = int(self.row[i])
+            codes, quals = _read_slice_aln_space(
+                st, r, n, rp_f, rp_l + 1, bool(self.strand[i])
+            )
+            out.append(
+                (
+                    af,
+                    int(self.gorder[i]),
+                    SpanningCall(
+                        allele=decode_dna(codes).upper(),
+                        qualities=quals,
+                        negative_strand=bool(self.strand[i]),
+                    ),
+                )
+            )
+        return out
+
+
+def _read_slice_aln_space(st, row: int, n: int, a: int, b: int, rev: bool):
+    """(codes, phred quals) of read `row` over alignment-space [a, b).
+
+    The batch stores forward-orientation codes (fwd_mat) and the source
+    ReadBlock/RawRead qualities; negative-strand alignment space is the
+    reverse complement."""
+    from ..core.sequences import ReadBlock, reverse_complement_codes
+
+    if rev:
+        fa, fb = n - b, n - a
+        codes = reverse_complement_codes(st.fwd_mat[row, fa:fb])
+    else:
+        codes = st.fwd_mat[row, a:b]
+    reads = st.reads
+    if isinstance(reads, ReadBlock):
+        if reads.quals is None:
+            quals = np.full(b - a, reads.default_quality, np.int8)
+        else:
+            q = reads.quals[row]
+            qs = q[n - b : n - a][::-1] if rev else q[a:b]
+            quals = (qs.astype(np.int16) - 33).astype(np.int8)
+    else:
+        qstr = reads[row].qualities
+        if qstr:
+            qs = qstr[n - b : n - a][::-1] if rev else qstr[a:b]
+            quals = (
+                np.frombuffer(qs.encode("ascii"), np.uint8).astype(np.int16)
+                - 33
+            ).astype(np.int8)
+        else:
+            quals = np.full(b - a, 20, np.int8)
+    return codes, quals
 
 
 class AlignCallPipeline:
@@ -638,55 +783,6 @@ class AlignCallPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _materialize(self, st: _BatchState, row: int) -> ReadAlignment:
-        """Build the exact ReadAlignment a demoted fused read would have
-        received from align_batch (single tier-1 candidate, primary)."""
-        from ..core.sequences import decode_dna, reverse_complement_codes
-
-        read = st.reads[row]
-        offs = self.genome.offsets
-        p = int(st.pred[row])
-        si = int(
-            np.clip(
-                np.searchsorted(offs, p, side="right") - 1,
-                0,
-                self.genome.num_sequences - 1,
-            )
-        )
-        tcs, tce = int(st.cs[row]), int(st.ce[row])
-        ql = int(st.lengths[row])
-        cigar = []
-        if tcs > 0:
-            cigar.append((tcs, "S"))
-        cigar.append((ql - tcs - tce, "M"))
-        if tce > 0:
-            cigar.append((tce, "S"))
-        aln = ReadAlignment(
-            sequence_name=self.genome.sequence_name(si),
-            first=p + tcs - int(offs[si]) + 1,
-            cigar=cigar,
-            num_mismatches=int(st.mm[row]),
-        )
-        aln.read_name = read.name
-        q = int(round(100 - 5 * int(st.mm[row])))
-        aln.alignment_quality = max(0, min(255, q))
-        if st.strand[row]:
-            from ..align.read_alignment import FLAG_READ_REVERSE
-
-            aln.flags |= FLAG_READ_REVERSE
-            rc = reverse_complement_codes(read.codes)
-            aln.read_chars = decode_dna(rc)
-            aln._read_codes = np.asarray(rc)
-            aln.qualities = (
-                read.qualities[::-1] if read.qualities else "5" * len(read.sequence)
-            )
-        else:
-            aln.read_chars = read.sequence
-            aln._read_codes = read.codes
-            aln.qualities = read.qualities or "5" * len(read.sequence)
-        return aln
-
-    # ------------------------------------------------------------------
     def _call(self, batches: list[_BatchState]) -> list[VCFRecord]:
         """Joint variant calling across the fused (device) and host paths."""
         det = self.detector
@@ -736,35 +832,114 @@ class AlignCallPipeline:
         else:
             iv_lo = iv_hi = np.empty(0, np.int64)
 
-        # demote fused reads overlapping an indel neighborhood
-        with stage("call.demote_materialize"):
-            for bi, st in enumerate(batches):
-                rows = np.nonzero(st.fused)[0]
-                if not len(rows) or not len(iv_lo):
-                    continue
-                first = st.pred[rows] + st.cs[rows]  # 0-based concat
-                last = st.pred[rows] + st.lengths[rows].astype(np.int64) - st.ce[rows]
-                k = np.searchsorted(iv_lo, last, side="right") - 1
-                k = np.clip(k, 0, len(iv_lo) - 1)
-                overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
-                demote = rows[overl]
-                b0 = st.read0
-                for row in demote:
-                    st.fused[row] = False
-                    host_tagged.append(
-                        (b0 + int(row), self._materialize(st, int(row)))
-                    )
-            host_tagged.sort(key=lambda t: t[0])
-        host = [a for _, a in host_tagged]
-
         # joint per-start cap in arrival order (AlignmentsPileupGenerator
         # caps 5 alignments per start position; pileup.cap_alignments_per_start)
         with stage("call.joint_cap"):
             self._joint_cap(batches, host_tagged)
         host = [a for _, a in host_tagged]
 
-        # per-sequence windows: realign host objects, accumulate both paths
-        # into shared device tensors, genotype sparsely
+        # fused reads overlapping an indel/STR neighborhood STAY on the
+        # device pileup path; they are registered per sequence so the
+        # realigner can trim their ends (st.ig5/ig3, folded into cs/ce at
+        # compaction) and the indel genotyper can take spanning calls from
+        # the packed arrays — no ReadAlignment objects are materialized
+        # (VERDICT r2 #2: the demote-and-materialize host path was the
+        # dominant cost on repeat/indel-bearing genomes)
+        offs = self.genome.offsets
+        arr_by_seq: dict[int, _ArrayReads] = {}
+        with stage("call.trim_registry"):
+            parts: dict[int, list] = {}
+            for bi, st in enumerate(batches):
+                st.ig5 = np.zeros(len(st.fused), np.int32)
+                st.ig3 = np.zeros(len(st.fused), np.int32)
+                if not len(iv_lo):
+                    continue
+                rows = np.nonzero(st.fused)[0]
+                if not len(rows):
+                    continue
+                first = st.pred[rows] + st.cs[rows]  # 0-based concat
+                last = st.pred[rows] + st.lengths[rows].astype(np.int64) - st.ce[rows]
+                k = np.searchsorted(iv_lo, last, side="right") - 1
+                k = np.clip(k, 0, len(iv_lo) - 1)
+                overl = (iv_lo[k] <= last) & (iv_hi[k] >= first)
+                sel = rows[overl]
+                if not len(sel):
+                    continue
+                si = np.clip(
+                    np.searchsorted(offs, first[overl], side="right") - 1,
+                    0,
+                    self.genome.num_sequences - 1,
+                )
+                f1 = first[overl] - offs[si] + 1  # 1-based first aligned base
+                l1 = last[overl] - offs[si]  # 1-based last aligned base
+                for s in np.unique(si):
+                    m = si == s
+                    parts.setdefault(int(s), []).append(
+                        (
+                            np.full(m.sum(), bi, np.int32),
+                            sel[m].astype(np.int64),
+                            st.read0 + sel[m].astype(np.int64),
+                            f1[m],
+                            l1[m],
+                            st.cs[sel[m]].astype(np.int64),
+                            st.ce[sel[m]].astype(np.int64),
+                            st.lengths[sel[m]].astype(np.int64),
+                            st.strand[sel[m]].astype(np.int64),
+                        )
+                    )
+            for s, chunks in parts.items():
+                cols = [np.concatenate([c[j] for c in chunks]) for j in range(9)]
+                o = np.lexsort((cols[2], cols[3]))  # by (first, gorder)
+                arr_by_seq[s] = _ArrayReads(
+                    batches, *(c[o] for c in cols[:2]), *(c[o] for c in cols[2:])
+                )
+
+        # per-sequence host work shared by both genotype paths: realign
+        # (mutates host objects, writes array-read trims), indel-site
+        # genotyping over merged host+array spanning calls, host base-call
+        # expansion.  Precomputed HERE so compaction sees the final trims.
+        from ..kernels.genotyping import MAX_BASE_QS
+        from .pileup import expand_batch_calls
+        from .realigner import IndelRealigner
+
+        det = self.detector
+        by_seq: dict[str, list[tuple[int, ReadAlignment]]] = {}
+        for go, a in host_tagged:
+            by_seq.setdefault(a.sequence_name, []).append((go, a))
+        self._seq_host = {}
+        for si in range(self.genome.num_sequences):
+            name = self.genome.sequence_name(si)
+            tagged = by_seq.get(name, [])
+            tagged.sort(key=lambda t: (t[1].first, t[0]))
+            alns = [a for _, a in tagged]
+            go = np.fromiter((g for g, _ in tagged), np.int64, len(tagged))
+            arr = arr_by_seq.get(si)
+            realigner = IndelRealigner(
+                self.genome, si, det.known_strs.get(name)
+            )
+            with stage("call.realign"):
+                sites = realigner.realign(alns, array_reads=arr) if alns else []
+            with stage("call.indel_genotype"):
+                indel_records = (
+                    det._call_indels(
+                        si, name, alns, sites, gorder=go, array_reads=arr
+                    )
+                    if sites
+                    else []
+                )
+            with stage("call.expand_host_calls"):
+                pos, allele, qual, strand, _ = expand_batch_calls(alns)
+                o = np.argsort(pos, kind="stable")
+            self._seq_host[si] = (
+                indel_records,
+                pos[o],
+                np.clip(qual[o], 0, MAX_BASE_QS).astype(np.int32),
+                allele[o].astype(np.int32),
+                strand[o].astype(np.int32),
+            )
+
+        # per-sequence windows: accumulate both paths into shared device
+        # tensors, genotype sparsely
         return self._genotype(batches, host)
 
     # ------------------------------------------------------------------
@@ -900,9 +1075,17 @@ class AlignCallPipeline:
                 continue
             nb = len(rows)
             dst_rows = inv[r0 : r0 + nb]
+            cs_eff = st.cs[rows].astype(np.int64)
+            ce_eff = st.ce[rows].astype(np.int64)
+            if st.ig5 is not None:  # realigner end-trims fold into clips
+                ln = st.lengths[rows].astype(np.int64)
+                cs_eff = np.maximum(cs_eff, st.ig5[rows])
+                ce_eff = np.minimum(
+                    np.maximum(ce_eff, st.ig3[rows]), ln - cs_eff
+                )
             meta_h[dst_rows, META_PRED] = st.pred[rows]
-            meta_h[dst_rows, META_CS] = st.cs[rows]
-            meta_h[dst_rows, META_CE] = st.ce[rows]
+            meta_h[dst_rows, META_CS] = cs_eff
+            meta_h[dst_rows, META_CE] = ce_eff
             meta_h[dst_rows, META_STRAND] = np.clip(st.strand[rows], 0, 1)
             meta_h[dst_rows, META_LEN] = st.lengths[rows]
             bucket = _row_bucket(nb, minimum=128)
@@ -998,6 +1181,10 @@ class AlignCallPipeline:
             rv = st.strand[rows].astype(np.int64)
             cs = st.cs[rows].astype(np.int64)
             ce = st.ce[rows].astype(np.int64)
+            if st.ig5 is not None:  # realigner end-trims fold into the clips
+                cs = np.maximum(cs, st.ig5[rows].astype(np.int64))
+                ce = np.maximum(ce, st.ig3[rows].astype(np.int64))
+                ce = np.minimum(ce, ln - cs)  # never negative-width
             g = r0 + rows
             # old-kernel read-lane bounds: fwd j in [cs, len-ce), rev j in
             # [ce, len-cs); flipped array index a = Lp-1-j maps the rev
@@ -1049,21 +1236,15 @@ class AlignCallPipeline:
         fused: dict,
     ) -> list[VCFRecord]:
         from ..kernels.genotyping import (
-            MAX_BASE_QS,
             genotype_window_hist,
             genotype_window_hist_resolve_batch,
         )
         from ..kernels.shear_pileup import build_stage
-        from .pileup import expand_batch_calls
-        from .realigner import IndelRealigner
         from .single_sample import _window_for
 
         det = self.detector
         genome = self.genome
         offs = genome.offsets
-        by_seq: dict[str, list[ReadAlignment]] = {}
-        for a in host:
-            by_seq.setdefault(a.sequence_name, []).append(a)
 
         Lp, nq = fused["Lp"], fused["nq"]
         colg = fused["colg"]
@@ -1118,29 +1299,9 @@ class AlignCallPipeline:
         )
         s_cols = halo + max_span + 256
 
-        # per-sequence host work (realignment, indels, packed calls) once
-        seq_host = {}
-        for si in range(genome.num_sequences):
-            name = genome.sequence_name(si)
-            alns = by_seq.get(name, [])
-            alns.sort(key=lambda a: a.first)
-            realigner = IndelRealigner(genome, si, det.known_strs.get(name))
-            with stage("call.realign"):
-                sites = realigner.realign(alns) if alns else []
-            with stage("call.indel_genotype"):
-                indel_records = (
-                    det._call_indels(si, name, alns, sites) if sites else []
-                )
-            with stage("call.expand_host_calls"):
-                pos, allele, qual, strand, _ = expand_batch_calls(alns)
-                o = np.argsort(pos, kind="stable")
-            seq_host[si] = (
-                indel_records,
-                pos[o],
-                np.clip(qual[o], 0, MAX_BASE_QS).astype(np.int32),
-                allele[o].astype(np.int32),
-                strand[o].astype(np.int32),
-            )
+        # per-sequence host work precomputed in _call (trims must precede
+        # compaction)
+        seq_host = self._seq_host
 
         from ..utils.progress import check as _progress_check
 
@@ -1251,17 +1412,14 @@ class AlignCallPipeline:
             if indel_records and name not in handled:
                 handled[name] = indel_records
                 seq_records_by_name.setdefault(name, [])
+        from .single_sample import merge_indel_records
+
         for name, indel_records in handled.items():
-            out = seq_records_by_name.get(name, [])
-            if indel_records:
-                spans = [(r.variant.first, r.variant.last) for r in indel_records]
-                out = [
-                    rec
-                    for rec in out
-                    if not any(f <= rec.variant.first <= l for f, l in spans)
-                ] + indel_records
-            out.sort(key=lambda r: r.variant.first)
-            records.extend(out)
+            records.extend(
+                merge_indel_records(
+                    seq_records_by_name.get(name, []), indel_records
+                )
+            )
         rec_stage.__exit__(None, None, None)
         return records
 
@@ -1270,20 +1428,14 @@ class AlignCallPipeline:
         self, batches: list[_BatchState], host: list[ReadAlignment]
     ) -> list[VCFRecord]:
         from ..kernels.genotyping import (
-            MAX_BASE_QS,
             genotype_window_span,
             genotype_window_span_resolve_batch,
         )
-        from .pileup import expand_batch_calls
-        from .realigner import IndelRealigner
         from .single_sample import _window_for
 
         det = self.detector
         genome = self.genome
         offs = genome.offsets
-        by_seq: dict[str, list[ReadAlignment]] = {}
-        for a in host:
-            by_seq.setdefault(a.sequence_name, []).append(a)
 
         span_kernel = self._span_kernel or genotype_window_span
         fused = self._compact_fused(batches)
@@ -1298,21 +1450,9 @@ class AlignCallPipeline:
             name = genome.sequence_name(si)
             seq_len = genome.sequence_length(si)
             base = int(offs[si])
-            alns = by_seq.get(name, [])
-            alns.sort(key=lambda a: a.first)
-            realigner = IndelRealigner(genome, si, det.known_strs.get(name))
-            sites = realigner.realign(alns) if alns else []
-            indel_records = (
-                det._call_indels(si, name, alns, sites) if sites else []
-            )
-            pos, allele, qual, strand, _ = expand_batch_calls(alns)
-            order = np.argsort(pos, kind="stable")
-            pos, allele, qual, strand = (
-                pos[order], allele[order], qual[order], strand[order],
-            )
-            qual_p = np.clip(qual, 0, MAX_BASE_QS).astype(np.int32)
-            al_p = allele.astype(np.int32)
-            st_p = strand.astype(np.int32)
+            # per-sequence host work precomputed in _call (trims precede
+            # compaction)
+            indel_records, pos, qual_p, al_p, st_p = self._seq_host[si]
 
             window = _window_for(seq_len)
             seq_records: list[VCFRecord] = []
@@ -1404,15 +1544,8 @@ class AlignCallPipeline:
                 if rec is not None:
                     seq_records.append(rec)
             handled[name] = (indel_records, seq_records)
+        from .single_sample import merge_indel_records
+
         for name, (indel_records, seq_records) in handled.items():
-            out = seq_records
-            if indel_records:
-                spans = [(r.variant.first, r.variant.last) for r in indel_records]
-                out = [
-                    rec
-                    for rec in out
-                    if not any(f <= rec.variant.first <= l for f, l in spans)
-                ] + indel_records
-            out.sort(key=lambda r: r.variant.first)
-            records.extend(out)
+            records.extend(merge_indel_records(seq_records, indel_records))
         return records

@@ -28,6 +28,17 @@ from ..math.phred import phred_score
 from ..variants.model import CalledGenomicVariant, TYPE_INDEL, TYPE_STR
 from .pileup import IndelEvent
 
+def _log10_sum_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise mirror of math.logmath.log10_sum (incl. the diff<-20
+    truncation) so the batched helper reproduces the scalar path exactly."""
+    hi = np.maximum(a, b)
+    diff = np.minimum(a, b) - hi
+    small = diff < -20
+    return np.where(
+        small, hi, hi + np.log10(1.0 + 10.0 ** np.where(small, -20.0, diff))
+    )
+
+
 MIN_RELATIVE_PROPORTION = 0.2  # ref: AlleleCallClustersBuilder.java:41
 MIN_HET_POSTERIOR = 0.51  # ref: :42
 LOG_ERROR_PROB_INDEL = float(np.log10(1e-4))
@@ -181,8 +192,7 @@ def genotype_indel_site(
     """Genotype one sample's calls against a fixed allele set.
     Returns (bi, bj, gq, variant_qs_phred, helper) or None if no calls."""
     helper = IndelCountsHelper(alleles, 0.5, max_base_qs)
-    for c in calls:
-        helper.update(c)
+    helper.update_batch(calls)
     if helper.total == 0:
         return None
     post = helper.posteriors(het_rate)
@@ -220,6 +230,97 @@ class IndelCountsHelper:
         self.log_1maf = float(np.log10(1 - af)) if af < 1 else -np.inf
         self._allele_codes = [encode_dna(a) for a in alleles]
         self._lengths = np.array([len(a) for a in alleles])
+
+    def update_batch(self, calls: list[SpanningCall]) -> None:
+        """Vectorized equivalent of sequential update() over all calls of
+        one site: the per-base likelihood sums run as one numpy pass per
+        allele-length group and the logcond accumulation collapses to
+        per-allele reductions.  This is the entry both the classic and
+        fused flows use (10k+ sites per bench run made per-call numpy the
+        hottest indel-path cost)."""
+        m = len(calls)
+        if m == 0:
+            return
+        self.total += m
+        n = self.n
+        lca = np.full((m, n), LOG_ERROR_PROB_INDEL)
+        by_len_calls: dict[int, list[int]] = {}
+        for ci, c in enumerate(calls):
+            by_len_calls.setdefault(len(c.allele), []).append(ci)
+        by_len_alleles: dict[int, list[int]] = {}
+        for ai, L in enumerate(self._lengths):
+            by_len_alleles.setdefault(int(L), []).append(ai)
+        for L, cidx in by_len_calls.items():
+            aidx = by_len_alleles.get(L)
+            if not aidx:
+                continue
+            cmat = np.stack([encode_dna(calls[ci].allele) for ci in cidx])
+            qmat = np.stack(
+                [
+                    np.minimum(calls[ci].qualities, self.max_base_qs)
+                    for ci in cidx
+                ]
+            ).astype(np.int64)
+            amat = np.stack([self._allele_codes[ai] for ai in aidx])
+            ok = qmat >= MIN_BASE_QS  # (mc, L)
+            e = 10.0 ** (-0.1 * qmat)
+            log_match = np.log10(1 - e)  # (mc, L)
+            log_mis = -0.1 * qmat - np.log10(3)
+            match = cmat[:, None, :] == amat[None, :, :]  # (mc, na, L)
+            per_base = np.where(match, log_match[:, None, :], log_mis[:, None, :])
+            lc = np.where(ok[:, None, :], per_base, 0.0).sum(axis=2)
+            lc = np.maximum(LOG_ERROR_PROB_INDEL, lc)
+            lca[np.asarray(cidx)[:, None], np.asarray(aidx)[None, :]] = lc
+        # per-call assigned allele index (exact-string match reconciled
+        # with the best-likelihood allele, mirroring sequential update)
+        exact = {}
+        for ai, al in enumerate(self.alleles):
+            exact.setdefault(al, ai)
+        above = lca > LOG_ERROR_PROB_INDEL
+        best = np.where(above.any(axis=1), np.argmax(lca, axis=1), -1)
+        index = np.empty(m, np.int64)
+        for ci, c in enumerate(calls):
+            ix = exact.get(c.allele, -1)
+            b = int(best[ci])
+            if ix >= 0 and b >= 0 and b != ix:
+                ix = min(ix, b)
+            elif ix < 0 and b >= 0:
+                ix = b
+            index[ci] = ix
+        idxed = index >= 0
+        if idxed.any():
+            np.add.at(self.counts, index[idxed], 1)
+            neg = np.array(
+                [c.negative_strand for c in calls], dtype=bool
+            )
+            np.add.at(
+                self.strand_counts,
+                (index[idxed], np.where(neg[idxed], 0, 1)),
+                1,
+            )
+        # logcond: diagonal += column sums of lca; off-diagonal (i, j):
+        #   calls with k=j add logSum(af + lca[c,j], 1-af + ERR) -> S1[j]
+        #   calls with k=i add logSum(1-af + lca[c,i], af + ERR) -> S2[i]
+        #   all other calls (k not in {i, j}, incl. unassigned) add ERR
+        diag = lca.sum(axis=0)
+        S1 = np.zeros(n)
+        S2 = np.zeros(n)
+        cntk = np.zeros(n, np.int64)
+        if idxed.any():
+            ks = index[idxed]
+            lk = lca[idxed, ks]
+            s1 = _log10_sum_arr(self.log_af + lk, self.log_1maf + LOG_ERROR_PROB_INDEL)
+            s2 = _log10_sum_arr(self.log_1maf + lk, self.log_af + LOG_ERROR_PROB_INDEL)
+            np.add.at(S1, ks, s1)
+            np.add.at(S2, ks, s2)
+            np.add.at(cntk, ks, 1)
+        off = (
+            S1[None, :]
+            + S2[:, None]
+            + LOG_ERROR_PROB_INDEL * (m - cntk[:, None] - cntk[None, :])
+        )
+        upd = np.where(np.eye(n, dtype=bool), diag, off)
+        self.logcond += upd
 
     def update(self, call: SpanningCall) -> None:
         self.total += 1
@@ -296,8 +397,7 @@ def call_indel(
 ) -> CalledGenomicVariant | None:
     """Port of VariantDiscoverySNVQAlgorithm.callIndel discovery mode."""
     helper = IndelCountsHelper(alleles, 0.5, max_base_qs)
-    for c in calls:
-        helper.update(c)
+    helper.update_batch(calls)
     if helper.total == 0:
         return None
     post = helper.posteriors(het_rate)

@@ -201,15 +201,9 @@ class MultisampleVariantsDetector:
                 if rec is not None:
                     out.append(rec)
         # suppress SNVs inside indel spans, then merge (listener semantics)
-        if indel_records:
-            spans = [(r.variant.first, r.variant.last) for r in indel_records]
-            out = [
-                rec
-                for rec in out
-                if not any(f <= rec.variant.first <= l for f, l in spans)
-            ] + indel_records
-            out.sort(key=lambda r: r.variant.first)
-        return out
+        from .single_sample import merge_indel_records
+
+        return merge_indel_records(out, indel_records)
 
     # ------------------------------------------------------------------
     def _call_indels(self, seq_idx, seq_name, per_sample, samples, sites):

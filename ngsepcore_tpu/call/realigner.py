@@ -86,11 +86,20 @@ class IndelRealigner:
         self.seq_len = genome.sequence_length(seq_idx)
         # known STR/variant regions to genotype at fixed spans
         self.known_strs = sorted(known_strs or [], key=lambda r: r.first)
+        # optional registry of gapless device-path reads spanning indel
+        # neighborhoods (fused_pipeline._ArrayReads); they never vote but
+        # their ends are trimmed exactly like host objects
+        self.array_reads = None
 
     # ------------------------------------------------------------------
-    def realign(self, alns: list[ReadAlignment]) -> list[IndelSite]:
+    def realign(
+        self, alns: list[ReadAlignment], array_reads=None
+    ) -> list[IndelSite]:
         """Mutates `alns` (CIGARs moved, end bases marked to ignore) and
-        returns conciliated indel sites sorted by position."""
+        returns conciliated indel sites sorted by position.  `array_reads`
+        optionally carries gapless device-path reads whose end-trims are
+        applied through the registry instead of object mutation."""
+        self.array_reads = array_reads
         # alignments sorted by start; index by interval for spanning queries
         firsts = np.array([a.first for a in alns], dtype=np.int64)
         lasts = np.array([a.last for a in alns], dtype=np.int64)
@@ -217,6 +226,8 @@ class IndelRealigner:
         if span == 0:
             span = event_end - pos + 1
         self._trim_ends(region, pos, event_end)
+        if self.array_reads is not None:
+            self.array_reads.trim(pos, event_end)
         return [IndelSite(first=pos, span=span, is_str=is_str, is_new_str=new_str)], None
 
     # ------------------------------------------------------------------

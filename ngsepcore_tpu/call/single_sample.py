@@ -50,6 +50,32 @@ DEF_MIN_MQ = 20  # ref: ReadAlignment.DEF_MIN_MQ_UNIQUE_ALIGNMENT
 WINDOW = 1 << 20
 
 
+def merge_indel_records(
+    snv_records: list, indel_records: list
+) -> list:
+    """Drop SNV-site records inside any indel record's span, append the
+    indel records, sort by position (lastIndelEnd suppression semantics,
+    SingleSampleVariantPileupListener.java:147-160).  Vectorized: the
+    record x span membership test is a searchsorted over span starts with
+    a cummax over ends (the naive any() scan was quadratic-ish at bench
+    scale)."""
+    out = snv_records
+    if indel_records:
+        f = np.array([r.variant.first for r in indel_records], np.int64)
+        l = np.array([r.variant.last for r in indel_records], np.int64)
+        o = np.argsort(f, kind="stable")
+        f = f[o]
+        lmax = np.maximum.accumulate(l[o])
+        if out:
+            p = np.array([rec.variant.first for rec in out], np.int64)
+            k = np.searchsorted(f, p, side="right") - 1
+            inside = (k >= 0) & (lmax[np.clip(k, 0, None)] >= p)
+            out = [rec for rec, drop in zip(out, inside) if not drop]
+        out = out + indel_records
+    out.sort(key=lambda r: r.variant.first)
+    return out
+
+
 def _window_for(seq_len: int) -> int:
     w = 1 << 16
     while w < seq_len and w < WINDOW:
@@ -366,17 +392,7 @@ class SingleSampleVariantsDetector:
                     out.append(rec)
         # merge indel calls and suppress embedded SNVs (lastIndelEnd
         # semantics, SingleSampleVariantPileupListener.java:147-160)
-        if indel_records:
-            spans = [(r.variant.first, r.variant.last) for r in indel_records]
-            filtered = []
-            for rec in out:
-                p = rec.variant.first
-                if any(f <= p <= l for f, l in spans):
-                    continue
-                filtered.append(rec)
-            out = filtered + indel_records
-            out.sort(key=lambda r: r.variant.first)
-        return out
+        return merge_indel_records(out, indel_records)
 
     # ------------------------------------------------------------------
     def _call_indels(
@@ -385,9 +401,16 @@ class SingleSampleVariantsDetector:
         seq_name: str,
         alns: list[ReadAlignment],
         sites,
+        gorder=None,
+        array_reads=None,
     ) -> list[VCFRecord]:
         """Genotype the realigner's conciliated indel sites as spanning
-        calls (SingleSampleVariantPileupListener indel path)."""
+        calls (SingleSampleVariantPileupListener indel path).
+
+        `array_reads` optionally contributes spanning calls from gapless
+        device-path reads (fused_pipeline._ArrayReads); `gorder` gives the
+        host alignments' global arrival ranks so the merged call order
+        matches the classic single-list flow exactly."""
         from .indels import call_indel, cluster_allele_calls, spanning_call_for
 
         if not sites:
@@ -397,7 +420,9 @@ class SingleSampleVariantsDetector:
         # interval lookup over alignments
         firsts = np.array([a.first for a in alns])
         lasts = np.array([a.last for a in alns])
-        order = np.argsort(firsts)
+        if gorder is None:
+            gorder = np.arange(len(alns), dtype=np.int64)
+        order = np.argsort(firsts, kind="stable")
         firsts_s = firsts[order]
         max_span = int((lasts - firsts).max() + 1) if len(alns) else 0
         records: list[VCFRecord] = []
@@ -412,15 +437,19 @@ class SingleSampleVariantsDetector:
             # of O(all alignments left of it)
             lo = np.searchsorted(firsts_s, first - max_span, side="left")
             hi = np.searchsorted(firsts_s, first, side="right")
-            calls = []
+            cand = []
             for oi in order[lo:hi]:
                 if alns[oi].last < last:
                     continue
                 c = spanning_call_for(alns[oi], first, last)
                 if c is not None:
-                    calls.append(c)
-            if len(calls) == 0:
+                    cand.append((int(firsts[oi]), int(gorder[oi]), c))
+            if array_reads is not None:
+                cand.extend(array_reads.spanning_calls(first, last))
+            if len(cand) == 0:
                 continue
+            cand.sort(key=lambda t: (t[0], t[1]))
+            calls = [t[2] for t in cand]
             alleles = cluster_allele_calls(calls, reference)
             called = call_indel(
                 seq_name, first, calls, alleles, self.heterozygosity_rate,

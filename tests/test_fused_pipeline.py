@@ -296,3 +296,71 @@ def test_fused_equals_classic_repeat_genome():
 
     assert len(classic) > 10
     assert [_record_key(r) for r in classic] == [_record_key(r) for r in fused]
+
+
+def test_fused_equals_classic_repeat_genome():
+    """Bench-shaped workload at test scale: dispersed repeat families +
+    tandem arrays + indels (multi-candidate device resolution, DP
+    fallback, realigner trims on device-path reads).  Records must equal
+    the classic flow exactly."""
+    rng = np.random.default_rng(77)
+    L = 300_000
+    codes = rng.integers(0, 4, size=L).astype(np.int8)
+    for _fam in range(6):
+        slen = int(rng.integers(500, 2000))
+        src = int(rng.integers(0, L - slen))
+        seg = codes[src : src + slen].copy()
+        for _copy in range(int(rng.integers(3, 8))):
+            dst = int(rng.integers(0, L - slen))
+            cp = seg.copy()
+            nmut = int(rng.binomial(slen, float(rng.uniform(0.01, 0.08))))
+            if nmut:
+                mpos = rng.choice(slen, size=nmut, replace=False)
+                cp[mpos] = (cp[mpos] + rng.integers(1, 4, size=nmut)) % 4
+            codes[dst : dst + slen] = cp
+    for _t in range(20):
+        mlen = int(rng.integers(2, 7))
+        ncopies = int(rng.integers(8, 30))
+        dst = int(rng.integers(0, L - mlen * ncopies))
+        codes[dst : dst + mlen * ncopies] = np.tile(
+            rng.integers(0, 4, size=mlen).astype(np.int8), ncopies
+        )
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=codes))
+    genome = ReferenceGenome(seqs)
+    sim = SingleIndividualSimulator(
+        genome, snv_rate=0.001, indel_rate=0.0001, seed=8
+    )
+    sim.simulate()
+    hap = sim.build_haplotype_genomes()
+    from ngsepcore_tpu.core.sequences import ReadBlock
+
+    blocks = [
+        SingleReadsSimulator(
+            hg, read_length=150, substitution_error_rate=0.003, seed=31 + h
+        ).simulate_block(11000)
+        for h, hg in enumerate(hap)
+    ]
+    reads_blk = ReadBlock.concatenate(blocks)
+    reads = list(reads_blk)
+
+    aligner_c = ReadsAligner(genome)
+    det_c = SingleSampleVariantsDetector(genome, sample_id="s1")
+    alns = []
+    for i in range(0, len(reads), 4096):
+        for r in aligner_c.align_batch(reads[i : i + 4096]):
+            alns.extend(r)
+    classic = det_c.find_variants(alns)
+
+    pipe = AlignCallPipeline(
+        genome,
+        aligner=ReadsAligner(genome, table=aligner_c.table),
+        detector=SingleSampleVariantsDetector(genome, sample_id="s1"),
+        batch_size=4096,
+    )
+    fused = pipe.run_reads(reads_blk)
+
+    assert len(classic) > 100
+    ck = [_record_key(r) for r in classic]
+    fk = [_record_key(r) for r in fused]
+    assert ck == fk

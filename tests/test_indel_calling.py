@@ -169,3 +169,51 @@ def test_known_str_genotyping(tmp_path):
     assert any(al - ref_len == 4 for al in alt_lens), (
         s.variant.alleles, call.called_alleles()
     )
+
+
+def test_update_batch_matches_sequential():
+    """IndelCountsHelper.update_batch == sequential update() (same counts,
+    strand counts, and logcond to fp tolerance) on randomized sites."""
+    import numpy as np
+
+    from ngsepcore_tpu.call.indels import IndelCountsHelper, SpanningCall
+
+    rng = np.random.default_rng(42)
+    bases = "ACGT"
+    for trial in range(20):
+        n_alleles = int(rng.integers(1, 5))
+        lengths = rng.integers(3, 9, size=n_alleles)
+        alleles = []
+        for L in lengths:
+            a = "".join(bases[i] for i in rng.integers(0, 4, int(L)))
+            if a in alleles:
+                a = a[:-1] + bases[(bases.index(a[-1]) + 1) % 4]
+            if a not in alleles:
+                alleles.append(a)
+        calls = []
+        for _ in range(int(rng.integers(0, 25))):
+            src = alleles[int(rng.integers(0, len(alleles)))]
+            codes = list(src)
+            for k in range(len(codes)):
+                if rng.random() < 0.1:
+                    codes[k] = bases[int(rng.integers(0, 4))]
+            calls.append(
+                SpanningCall(
+                    allele="".join(codes),
+                    qualities=rng.integers(0, 41, size=len(codes)).astype(
+                        np.int8
+                    ),
+                    negative_strand=bool(rng.integers(0, 2)),
+                )
+            )
+        h_seq = IndelCountsHelper(alleles, 0.5)
+        for c in calls:
+            h_seq.update(c)
+        h_bat = IndelCountsHelper(alleles, 0.5)
+        h_bat.update_batch(calls)
+        assert h_seq.total == h_bat.total
+        assert np.array_equal(h_seq.counts, h_bat.counts)
+        assert np.array_equal(h_seq.strand_counts, h_bat.strand_counts)
+        np.testing.assert_allclose(
+            h_seq.logcond, h_bat.logcond, rtol=0, atol=1e-9
+        )
