@@ -52,6 +52,14 @@ class ReadAlignment:
     # cached int8 codes of read_chars (as aligned); set by the aligner so
     # downstream pileup expansion skips re-encoding strings
     _read_codes: np.ndarray | None = field(default=None, repr=False, compare=False)
+    # CIGAR-derived caches (the realigner + pileup walk these hundreds of
+    # thousands of times per run); invalidated on CIGAR mutation
+    _ref_span: int | None = field(default=None, repr=False, compare=False)
+    _indel_calls: list | None = field(default=None, repr=False, compare=False)
+
+    def _invalidate_cigar_cache(self) -> None:
+        self._ref_span = None
+        self._indel_calls = None
 
     @property
     def read_codes(self) -> np.ndarray:
@@ -109,7 +117,11 @@ class ReadAlignment:
 
     @property
     def reference_span(self) -> int:
-        return sum(l for l, op in self.cigar if op in _CONSUMES_REF)
+        if self._ref_span is None:
+            self._ref_span = sum(
+                l for l, op in self.cigar if op in _CONSUMES_REF
+            )
+        return self._ref_span
 
     @property
     def last(self) -> int:
@@ -165,6 +177,7 @@ class ReadAlignment:
             new_cigar.append((rm_read_end, "S"))
         self.first += rm_ref_start
         self.cigar = new_cigar
+        self._invalidate_cigar_cache()
         return True
 
     # ---- per-position access (pileup support) -----------------------------
@@ -193,14 +206,25 @@ class ReadAlignment:
         insertion spans 2), `length` = inserted/deleted base count.
         Border I/D runs (no M on both sides) are not calls.
         """
+        if self._indel_calls is not None:
+            return self._indel_calls
         out: list[tuple[int, int, int]] = []
+        cig = self.cigar
+        # most alignments are gapless S/M/S — return the cached empty list
+        # without walking (hot: realigner + pileup call this per alignment)
+        if not any(op in ("I", "D", "N") for _, op in cig):
+            self._indel_calls = out
+            return out
         pos = self.first
-        for k, (l, op) in enumerate(self.cigar):
+        last_m = -1
+        for k in range(len(cig) - 1, -1, -1):
+            if cig[k][1] == "M":
+                last_m = k
+                break
+        seen_m = False
+        for k, (l, op) in enumerate(cig):
             if op in ("I", "D", "N"):
-                interior = (
-                    any(o == "M" for _, o in self.cigar[:k])
-                    and any(o == "M" for _, o in self.cigar[k + 1 :])
-                )
+                interior = seen_m and k < last_m
                 if op == "I":
                     if interior:
                         out.append((pos - 1, pos, l))
@@ -210,6 +234,9 @@ class ReadAlignment:
                     pos += l
             elif op in _CONSUMES_REF:
                 pos += l
+                if op == "M":
+                    seen_m = True
+        self._indel_calls = out
         return out
 
     def indel_call_at(self, ref_pos: int) -> tuple[int, int, int] | None:
@@ -249,6 +276,7 @@ class ReadAlignment:
                             return False
                         self.cigar[k - 1] = (prev_l + shift, "M")
                         self.cigar[k + 1] = (next_l - shift, "M")
+                    self._invalidate_cigar_cache()
                     return True
             if op in _CONSUMES_REF:
                 pos += l

@@ -30,12 +30,7 @@ from ..core.sequences import (
     reverse_complement_codes,
 )
 from ..index.minimizer_table import MinimizerTable
-from ..kernels.pairwise import (
-    OP_DEL,
-    OP_INS,
-    OP_MATCH,
-    affine_gap_align_batch,
-)
+from ..kernels.pairwise import affine_gap_align_batch
 from .read_alignment import FLAG_READ_REVERSE, ReadAlignment
 
 DEF_KMER_LENGTH = 25  # ref: ReadsAligner.java:62
@@ -64,16 +59,24 @@ def select_final_alignments(
     secondary alignments (ref: SingleReadsAligner.filterAlignments:118-143).
     Shared by the short- and long-read aligners.  `rev_mat` optionally
     provides precomputed reverse-complement code rows (row i = read i,
-    left-aligned) so reverse alignments skip a per-read revcomp pass."""
+    left-aligned) so reverse alignments skip a per-read revcomp pass.
+
+    Sequence materialization (codes, decoded string, qualities) is
+    deferred and batched: all kept alignments' strings decode through ONE
+    decode_dna pass (per-alignment decode was ~2s/run at bench scale)."""
+    from ..core.sequences import ReadBlock
+
     B = len(reads)
     out: list[list[ReadAlignment]] = [[] for _ in range(B)]
     finals: dict[int, list["_Candidate"]] = {}
     n_aligned = 0
+    is_block = isinstance(reads, ReadBlock)
+    names = reads.names if is_block else None
+    mat_jobs: list[tuple[ReadAlignment, int, bool]] = []
     for c in candidates:
         if c.aln is not None:
             finals.setdefault(c.read_idx, []).append(c)
     for ridx, cands in finals.items():
-        read = reads[ridx]
         if len(cands) == 1:
             # fast path: single candidate — no sort/threshold bookkeeping
             # (q > 0.8*q for any positive quality)
@@ -90,24 +93,15 @@ def select_final_alignments(
         n = len(kept)
         for i, c in enumerate(kept):
             aln = c.aln
-            aln.read_name = read.name
+            if not is_block:
+                aln.read_name = reads[ridx].name
+            elif names is not None:
+                aln.read_name = names[ridx]
+            else:
+                aln.read_name = f"read_{ridx}"
             if c.reverse:
                 aln.flags |= FLAG_READ_REVERSE
-                if rev_mat is not None:
-                    rc = rev_mat[ridx, : len(read.sequence)]
-                else:
-                    rc = reverse_complement_codes(read.codes)
-                aln.read_chars = decode_dna(rc)
-                aln._read_codes = np.asarray(rc)
-                aln.qualities = (
-                    read.qualities[::-1]
-                    if read.qualities
-                    else "5" * len(read.sequence)
-                )
-            else:
-                aln.read_chars = read.sequence
-                aln._read_codes = read.codes
-                aln.qualities = read.qualities or "5" * len(read.sequence)
+            mat_jobs.append((aln, ridx, c.reverse))
             if i > 0:
                 aln.set_secondary(True)
             q = c.quality
@@ -118,7 +112,67 @@ def select_final_alignments(
         out[ridx] = [c.aln for c in kept]
         if out[ridx]:
             n_aligned += 1
+    _materialize_sequences(reads, mat_jobs, rev_mat, is_block)
     return out, n_aligned
+
+
+def _materialize_sequences(reads, mat_jobs, rev_mat, is_block) -> None:
+    """Attach codes / decoded string / qualities to each kept alignment,
+    with one concatenated decode_dna pass over every row."""
+    if not mat_jobs:
+        return
+    arrs: list[np.ndarray] = []
+    quals: list[str | None] = []
+    if is_block:
+        codes_m = reads.codes
+        lengths = reads.lengths
+        qmat = reads.quals
+        dq = chr(33 + reads.default_quality)
+        for aln, ridx, rev in mat_jobs:
+            L = int(lengths[ridx])
+            row = codes_m[ridx, :L]
+            if rev:
+                if rev_mat is not None:
+                    row = rev_mat[ridx, :L]
+                else:
+                    row = reverse_complement_codes(row)
+            arrs.append(row)
+            if qmat is None:
+                quals.append(dq * L)
+            else:
+                qs = qmat[ridx, :L].tobytes().decode("ascii")
+                quals.append(qs[::-1] if rev else qs)
+    else:
+        # RawRead path: forward alignments keep the ORIGINAL sequence
+        # string (case preserved); only reverse rows join the decode batch
+        fwd_jobs = []
+        rev_jobs = mat_jobs.__class__()
+        for job in mat_jobs:
+            (rev_jobs if job[2] else fwd_jobs).append(job)
+        for aln, ridx, _ in fwd_jobs:
+            read = reads[ridx]
+            aln.read_chars = read.sequence
+            aln._read_codes = read.codes
+            aln.qualities = read.qualities or "5" * len(read.sequence)
+        mat_jobs = rev_jobs
+        for aln, ridx, _ in mat_jobs:
+            read = reads[ridx]
+            L = len(read.sequence)
+            if rev_mat is not None:
+                row = rev_mat[ridx, :L]
+            else:
+                row = reverse_complement_codes(read.codes)
+            arrs.append(np.asarray(row))
+            quals.append(read.qualities[::-1] if read.qualities else "5" * L)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int8)
+    big = decode_dna(flat)
+    off = 0
+    for (aln, ridx, rev), row, q in zip(mat_jobs, arrs, quals):
+        L = len(row)
+        aln._read_codes = row
+        aln.read_chars = big[off : off + L]
+        aln.qualities = q
+        off += L
 
 
 @dataclass
@@ -183,14 +237,10 @@ class ReadsAligner:
     # ------------------------------------------------------------------
     def _tier2_pass(
         self,
-        cells,  # iterable of (ridx, c) candidate cells to consider
-        pred_b: np.ndarray,  # (B, C) predicted concat starts
-        seq_idx_m: np.ndarray,
-        strand_b: np.ndarray,
+        cells,  # iterable of (ridx, c, si, pred, strand, weight) records
         lengths: np.ndarray,
         fwd_mat: np.ndarray,
         rev_mat: np.ndarray | None,
-        weights: np.ndarray,
     ) -> dict:
         """Tier-2 attempt for every candidate cell whose predicted span
         overlaps a known STR (ref buildAlignment:71-80: the repeat check
@@ -206,17 +256,15 @@ class ReadsAligner:
 
         offs = self.genome.offsets
         jobs = []
-        for ridx, c in cells:
-            ridx, c = int(ridx), int(c)
-            si = int(seq_idx_m[ridx, c])
+        for ridx, c, si, pred, strand, weight in cells:
             if not t2.has_strs(si):
                 continue
             qlen = int(lengths[ridx])
-            first = int(pred_b[ridx, c]) - int(offs[si]) + 1
+            first = pred - int(offs[si]) + 1
             region = t2.region_for(si, first, first + qlen - 1)
             if region is None:
                 continue
-            if strand_b[ridx, c]:
+            if strand:
                 if rev_mat is not None:
                     qcodes = rev_mat[ridx, :qlen]
                 else:
@@ -226,10 +274,10 @@ class ReadsAligner:
                 qcodes = fwd_mat[ridx, :qlen]
             cand = _Candidate(
                 read_idx=ridx,
-                reverse=bool(strand_b[ridx, c]),
+                reverse=bool(strand),
                 seq_idx=si,
-                pred_start=int(pred_b[ridx, c]),
-                weight=float(weights[ridx, c]),
+                pred_start=pred,
+                weight=float(weight),
             )
             jobs.append(((ridx, c), _Tier2Job(cand, qcodes, first, region, si)))
             result[None].add((ridx, c))
@@ -335,8 +383,15 @@ class ReadsAligner:
         t2_hits: dict = {None: set()}
         if self.tier2 is not None:
             t2_hits = self._tier2_pass(
-                zip(*np.nonzero(keep & in_b)), pred_b, seq_idx_m, strand_b,
-                lengths_h, fwd_mat, rev_mat, w,
+                (
+                    (
+                        int(r), int(c), int(seq_idx_m[r, c]),
+                        int(pred_b[r, c]), int(strand_b[r, c]),
+                        float(w[r, c]),
+                    )
+                    for r, c in zip(*np.nonzero(keep & in_b))
+                ),
+                lengths_h, fwd_mat, rev_mat,
             )
             for cell, cand in t2_hits.items():
                 if cell is not None:
@@ -470,8 +525,10 @@ class ReadsAligner:
         self._tier3_run(self._tier3_jobs(dp_cands, fwd_mat, rev_mat, lengths))
 
     def _tier3_dispatch(self, jobs: list, concat: np.ndarray):
-        """Pack one chunk and launch the DP kernel asynchronously.
-        Returns (jobs, query matrix, device output handles)."""
+        """Pack one chunk and launch the DP kernel + stats/pack post-pass
+        asynchronously.  Returns (jobs, device output handles)."""
+        from ..kernels.pairwise import dp_stats_pack
+
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
         rows = _row_bucket(len(jobs), minimum=self.DP_ROWS_MIN)
@@ -486,61 +543,40 @@ class ReadsAligner:
         out = affine_gap_align_batch(
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )
-        return jobs, qc, (out["ops"], out["n_ops"], out["start_j"])
+        stats = dp_stats_pack(
+            out["ops"], out["n_ops"], out["start_j"], qc, sc
+        )
+        return jobs, None, stats
 
     def _tier3_decode(
-        self, jobs: list, qc: np.ndarray, out, concat: np.ndarray
+        self, jobs: list, qc, out: dict, concat: np.ndarray
     ) -> None:
-        """Vectorized decode of one fetched chunk.
+        """Decode one fetched stats chunk: mismatch accept, then CIGARs.
 
-        Mismatch counting (ops_to_cigar_and_strings semantics: +1 per
-        mismatched pair, +2 per gap run entered after a match, -2 when the
-        alignment ends in a gap — ShortReadsUngappedSearchHitsClusterAligner
-        .java:140-156) runs as numpy array passes over the whole chunk;
-        per-job Python survives only for accepted rows, and the dominant
+        The mismatch statistic, gap flag, and a 2-bit-packed ops array
+        come precomputed from the device (kernels/pairwise.dp_stats_pack);
+        per-job Python survives only for ACCEPTED rows, and the dominant
         gapless rows take a constant-time single-run CIGAR path."""
         from .read_alignment import left_align_indels
 
-        ops_all, n_ops_all, start_j_all = out
         n = len(jobs)
-        ops = np.asarray(ops_all)[:n]
-        n_ops = np.asarray(n_ops_all)[:n].astype(np.int64)
-        start_j = np.asarray(start_j_all)[:n].astype(np.int64)
-        S = ops.shape[1]
-        col = np.arange(S, dtype=np.int64)[None, :]
-        valid = col < n_ops[:, None]
-        m = (ops == OP_MATCH) & valid
-        ins = (ops == OP_INS) & valid
-        dele = (ops == OP_DEL) & valid
-        g = ins | dele
-        # exclusive cumsums = query/subject cursor BEFORE each op
-        qcons = m | ins
-        scons = m | dele
-        qi = np.cumsum(qcons, axis=1) - qcons
-        sj = np.cumsum(scons, axis=1) - scons
-        firsts = np.fromiter((j[2] for j in jobs), np.int64, n)
-        s_abs = np.clip(firsts[:, None] + start_j[:, None] + sj, 0, len(concat) - 1)
-        s_codes = concat[s_abs]
-        q_codes = np.take_along_axis(
-            qc[:n], np.minimum(qi, qc.shape[1] - 1), axis=1
-        )
-        sub_mm = (m & (q_codes != s_codes)).sum(axis=1)
-        z = np.zeros((n, 1), bool)
-        run_start = g & ~np.concatenate([z, g[:, :-1]], axis=1)
-        after_m = np.concatenate([z, m[:, :-1]], axis=1)
-        k_runs = (run_start & after_m).sum(axis=1)
-        last_op = ops[np.arange(n), np.maximum(n_ops - 1, 0)]
-        ends_gap = (n_ops > 0) & ((last_op == OP_INS) | (last_op == OP_DEL))
-        mism_all = sub_mm + 2 * k_runs - 2 * ends_gap
-        has_gap = g.any(axis=1)
+        mism_all = np.asarray(out["mism"])[:n].astype(np.int64)
+        has_gap = np.asarray(out["has_gap"])[:n]
+        packed = np.asarray(out["packed"])[:n]
+        n_ops = np.asarray(out["n_ops"])[:n].astype(np.int64)
+        start_j = np.asarray(out["start_j"])[:n].astype(np.int64)
         qlen_all = np.fromiter((len(j[1]) for j in jobs), np.int64, n)
         ok = np.nonzero(mism_all <= 0.1 * qlen_all)[0]
+        sh = 2 * np.arange(16, dtype=np.uint32)
 
         for i in ok:
             c, qcodes, first, last = jobs[i]
             mism = int(mism_all[i])
             if has_gap[i]:
-                o = ops[i, : n_ops[i]]
+                no = int(n_ops[i])
+                o = (
+                    (packed[i][:, None] >> sh[None, :]) & 3
+                ).ravel()[:no].astype(np.uint8)
                 b = np.flatnonzero(o[1:] != o[:-1]) + 1
                 bounds = np.concatenate([[0], b, [len(o)]])
                 cigar = [

@@ -60,7 +60,7 @@ def phase_reads(
         alns = per_contig.get(f"c{ci}", [])
         if len(alns) < min_het_depth:
             continue
-        pos, allele, qual, strand, _ = expand_batch_calls(alns)
+        pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
         L = len(draft)
         out_size = _bucket(L)
         counts, _, _, total = scatter_allele_counts(

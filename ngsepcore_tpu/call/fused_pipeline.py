@@ -25,8 +25,6 @@ import numpy as np
 
 from ..align.read_alignment import ReadAlignment
 from ..align.reads_aligner import (
-    MIN_PROPORTION_BEST,
-    MIN_WEIGHTED_COUNT,
     ReadsAligner,
     _Candidate,
     _row_bucket,
@@ -49,49 +47,6 @@ INDEL_PAD = 16
 _QUAL_LUT3 = (
     np.clip(np.arange(256, dtype=np.int16) - 33, 0, 30) << 3
 ).astype(np.uint8)
-
-
-def _pack_seed_fetch(res):
-    """Pack one batch's classify columns for the host fetch.
-
-    pred_start keeps int32 (genome concat coordinate / BIG32 sentinel);
-    weight, strand|mismatches, clip_start, clip_end share a (B, C, 4)
-    uint16 array.  All four fit 15 bits for any read this pipeline
-    batches (values are bounded by the padded read length); clips are
-    clamped defensively anyway.  12 bytes/candidate vs the naive 28."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def pack(pred, w, strand, mm, cs, ce):
-        lanes = jnp.stack(
-            [
-                jnp.clip(w, 0, 0x7FFF).astype(jnp.uint16),
-                jnp.clip(mm, 0, 0x7FFF).astype(jnp.uint16)
-                | (strand.astype(jnp.uint16) << 15),
-                jnp.clip(cs, 0, 0xFFFF).astype(jnp.uint16),
-                jnp.clip(ce, 0, 0xFFFF).astype(jnp.uint16),
-            ],
-            axis=-1,
-        )
-        return pred, lanes
-
-    return pack(
-        res["pred_start"], res["weight"], res["strand"],
-        res["mismatches"], res["clip_start"], res["clip_end"],
-    )
-
-
-def _unpack_seed_fetch(pred: np.ndarray, pk16: np.ndarray) -> dict:
-    """Host-side inverse of _pack_seed_fetch (back to int32 columns)."""
-    return {
-        "pred_start": pred,
-        "weight": pk16[..., 0].astype(np.int32),
-        "strand": (pk16[..., 1] >> 15).astype(np.int32),
-        "mismatches": (pk16[..., 1] & 0x7FFF).astype(np.int32),
-        "clip_start": pk16[..., 2].astype(np.int32),
-        "clip_end": pk16[..., 3].astype(np.int32),
-    }
 
 
 @dataclass
@@ -184,7 +139,6 @@ class _ArrayReads:
         """(first, gorder, SpanningCall) tuples for array reads reliably
         spanning [first, last] — mirrors indels.spanning_call_for for the
         gapless S/M/S case."""
-        from ..core.sequences import decode_dna
         from .indels import SpanningCall
 
         out = []
@@ -218,7 +172,7 @@ class _ArrayReads:
                     af,
                     int(self.gorder[i]),
                     SpanningCall(
-                        allele=decode_dna(codes).upper(),
+                        codes=np.ascontiguousarray(codes),
                         qualities=quals,
                         negative_strand=bool(self.strand[i]),
                     ),
@@ -341,23 +295,26 @@ class AlignCallPipeline:
             for bi, (a, b) in enumerate(spans):
                 _progress_check(self.progress_notifier, bi)
                 seeded.append(self._seed_batch(reads[a:b]))
-        # one link round trip for ALL batches' seeding results, with the
-        # classify columns bit-packed to 12 bytes/candidate on device: the
-        # host link is both latency- (per-array) and bandwidth-bound, so
-        # pred stays int32 and (weight, strand|mismatches, clips) ride one
-        # uint16 lane array.  num_hits is not consumed by classification
-        # and never crosses the link.
+        # classification runs ON DEVICE (kernels/seeding.classify_candidates)
+        # so one link round trip for ALL batches carries only ~14 bytes per
+        # read (fused flags + selected placement + compacted host cells)
+        # instead of the full (B, C) candidate matrices.
         import jax
 
         with stage("align.seed_fetch"):
-            fetched = jax.device_get(
-                [_pack_seed_fetch(s[5]) for s in seeded]
-            )
+            fetched = jax.device_get([s[6] for s in seeded])
         with stage("align.classify"):
-            batches = [
-                self._classify_batch(*s[:5], s[5], _unpack_seed_fetch(pred, pk16))
-                for s, (pred, pk16) in zip(seeded, fetched)
-            ]
+            batches = []
+            for s, clf in zip(seeded, fetched):
+                cap = s[6]["cells"].shape[0]
+                if int(clf["cell_count"]) > cap:
+                    # rare overflow: re-classify with the full-cap program
+                    clf = jax.device_get(
+                        self._dispatch_classify(
+                            s[5], s[4], cap=cap * s[5]["pred_start"].shape[1]
+                        )
+                    )
+                batches.append(self._classify_batch(*s[:6], clf))
         for st, (a, _b) in zip(batches, spans):
             st.read0 = a
         # one DP sweep over all batches' fallback candidates (a per-batch
@@ -481,6 +438,34 @@ class AlignCallPipeline:
         return jax.device_put(x)
 
     # ------------------------------------------------------------------
+    def _dispatch_classify(self, res_dev, lengths32, cap: int):
+        """Launch the on-device candidate classifier for one seeded batch
+        (kernels/seeding.classify_candidates)."""
+        import jax.numpy as jnp
+
+        from ..kernels.seeding import classify_candidates
+
+        if getattr(self, "_clf_consts", None) is None:
+            offs32 = jnp.asarray(
+                np.asarray(self.genome.offsets, np.int64).astype(np.int32)
+            )
+            if len(self._str_iv_lo):
+                ivl = jnp.asarray(self._str_iv_lo.astype(np.int32))
+                ivh = jnp.asarray(self._str_iv_hi.astype(np.int32))
+            else:
+                ivl = jnp.zeros(1, jnp.int32)
+                ivh = jnp.full(1, -1, jnp.int32)
+            self._clf_consts = (offs32, ivl, ivh)
+        offs32, ivl, ivh = self._clf_consts
+        return classify_candidates(
+            res_dev["pred_start"], res_dev["weight"], res_dev["strand"],
+            res_dev["mismatches"], res_dev["clip_start"], res_dev["clip_end"],
+            lengths32,
+            offs32, ivl, ivh, np.int32(self.detector.min_mq),
+            cap=cap, has_strs=len(self._str_iv_lo) > 0,
+        )
+
+    # ------------------------------------------------------------------
     def _seed_batch(self, reads):
         """Pack + upload one batch and dispatch the seeding kernel
         asynchronously; returns everything _classify_batch needs.  `reads`
@@ -532,7 +517,8 @@ class AlignCallPipeline:
                 const_len=cl,
                 genome_has_n=self.genome.has_n,
             )
-            return reads, fwd_mat, lengths_h, pq_dev, lengths32, res
+            clf = self._dispatch_classify(res, lengths32, cap=bucket)
+            return reads, fwd_mat, lengths_h, pq_dev, lengths32, res, clf
         pad_blk = [np.empty(0, np.int8)] * (bucket - B)
         fwd_mat, lengths_h, _ = pack_reads(
             [r.codes for r in reads] + pad_blk, pad_multiple=al.read_pad
@@ -583,148 +569,78 @@ class AlignCallPipeline:
             const_len=cl,
             genome_has_n=self.genome.has_n,
         )
-        return reads, fwd_mat, lengths_h, pq_dev, lengths32, res
+        clf = self._dispatch_classify(res, lengths32, cap=bucket)
+        return reads, fwd_mat, lengths_h, pq_dev, lengths32, res, clf
 
     # ------------------------------------------------------------------
     def _classify_batch(
-        self, reads, fwd_mat, lengths_h, pq_dev, lengths32, res_dev, res
+        self, reads, fwd_mat, lengths_h, pq_dev, lengths32, res_dev, clf
     ) -> _BatchState:
-        """Classify each read as fused (device pileup path) or host (exact
-        object path).  Mirrors ReadsAligner.align_batch candidate selection
-        bit for bit; DP fallback jobs are built but deferred.  `res` is the
-        ALREADY-FETCHED (host numpy) seeding result — the caller batches
-        the device_get across batches to pay the link round trip once."""
+        """Build the batch state from the DEVICE classifier's output
+        (kernels/seeding.classify_candidates — fused/unique tier-1 accept,
+        multi-candidate resolution, STR demotion and host-cell compaction
+        all ran on device; `clf` is the already-fetched result).  Host work
+        reduces to constructing tier-2 jobs / tier-1 alignments / DP jobs
+        for the compacted host cells, in the same row-major cell order as
+        the classic path."""
         al = self.aligner
         B = len(reads)
-        pred = res["pred_start"].astype(np.int64)[:B]
-        weight = res["weight"][:B]
-        strand = res["strand"][:B]
-        mm = res["mismatches"][:B]
-        cs = res["clip_start"][:B]
-        ce = res["clip_end"][:B]
         offs = self.genome.offsets
-        valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
-        seq_idx_m = np.clip(
-            np.searchsorted(offs, np.clip(pred, 0, None), side="right") - 1,
-            0,
-            self.genome.num_sequences - 1,
-        )
-        qlen = lengths_h[:B].astype(np.int64)[:, None]
-        w = weight.astype(np.float64)
-        limit = np.minimum(MIN_WEIGHTED_COUNT, MIN_PROPORTION_BEST * w[:, :1])
-        keep = valid_c.copy()
-        keep[:, 1:] &= w[:, 1:] >= limit
-        keep = np.logical_and.accumulate(keep, axis=1)
-        in_b = (pred >= offs[seq_idx_m]) & (pred + qlen <= offs[seq_idx_m + 1])
-        t1 = (
-            keep
-            & in_b
-            & (w > 2)
-            & (mm < 0.05 * qlen)
-            & ((cs + ce) < 0.1 * qlen)
-        )
-        n_kept = keep.sum(axis=1)
-        # fused: exactly one kept candidate, accepted by the tier-1 screen,
-        # with mapping quality (q = 100 - 5*mm) above the calling threshold
-        fused = (
-            (n_kept == 1)
-            & t1[:, 0]
-            & (100 - mm[:, 0] * 5 >= max(1, self.detector.min_mq))
-        )
-        # ---- multi-candidate tier-1 resolution --------------------------
-        # Rows whose EVERY kept candidate passed the tier-1 screen resolve
-        # without host objects: select_final_alignments ranks candidates by
-        # q = 100-5*mm and keeps the prefix with q > int(0.8*best).  Under
-        # the _fusable gate (max_alns_per_read==1, min_mq>15), >=2
-        # survivors always produce MAPQ 0.3q/n <= 15 which find_variants
-        # drops, so only a UNIQUE survivor above min_mq contributes — the
-        # same evidence as a unique tier-1 read at the winner's placement.
-        # Repeat-dense genomes put most multi-mapping reads through here.
-        sel_col = np.zeros(B, np.int64)
-        resolved_drop = np.zeros(B, bool)
-        multi = (n_kept >= 2) & (t1 | ~keep).all(axis=1)
-        if multi.any():
-            q = np.where(keep, 100 - 5 * mm, -(10 ** 9))
-            best = q.max(axis=1)
-            thr = np.trunc(0.8 * best)
-            n_final = (q > thr[:, None]).sum(axis=1)
-            win = np.argmax(q, axis=1)  # first max = classic stable order
-            if len(self._str_iv_lo):
-                # candidates near known STRs must take the host tier-2 path
-                mr, mc = np.nonzero(multi[:, None] & keep)
-                first = pred[mr, mc]
-                last = first + qlen[mr, 0]
-                k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
-                k = np.clip(k, 0, len(self._str_iv_lo) - 1)
-                overl = (self._str_iv_lo[k] <= last) & (
-                    self._str_iv_hi[k] >= first
-                )
-                multi[mr[overl]] = False
-            one = multi & (n_final == 1) & (
-                best >= max(1, self.detector.min_mq)
-            )
-            resolved_drop = multi & ~one
-            sel_col[one] = win[one]
-            fused = fused | one
-            # classic counts a read aligned when its final list is
-            # non-empty, even if the caller then drops it on MAPQ
-            al.aligned_reads += int(
-                (resolved_drop & ((n_final >= 2) | (best > 0))).sum()
-            )
-        # known-STR neighborhoods demote to the host path: tier-2 split
-        # alignment and realigner STR conciliation need host objects
-        if len(self._str_iv_lo):
-            rows = np.nonzero(fused)[0]
-            if len(rows):
-                # UNCLIPPED span: tier-2 triggers on the predicted span
-                # before clipping, so demotion must cover at least that
-                first = pred[rows, sel_col[rows]]
-                last = first + qlen[rows, 0]
-                k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
-                k = np.clip(k, 0, len(self._str_iv_lo) - 1)
-                overl = (self._str_iv_lo[k] <= last) & (
-                    self._str_iv_hi[k] >= first
-                )
-                fused[rows[overl]] = False
-        al.few_mismatches_alns += int(fused.sum())
+        fused = np.array(clf["fused"][:B], dtype=bool)
+        sel_pred = clf["sel_pred"][:B].astype(np.int64)
+        sel_a = clf["sel_a"][:B]
+        sel_b = clf["sel_b"][:B]
+        al.aligned_reads += int(clf["aligned_extra"])
+        al.few_mismatches_alns += int(clf["fused_count"])
+        al.aligned_reads += int(clf["fused_count"])
 
-        # ---- host path for everything else -----------------------------
-        host_rows = np.nonzero(keep.any(axis=1) & ~fused & ~resolved_drop)[0]
+        n_cells = int(clf["cell_count"])
+        cells = np.asarray(clf["cells"])[:n_cells]
         selected: list[_Candidate] = []
         dp_jobs: list = []
-        t2_hits: dict = {None: set()}
-        if len(host_rows):
-            names = [
-                self.genome.sequence_name(i)
-                for i in range(self.genome.num_sequences)
-            ]
-            host_set = set(int(x) for x in host_rows)
+        if n_cells:
+            ridx_a = cells[:, 0]
+            pred_a = cells[:, 1].astype(np.int64)
+            w_a = cells[:, 2] & 0xFFFF
+            col_a = (cells[:, 2] >> 16) & 15
+            t1_a = ((cells[:, 2] >> 20) & 1).astype(bool)
+            strand_a = (cells[:, 2] >> 21) & 1
+            mm_a = cells[:, 3] & 0x3FF
+            cs_a = (cells[:, 3] >> 10) & 0x3FF
+            ce_a = (cells[:, 3] >> 20) & 0x3FF
+            si_a = np.clip(
+                np.searchsorted(offs, pred_a, side="right") - 1,
+                0,
+                self.genome.num_sequences - 1,
+            )
+            t2_hits: dict = {None: set()}
             if al.tier2 is not None:
-                host_cells = [
-                    (r, c)
-                    for r, c in zip(*np.nonzero(keep & in_b))
-                    if int(r) in host_set
-                ]
                 t2_hits = al._tier2_pass(
-                    host_cells, pred, seq_idx_m, strand, lengths_h,
-                    fwd_mat, None, w,
+                    (
+                        (
+                            int(ridx_a[i]), int(col_a[i]), int(si_a[i]),
+                            int(pred_a[i]), int(strand_a[i]), float(w_a[i]),
+                        )
+                        for i in range(n_cells)
+                    ),
+                    lengths_h, fwd_mat, None,
                 )
                 for cell, cand in t2_hits.items():
                     if cell is not None:
                         selected.append(cand)
-            for ridx, c in zip(*np.nonzero(t1)):
-                ridx = int(ridx)
-                if ridx not in host_set:
-                    continue
-                if not keep[ridx, c]:
-                    continue
-                if (ridx, int(c)) in t2_hits:
+            names = [
+                self.genome.sequence_name(i)
+                for i in range(self.genome.num_sequences)
+            ]
+            for i in np.nonzero(t1_a)[0]:
+                ridx, c = int(ridx_a[i]), int(col_a[i])
+                if (ridx, c) in t2_hits:
                     continue  # replaced by the tier-2 alignment
-                si = int(seq_idx_m[ridx, c])
-                p = int(pred[ridx, c])
-                tcs, tce = int(cs[ridx, c]), int(ce[ridx, c])
-                t = int(mm[ridx, c])
-                ql = int(qlen[ridx, 0])
+                si = int(si_a[i])
+                p = int(pred_a[i])
+                tcs, tce = int(cs_a[i]), int(ce_a[i])
+                t = int(mm_a[i])
+                ql = int(lengths_h[ridx])
                 cigar = []
                 if tcs > 0:
                     cigar.append((tcs, "S"))
@@ -734,10 +650,10 @@ class AlignCallPipeline:
                 selected.append(
                     _Candidate(
                         read_idx=ridx,
-                        reverse=bool(strand[ridx, c]),
+                        reverse=bool(strand_a[i]),
                         seq_idx=si,
                         pred_start=p,
-                        weight=float(w[ridx, c]),
+                        weight=float(w_a[i]),
                         aln=ReadAlignment(
                             sequence_name=names[si],
                             first=p + tcs - int(offs[si]) + 1,
@@ -747,35 +663,31 @@ class AlignCallPipeline:
                         quality=int(round(100 - 5 * t)),
                     )
                 )
-            dp = keep & in_b & ~t1
             dp_cands = [
                 _Candidate(
-                    read_idx=int(ridx),
-                    reverse=bool(strand[ridx, c]),
-                    seq_idx=int(seq_idx_m[ridx, c]),
-                    pred_start=int(pred[ridx, c]),
-                    weight=float(w[ridx, c]),
+                    read_idx=int(ridx_a[i]),
+                    reverse=bool(strand_a[i]),
+                    seq_idx=int(si_a[i]),
+                    pred_start=int(pred_a[i]),
+                    weight=float(w_a[i]),
                 )
-                for ridx, c in zip(*np.nonzero(dp))
-                if (int(ridx), int(c)) not in t2_hits
+                for i in np.nonzero(~t1_a)[0]
+                if (int(ridx_a[i]), int(col_a[i])) not in t2_hits
             ]
             dp_jobs = al._tier3_jobs(dp_cands, fwd_mat, None, lengths_h)
             selected.extend(dp_cands)
-        al.aligned_reads += int(fused.sum())
 
-        rows_all = np.arange(B)
-        f32 = lambda a: a[rows_all, sel_col].astype(np.int32)
         return _BatchState(
             reads=reads,
             fwd_mat=fwd_mat,
             pq_dev=pq_dev,
             res_dev=res_dev,
             lengths=lengths32,
-            pred=np.where(fused, pred[rows_all, sel_col], -1).astype(np.int64),
-            cs=f32(cs),
-            ce=f32(ce),
-            mm=f32(mm),
-            strand=f32(strand),
+            pred=np.where(fused, sel_pred, -1).astype(np.int64),
+            cs=(sel_b[:B] & 0xFFFF).astype(np.int32),
+            ce=((sel_b[:B] >> 16) & 0xFFFF).astype(np.int32),
+            mm=(sel_a[:B] & 0xFFFF).astype(np.int32),
+            strand=((sel_a[:B] >> 16) & 1).astype(np.int32),
             fused=fused,
             host_alns=[[] for _ in range(B)],
             selected=selected,
@@ -928,7 +840,7 @@ class AlignCallPipeline:
                     else []
                 )
             with stage("call.expand_host_calls"):
-                pos, allele, qual, strand, _ = expand_batch_calls(alns)
+                pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
                 o = np.argsort(pos, kind="stable")
             self._seq_host[si] = (
                 indel_records,

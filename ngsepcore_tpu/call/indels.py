@@ -49,9 +49,17 @@ LOG_HALF = float(np.log10(0.5))
 
 @dataclass
 class SpanningCall:
-    allele: str
+    """One read's spanning allele observation, carried as int8 codes (the
+    string round trip was the hottest indel-path cost at bench scale:
+    ~250k decode+encode pairs per run)."""
+
+    codes: np.ndarray  # int8 allele codes (N=4)
     qualities: np.ndarray  # phred per base
     negative_strand: bool
+
+    @property
+    def allele(self) -> str:
+        return decode_dna(self.codes)
 
 
 def cluster_allele_calls(
@@ -60,7 +68,7 @@ def cluster_allele_calls(
     """Port of clusterAlleleCalls: returns alleles with reference first."""
     by_length: dict[int, list[SpanningCall]] = {}
     for c in calls:
-        by_length.setdefault(len(c.allele), []).append(c)
+        by_length.setdefault(len(c.codes), []).append(c)
     # filter severe length imbalances only when >2 length clusters (:148-156)
     if len(by_length) >= 3:
         min_count = MIN_RELATIVE_PROPORTION * len(calls)
@@ -73,7 +81,7 @@ def cluster_allele_calls(
         if len(calls_l) < 5 * len(suggested):
             length_alleles = set(suggested)
         else:
-            mat = np.stack([encode_dna(c.allele) for c in calls_l])
+            mat = np.stack([c.codes for c in calls_l])
             consensus = _hamming_consensus_str(mat)
             suggested.add(consensus)
             if l < 4 or len(calls_l) < 10:
@@ -100,7 +108,7 @@ def _split_by_variant_sites(
     from ..kernels.genotyping import HET_RATE_DIPLOID, snv_contribution_table
 
     cons_codes = encode_dna(consensus)
-    mat = np.stack([encode_dna(c.allele) for c in calls])
+    mat = np.stack([c.codes for c in calls])
     quals = np.stack([np.minimum(c.qualities, max_base_qs) for c in calls])
     m = mat.shape[1]
     het_post = np.zeros(m)
@@ -137,7 +145,7 @@ def _split_by_variant_sites(
     if len(var_sites) == 0:
         return {consensus}
     # cluster by haplotype over variant sites, keep top haplotypes
-    haps = ["".join(decode_dna(mat[r, var_sites])) for r in range(mat.shape[0])]
+    haps = [mat[r, var_sites].tobytes() for r in range(mat.shape[0])]
     from collections import Counter
 
     max_haps = 2 if len(var_sites) <= 3 else min(10, len(var_sites) // 2 + 1)
@@ -170,16 +178,16 @@ def spanning_call_for(a, first: int, last: int) -> SpanningCall | None:
         return None
     if rp_l >= len(a.read_chars) - a.bases_to_ignore_end:
         return None
-    allele_str = a.read_chars[rp_f : rp_l + 1]
-    if not allele_str:
+    codes = a.read_codes[rp_f : rp_l + 1]
+    if not len(codes):
         return None
     q = (
         qualities_to_phred(a.qualities[rp_f : rp_l + 1])
         if a.qualities
-        else np.full(len(allele_str), 10, dtype=np.int8)
+        else np.full(len(codes), 10, dtype=np.int8)
     )
     return SpanningCall(
-        allele=allele_str.upper(), qualities=q, negative_strand=a.is_negative_strand
+        codes=codes, qualities=q, negative_strand=a.is_negative_strand
     )
 
 
@@ -246,7 +254,7 @@ class IndelCountsHelper:
         lca = np.full((m, n), LOG_ERROR_PROB_INDEL)
         by_len_calls: dict[int, list[int]] = {}
         for ci, c in enumerate(calls):
-            by_len_calls.setdefault(len(c.allele), []).append(ci)
+            by_len_calls.setdefault(len(c.codes), []).append(ci)
         by_len_alleles: dict[int, list[int]] = {}
         for ai, L in enumerate(self._lengths):
             by_len_alleles.setdefault(int(L), []).append(ai)
@@ -254,7 +262,7 @@ class IndelCountsHelper:
             aidx = by_len_alleles.get(L)
             if not aidx:
                 continue
-            cmat = np.stack([encode_dna(calls[ci].allele) for ci in cidx])
+            cmat = np.stack([calls[ci].codes for ci in cidx])
             qmat = np.stack(
                 [
                     np.minimum(calls[ci].qualities, self.max_base_qs)
@@ -271,16 +279,16 @@ class IndelCountsHelper:
             lc = np.where(ok[:, None, :], per_base, 0.0).sum(axis=2)
             lc = np.maximum(LOG_ERROR_PROB_INDEL, lc)
             lca[np.asarray(cidx)[:, None], np.asarray(aidx)[None, :]] = lc
-        # per-call assigned allele index (exact-string match reconciled
-        # with the best-likelihood allele, mirroring sequential update)
+        # per-call assigned allele index (exact match reconciled with the
+        # best-likelihood allele, mirroring sequential update)
         exact = {}
-        for ai, al in enumerate(self.alleles):
-            exact.setdefault(al, ai)
+        for ai, ac in enumerate(self._allele_codes):
+            exact.setdefault(ac.tobytes(), ai)
         above = lca > LOG_ERROR_PROB_INDEL
         best = np.where(above.any(axis=1), np.argmax(lca, axis=1), -1)
         index = np.empty(m, np.int64)
         for ci, c in enumerate(calls):
-            ix = exact.get(c.allele, -1)
+            ix = exact.get(c.codes.tobytes(), -1)
             b = int(best[ci])
             if ix >= 0 and b >= 0 and b != ix:
                 ix = min(ix, b)
@@ -324,15 +332,17 @@ class IndelCountsHelper:
 
     def update(self, call: SpanningCall) -> None:
         self.total += 1
-        call_codes = encode_dna(call.allele)
+        call_codes = call.codes
         q = np.minimum(call.qualities, self.max_base_qs).astype(np.int64)
         ok = q >= MIN_BASE_QS  # ref calculateLogCond skips q<3
         n = self.n
         log_cond_alleles = np.full(n, LOG_ERROR_PROB_INDEL)
-        try:
-            index = self.alleles.index(call.allele)
-        except ValueError:
-            index = -1
+        key = call_codes.astype(np.int8).tobytes()
+        index = -1
+        for i, ac in enumerate(self._allele_codes):
+            if ac.tobytes() == key:
+                index = i
+                break
         best_index = -1
         for i in range(n):
             if self._lengths[i] == len(call_codes):

@@ -107,7 +107,7 @@ class MultisampleVariantsDetector:
         pooled = [a for alns in per_sample for a in alns]
         sites = IndelRealigner(self.genome, seq_idx).realign(pooled)
         indel_records = self._call_indels(seq_idx, seq_name, per_sample, samples, sites)
-        expanded = [expand_batch_calls(alns) for alns in per_sample]
+        expanded = [expand_batch_calls(alns, collect_indels=False) for alns in per_sample]
         seq_len = self.genome.sequence_length(seq_idx)
         ref_codes = self.genome.sequences[seq_idx].codes
         contribution = np.asarray(self._contribution)

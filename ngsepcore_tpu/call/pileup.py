@@ -114,6 +114,7 @@ _SIMPLE_OPS = frozenset("SM=X")
 
 def _expand_complex_calls(
     alns: list[ReadAlignment],
+    collect_indels: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
     """Batched expansion for gapped alignments.
 
@@ -122,7 +123,9 @@ def _expand_complex_calls(
     of every M run across the whole batch is then one repeat/arange pass —
     the per-alignment numpy allocations of expand_alignment_calls were the
     dominant host cost per gapped read (tandem-array reads make those
-    common on real genomes)."""
+    common on real genomes).  `collect_indels=False` skips IndelEvent
+    construction for callers that discard it (the variant callers take
+    indel evidence from the realigner instead)."""
     A = len(alns)
     m_aid: list[int] = []
     m_ref: list[int] = []
@@ -135,42 +138,48 @@ def _expand_complex_calls(
     strand_a = np.empty(A, np.int8)
     codes_parts = []
     qual_parts = []
+    ap_aid = m_aid.append
+    ap_ref = m_ref.append
+    ap_read = m_read.append
+    ap_len = m_len.append
     for i, a in enumerate(alns):
         codes = a.read_codes
         n = len(codes)
         lens[i] = n
         ig5[i] = a.bases_to_ignore_start
         ig3[i] = a.bases_to_ignore_end
-        strand_a[i] = 1 if a.is_negative_strand else 0
+        strand_a[i] = 1 if a.flags & 16 else 0
         codes_parts.append(codes)
         qual_parts.append(a.qualities if a.qualities else "+" * n)
         ref = a.first
         ridx = 0
         for l, op in a.cigar:
             if op == "M" or op == "=" or op == "X":
-                m_aid.append(i)
-                m_ref.append(ref)
-                m_read.append(ridx)
-                m_len.append(l)
+                ap_aid(i)
+                ap_ref(ref)
+                ap_read(ridx)
+                ap_len(l)
                 ref += l
                 ridx += l
             elif op == "I":
-                indels.append(
-                    IndelEvent(
-                        ref_pos=ref - 1,
-                        length=0,
-                        inserted=a.read_chars[ridx : ridx + l],
-                        read_name=a.read_name,
+                if collect_indels:
+                    indels.append(
+                        IndelEvent(
+                            ref_pos=ref - 1,
+                            length=0,
+                            inserted=a.read_chars[ridx : ridx + l],
+                            read_name=a.read_name,
+                        )
                     )
-                )
                 ridx += l
             elif op == "D" or op == "N":
-                indels.append(
-                    IndelEvent(
-                        ref_pos=ref - 1, length=l, inserted="",
-                        read_name=a.read_name,
+                if collect_indels:
+                    indels.append(
+                        IndelEvent(
+                            ref_pos=ref - 1, length=l, inserted="",
+                            read_name=a.read_name,
+                        )
                     )
-                )
                 ref += l
             elif op == "S":
                 ridx += l
@@ -261,12 +270,14 @@ def _expand_simple_calls(
 
 def expand_batch_calls(
     alns: list[ReadAlignment],
+    collect_indels: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[IndelEvent]]:
     """Batch expansion -> flat (ref_pos, allele, qual, strand) arrays.
 
     Gap-free alignments (the overwhelming majority) expand through one
     vectorized pass; alignments with indels fall back to the per-alignment
-    path, which also yields their IndelEvents."""
+    path, which also yields their IndelEvents (skipped when
+    collect_indels=False — the variant callers discard them)."""
     simple: list[ReadAlignment] = []
     complex_: list[ReadAlignment] = []
     for a in alns:
@@ -284,7 +295,9 @@ def expand_batch_calls(
         s_l.append(ss)
     indels: list[IndelEvent] = []
     if complex_:
-        cp, ca, cq, cs, indels = _expand_complex_calls(complex_)
+        cp, ca, cq, cs, indels = _expand_complex_calls(
+            complex_, collect_indels
+        )
         pos_l.append(cp)
         al_l.append(ca)
         q_l.append(cq)

@@ -296,7 +296,7 @@ class SingleSampleVariantsDetector:
             self.genome, seq_idx, self.known_strs.get(seq_name)
         )
         sites = realigner.realign(alns)
-        pos, allele, qual, strand, _ = expand_batch_calls(alns)
+        pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
         if len(pos) == 0:
             return []
         indel_records = self._call_indels(seq_idx, seq_name, alns, sites)

@@ -1317,7 +1317,7 @@ def _run_relative_allele_counts(opts: dict, args: list[str]) -> None:
     if not inp:
         raise SystemExit("Usage: RelativeAlleleCountsCalculator <alns.sam>")
     alns = list(ReadAlignmentFileReader(inp))
-    pos, allele, qual, strand, _ = expand_batch_calls(alns)
+    pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
     order = np.argsort(pos, kind="stable")
     pos, allele = pos[order], allele[order]
     depths = []

@@ -313,3 +313,58 @@ def ops_to_cigar_and_strings(
     if last_is_gap and cigar:
         mismatches -= 2
     return cigar, mismatches
+
+
+@jax.jit
+def dp_stats_pack(ops, n_ops, start_j, query, subject):
+    """Device post-pass over affine_gap_align_batch output.
+
+    Computes per row: the tier-3 mismatch statistic (+1 per mismatched
+    pair, +2 per internal gap run, -2 when the alignment ends in a gap —
+    ShortReadsUngappedSearchHitsClusterAligner.java:140-156), a gap flag,
+    and the ops 2-bit-packed 16-per-uint32.  The packed array is 4x
+    smaller on the host link than the uint8 ops, and the mismatch math no
+    longer runs on the host."""
+    B, S = ops.shape
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = col < n_ops[:, None]
+    m = (ops == OP_MATCH) & valid
+    ins = (ops == OP_INS) & valid
+    dele = (ops == OP_DEL) & valid
+    g = ins | dele
+    qcons = (m | ins).astype(jnp.int32)
+    scons = (m | dele).astype(jnp.int32)
+    qi = jnp.cumsum(qcons, axis=1) - qcons
+    sj = jnp.cumsum(scons, axis=1) - scons
+    q_codes = jnp.take_along_axis(
+        query, jnp.minimum(qi, query.shape[1] - 1), axis=1
+    )
+    s_idx = jnp.minimum(start_j[:, None] + sj, subject.shape[1] - 1)
+    s_codes = jnp.take_along_axis(subject, s_idx, axis=1)
+    sub_mm = jnp.sum(m & (q_codes != s_codes), axis=1, dtype=jnp.int32)
+    z = jnp.zeros((B, 1), bool)
+    run_start = g & ~jnp.concatenate([z, g[:, :-1]], axis=1)
+    after_m = jnp.concatenate([z, m[:, :-1]], axis=1)
+    k_runs = jnp.sum(run_start & after_m, axis=1, dtype=jnp.int32)
+    last_op = jnp.take_along_axis(
+        ops, jnp.maximum(n_ops - 1, 0)[:, None], axis=1
+    )[:, 0]
+    ends_gap = (n_ops > 0) & ((last_op == OP_INS) | (last_op == OP_DEL))
+    mism = sub_mm + 2 * k_runs - 2 * ends_gap.astype(jnp.int32)
+    has_gap = g.any(axis=1)
+    pad = (-S) % 16
+    o = ops
+    if pad:
+        o = jnp.concatenate(
+            [o, jnp.zeros((B, pad), o.dtype)], axis=1
+        )
+    o = o.astype(jnp.uint32).reshape(B, -1, 16)
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.bitwise_or.reduce(o << sh, axis=2)
+    return {
+        "mism": mism,
+        "has_gap": has_gap,
+        "packed": packed,
+        "n_ops": n_ops,
+        "start_j": start_j,
+    }

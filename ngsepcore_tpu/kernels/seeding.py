@@ -337,3 +337,152 @@ def seed_cluster_screen(
         "clip_start": t_cs.reshape(B, C),
         "clip_end": t_ce.reshape(B, C),
     }
+
+
+@partial(jax.jit, static_argnames=("cap", "has_strs"))
+def classify_candidates(
+    pred: jnp.ndarray,  # (B, C) int32 predicted concat starts (BIG32 = none)
+    weight: jnp.ndarray,  # (B, C) int32
+    strand: jnp.ndarray,  # (B, C) int32
+    mm: jnp.ndarray,  # (B, C) int32 tier-1 mismatches
+    cs: jnp.ndarray,  # (B, C) int32 tier-1 clip start
+    ce: jnp.ndarray,  # (B, C) int32 tier-1 clip end
+    lengths: jnp.ndarray,  # (B,) int32
+    offs: jnp.ndarray,  # (S+1,) int32 sequence concat offsets
+    iv_lo: jnp.ndarray,  # (R,) int32 known-STR neighborhood bounds
+    iv_hi: jnp.ndarray,
+    min_mq: jnp.ndarray,  # () int32
+    *,
+    cap: int,
+    has_strs: bool,
+):
+    """Device-side mirror of the fused pipeline's candidate classification
+    (fused_pipeline._classify_batch): fused/unique tier-1 accept,
+    multi-candidate resolution, known-STR demotion, and host-cell
+    compaction.  Only ~14 bytes/read cross the host link instead of the
+    full (B, C) candidate matrix (the link is the bottleneck; VERDICT r2
+    #2/#8).
+
+    Mirrored thresholds: MIN_PROPORTION_BEST=0.2, MIN_WEIGHTED_COUNT=1
+    (SingleReadsAligner.java:16-18), tier-1 accept mm<5%%/clip<10%%
+    (ShortReadsUngappedSearchHitsClusterAligner.java:81-95), q=100-5*mm
+    and the 0.8*best multi-alignment threshold
+    (SingleReadsAligner.filterAlignments:118-143).
+
+    Returns fused/resolved-drop flags, the selected column's placement for
+    every row, compacted host cells [(row, pred, w|c|t1|strand, mm|cs|ce)]
+    with their count, and the two alignment counters."""
+    B, C = pred.shape
+    qlen = lengths[:, None]
+    valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
+    si = jnp.clip(
+        jnp.searchsorted(offs, jnp.maximum(pred, 0), side="right") - 1,
+        0,
+        offs.shape[0] - 2,
+    )
+    w = weight
+    # f64 threshold math mirrors the host/classic path bit-for-bit
+    # (fused==classic equality depends on identical keep decisions)
+    limit = jnp.minimum(1.0, 0.2 * w[:, :1].astype(jnp.float64))
+    keep = valid_c
+    keep_tail = keep[:, 1:] & (w[:, 1:].astype(jnp.float64) >= limit)
+    keep = jnp.concatenate([keep[:, :1], keep_tail], axis=1)
+    keep = jnp.cumprod(keep.astype(jnp.int32), axis=1).astype(bool)
+    in_b = (pred >= offs[si]) & (pred + qlen <= offs[si + 1])
+    t1 = (
+        keep
+        & in_b
+        & (w > 2)
+        & (mm * 20 < qlen)
+        & ((cs + ce) * 10 < qlen)
+    )
+    n_kept = jnp.sum(keep, axis=1)
+    minq = jnp.maximum(1, min_mq)
+    fused = (n_kept == 1) & t1[:, 0] & (100 - mm[:, 0] * 5 >= minq)
+    sel_col = jnp.zeros(B, jnp.int32)
+    # ---- multi-candidate tier-1 resolution ----------------------------
+    multi = (n_kept >= 2) & jnp.all(t1 | ~keep, axis=1)
+    q = jnp.where(keep, 100 - 5 * mm, -(10 ** 9))
+    best = jnp.max(q, axis=1)
+    thr = jnp.trunc(0.8 * best.astype(jnp.float64)).astype(jnp.int32)
+    n_final = jnp.sum(q > thr[:, None], axis=1)
+    win = jnp.argmax(q, axis=1).astype(jnp.int32)
+    if has_strs:
+        # any kept candidate near a known STR forces the host tier-2 path
+        last = pred + qlen
+        k = jnp.clip(
+            jnp.searchsorted(iv_lo, last, side="right") - 1,
+            0,
+            iv_lo.shape[0] - 1,
+        )
+        overl = keep & (iv_lo[k] <= last) & (iv_hi[k] >= pred)
+        multi = multi & ~jnp.any(overl, axis=1)
+    one = multi & (n_final == 1) & (best >= minq)
+    resolved_drop = multi & ~one
+    sel_col = jnp.where(one, win, sel_col)
+    fused = fused | one
+    aligned_extra = jnp.sum(
+        (resolved_drop & ((n_final >= 2) | (best > 0))).astype(jnp.int32)
+    )
+    if has_strs:
+        spred = jnp.take_along_axis(pred, sel_col[:, None], axis=1)[:, 0]
+        last1 = spred + lengths
+        k1 = jnp.clip(
+            jnp.searchsorted(iv_lo, last1, side="right") - 1,
+            0,
+            iv_lo.shape[0] - 1,
+        )
+        overl1 = (iv_lo[k1] <= last1) & (iv_hi[k1] >= spred)
+        fused = fused & ~overl1
+    fused_count = jnp.sum(fused.astype(jnp.int32))
+
+    take = lambda a: jnp.take_along_axis(a, sel_col[:, None], axis=1)[:, 0]
+    sel_pred = take(pred)
+    sel_a = jnp.clip(take(mm), 0, 0xFFFF) | (
+        jnp.clip(take(strand), 0, 1) << 16
+    )
+    sel_b = jnp.clip(take(cs), 0, 0xFFFF) | (
+        jnp.clip(take(ce), 0, 0xFFFF) << 16
+    )
+
+    # ---- host-cell compaction (row-major order preserved) -------------
+    hostrow = jnp.any(keep, axis=1) & ~fused & ~resolved_drop
+    cell = hostrow[:, None] & keep & in_b
+    cf = cell.reshape(-1)
+    dst = jnp.cumsum(cf.astype(jnp.int32)) - 1
+    cell_count = dst[-1] + 1
+    dst = jnp.where(cf, dst, cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    lane2 = (
+        jnp.clip(w, 0, 0xFFFF)
+        | (cols << 16)
+        | (t1.astype(jnp.int32) << 20)
+        | (jnp.clip(strand, 0, 1) << 21)
+    )
+    lane3 = (
+        jnp.clip(mm, 0, 0x3FF)
+        | (jnp.clip(cs, 0, 0x3FF) << 10)
+        | (jnp.clip(ce, 0, 0x3FF) << 20)
+    )
+    lanes = jnp.stack(
+        [
+            rows.reshape(-1),
+            pred.reshape(-1),
+            lane2.reshape(-1),
+            lane3.reshape(-1),
+        ],
+        axis=-1,
+    )
+    cells = jnp.zeros((cap, 4), jnp.int32).at[dst].set(lanes, mode="drop")
+    return {
+        "fused": fused,
+        "resolved_drop": resolved_drop,
+        "sel_pred": sel_pred,
+        "sel_a": sel_a,
+        "sel_b": sel_b,
+        "cells": cells,
+        "cell_count": cell_count,
+        "aligned_extra": aligned_extra,
+        "fused_count": fused_count,
+    }

@@ -7,6 +7,7 @@ from ngsepcore_tpu.call.indels import (
     call_indel,
     cluster_allele_calls,
 )
+from ngsepcore_tpu.core.sequences import encode_dna
 
 
 def _mk_calls(alleles_and_counts, qual=35):
@@ -15,7 +16,7 @@ def _mk_calls(alleles_and_counts, qual=35):
         for _ in range(count):
             calls.append(
                 SpanningCall(
-                    allele=allele,
+                    codes=encode_dna(allele),
                     qualities=np.full(len(allele), qual, np.int8),
                     negative_strand=False,
                 )
@@ -197,9 +198,11 @@ def test_update_batch_matches_sequential():
             for k in range(len(codes)):
                 if rng.random() < 0.1:
                     codes[k] = bases[int(rng.integers(0, 4))]
+            from ngsepcore_tpu.core.sequences import encode_dna
+
             calls.append(
                 SpanningCall(
-                    allele="".join(codes),
+                    codes=encode_dna("".join(codes)),
                     qualities=rng.integers(0, 41, size=len(codes)).astype(
                         np.int8
                     ),
