@@ -52,6 +52,7 @@ class Assembler:
         graph_file: str | None = None,  # load a saved graph (ref -graphFile)
         save_graph_file: str | None = None,  # checkpoint after filtering
         remove_chimeras: bool = True,
+        error_correction_rounds: int = 0,  # ref: Assembler.java:415 rounds
     ):
         self.kmer_length = kmer_length
         self.window_length = window_length
@@ -66,7 +67,9 @@ class Assembler:
         self.graph_file = graph_file
         self.save_graph_file = save_graph_file
         self.remove_chimeras = remove_chimeras
+        self.error_correction_rounds = error_correction_rounds
         self.corrections = 0
+        self.read_indel_corrections = 0
         self.circularized = 0
 
     # ------------------------------------------------------------------
@@ -308,6 +311,7 @@ class Assembler:
         circularize (ref: Assembler.run stages :285-545); for ploidy>=2 a
         phase-filter pass re-assembles each haplotype read cluster
         (ref: ploidy loop :461-484)."""
+        self._polish_reads = None
         if self.ploidy >= 2:
             return self._assemble_phased(reads)
         if self.graph_file:
@@ -315,21 +319,50 @@ class Assembler:
             # path skipping graph construction)
             graph = AssemblyGraph.load(self.graph_file)
         else:
-            graph = self.build_graph(reads)
-            if self.remove_chimeras:
-                # ref: Assembler.java:455 removeVerticesChimericReads
-                graph.remove_chimeric_reads()
-            graph.update_scores()
-            graph.filter_edges_and_embedded(self.min_score_proportion)
+            graph = self._build_filtered_graph(reads)
+            # error-correction rounds (ref: Assembler.java:415 +
+            # AlignmentBasedIndelErrorsCorrector): correct read INDEL
+            # errors against a draft, then rebuild the graph from the
+            # corrected reads — substitutions stay untouched so het
+            # signal survives for phasing.  The ORIGINAL reads are kept
+            # for consensus polishing: corrected reads are biased toward
+            # the draft's own errors (deletions filled with draft bases),
+            # so polishing with them would lock draft errors in as
+            # unanimous evidence
+            self._polish_reads = reads
+            for _round in range(self.error_correction_rounds):
+                from .read_correction import correct_reads_indels
+
+                draft = self.layout_and_consensus(reads, graph)
+                if not draft:
+                    break
+                reads, n_ev = correct_reads_indels(draft, reads)
+                self.read_indel_corrections += n_ev
+                if n_ev == 0:
+                    break
+                graph = self._build_filtered_graph(reads)
         if self.save_graph_file:
             # ref: Assembler.java:417-434 saves the filtered graph so later
             # runs skip construction
             graph.save(self.save_graph_file)
         contigs = self.layout_and_consensus(reads, graph)
-        if self.merge_ends and len(contigs) > 1:
-            from .polishing import merge_contig_ends
+        return self._finish_contigs(contigs, reads)
 
-            contigs = merge_contig_ends(contigs, min_overlap=self.min_overlap)
+    def _build_filtered_graph(self, reads: list[np.ndarray]) -> AssemblyGraph:
+        graph = self.build_graph(reads)
+        if self.remove_chimeras:
+            # ref: Assembler.java:455 removeVerticesChimericReads
+            graph.remove_chimeric_reads()
+        graph.update_scores()
+        graph.filter_edges_and_embedded(self.min_score_proportion)
+        return graph
+
+    def _finish_contigs(
+        self, contigs: list[np.ndarray], reads: list[np.ndarray]
+    ) -> QualifiedSequenceList:
+        # polish from the UNBIASED read set (see the error-correction note)
+        reads = getattr(self, "_polish_reads", None) or reads
+        raw = None
         if self.polish_rounds > 0 and contigs:
             from ..core.sequences import RawRead
             from .polishing import polish_contigs
@@ -338,9 +371,36 @@ class Assembler:
                 RawRead(name=f"r{i}", sequence=decode_dna(r))
                 for i, r in enumerate(reads)
             ]
-            contigs, self.corrections = polish_contigs(
-                contigs, raw, rounds=self.polish_rounds
-            )
+            # one polish round BEFORE merging: on high-error read sets the
+            # raw consensus carries enough error that end-overlap /
+            # containment detection (exact k-mer anchors + fixed-diagonal
+            # identity) misses real overlaps; polishing first makes the
+            # contig set mergeable (ref polishes during consensus:
+            # ConsensusBuilderBidirectionalWithPolishing.java:82)
+            contigs, self.corrections = polish_contigs(contigs, raw, rounds=1)
+        # dedupe -> merge -> polish to convergence: a redundant contig
+        # that survives one containment pass (noisy) steals the read
+        # support of its region from the kept contig, starving the polish
+        # there; the second pass sees POLISHED contigs and removes it
+        for _pass in range(2):
+            n_before = len(contigs)
+            if self.merge_ends and len(contigs) > 1:
+                from .polishing import (
+                    drop_contained_contigs,
+                    merge_contig_ends,
+                )
+
+                contigs = drop_contained_contigs(contigs)
+                contigs = merge_contig_ends(
+                    contigs, min_overlap=self.min_overlap
+                )
+            if self.polish_rounds > 0 and contigs:
+                contigs, more = polish_contigs(
+                    contigs, raw, rounds=self.polish_rounds
+                )
+                self.corrections += more
+            if len(contigs) == n_before:
+                break
         if self.circular:
             from .polishing import circularize
 

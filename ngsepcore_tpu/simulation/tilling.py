@@ -108,3 +108,89 @@ class TillingPoolsIndividualGenotyper:
                 out.append((inds[0], site_rec[key]))
         out.sort(key=lambda t: (t[1].variant.sequence_name, t[1].variant.first))
         return out
+
+
+def load_pool_configuration(path: str) -> dict[str, list[str]]:
+    """individual -> pool-id list from a semicolon-separated descriptor
+    (ref: TillingPoolsIndividualGenotyper.loadPools:146-163; optional
+    'Individual...' header line)."""
+    out: dict[str, list[str]] = {}
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    if lines and lines[0].startswith("Individual"):
+        lines = lines[1:]
+    for line in lines:
+        if not line.strip():
+            continue
+        parts = line.split(";")
+        out[parts[0]] = list(parts[1:])
+    return out
+
+
+class TillingIndividualVCF2PoolVCF:
+    """Convert a per-individual VCF into the pooled-sample VCF a TILLING
+    sequencing run would produce.
+
+    Ref: src/ngsep/simulation/TillingIndividualVCF2PoolVCF.java:35-111 —
+    pool ploidy = 2 x (members); per biallelic variant each non-homoref
+    individual adds 1 (het) or 2 (hom alt) alternative allele copies to
+    every pool it belongs to; pools with no copies emit homozygous-
+    reference calls; all pool calls carry GQ 100 and ACN = (ploidy-count,
+    count)."""
+
+    def __init__(self, pools_data: dict[str, list[str]]):
+        self.pools_data = pools_data
+        # TreeMap semantics: pools sorted by id; ploidy 2 per member
+        ploidy: dict[str, int] = {}
+        for ind in pools_data:
+            for pid in pools_data[ind]:
+                ploidy[pid] = ploidy.get(pid, 0) + 2
+        self.pool_ids = sorted(ploidy)
+        self.pool_ploidy = ploidy
+
+    def convert(self, records: list[VCFRecord]) -> list[VCFRecord]:
+        from ..variants.model import CalledGenomicVariant
+
+        out: list[VCFRecord] = []
+        for rec in records:
+            if len(rec.variant.alleles) != 2:
+                continue
+            pool_alt: dict[str, int] = {}
+            for call in rec.calls:
+                if call.is_undecided or call.is_homozygous_reference:
+                    continue
+                alt = 1 if call.is_heterozygous else 2
+                for pid in self.pools_data.get(call.sample_id or "", ()):
+                    pool_alt[pid] = pool_alt.get(pid, 0) + alt
+            pool_calls = []
+            for pid in self.pool_ids:
+                ploidy = self.pool_ploidy[pid]
+                count = pool_alt.get(pid)
+                if count is None:
+                    idxs = [0]
+                    acn = [ploidy, 0]
+                else:
+                    idxs = [0, 1]
+                    acn = [ploidy - count, count]
+                pool_calls.append(
+                    CalledGenomicVariant(
+                        sequence_name=rec.variant.sequence_name,
+                        first=rec.variant.first,
+                        alleles=list(rec.variant.alleles),
+                        variant_type=rec.variant.variant_type,
+                        quality=rec.variant.quality,
+                        sample_id=pid,
+                        indexes_called_alleles=idxs,
+                        genotype_quality=100,
+                        copy_number=ploidy,
+                        allele_copy_numbers=acn,
+                    )
+                )
+            out.append(
+                VCFRecord(
+                    variant=rec.variant,
+                    calls=pool_calls,
+                    format_str="GT:GQ:ACN",
+                )
+            )
+        return out

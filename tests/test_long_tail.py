@@ -167,3 +167,77 @@ def test_best_star_msa():
     width = len(aligned[0])
     assert all(len(a) == width for a in aligned)
     assert all(a.replace("-", "") == s for a, s in zip(aligned, seqs))
+
+
+def test_codon_cds_pairwise_alignment():
+    """CodonCDSPairwiseAlignment: codon-unit NW, free-start borders,
+    match+1/mismatch-1/indel-2 (ref: CodonCDSPairwiseAlignment.java)."""
+    from ngsepcore_tpu.transcriptome.codon_alignment import (
+        CodonCDSPairwiseAlignment,
+    )
+
+    a = CodonCDSPairwiseAlignment()
+    # identical CDS
+    a.calculate_alignment("ATGAAACCC", "ATGAAACCC")
+    assert a.alignment1 == a.alignment2 == "ATGAAACCC"
+    assert a.score == 3 and a.pct_identity == 100.0
+    # one-codon insertion in cds2: gap must be codon-sized and in frame
+    a.calculate_alignment("ATGCCCTTTGGG", "ATGCCCAAATTTGGG")
+    assert a.alignment1 == "ATGCCC---TTTGGG"
+    assert a.alignment2 == "ATGCCCAAATTTGGG"
+    assert a.score == 4 - 2
+    assert abs(a.pct_identity - 100.0 * 12 / 15) < 1e-9
+    # codon substitution counts one mismatch, never splits frames
+    a.calculate_alignment("ATGAAATTT", "ATGCCCTTT")
+    assert a.alignment1 == "ATGAAATTT" and a.alignment2 == "ATGCCCTTT"
+    assert a.score == 2 - 1
+
+
+def test_tilling_individual_vcf2pool_vcf(tmp_path):
+    """TillingIndividualVCF2PoolVCF: pool ploidy 2x members; alt copies
+    1 per het / 2 per hom-alt, summed into every pool of the carrier
+    (ref: TillingIndividualVCF2PoolVCF.java:35-111)."""
+    from ngsepcore_tpu.simulation.tilling import (
+        TillingIndividualVCF2PoolVCF,
+        load_pool_configuration,
+    )
+    from ngsepcore_tpu.variants.model import (
+        CalledGenomicVariant,
+        TYPE_BIALLELIC_SNV,
+    )
+    from ngsepcore_tpu.vcf.io import VCFRecord
+
+    desc = tmp_path / "pools.txt"
+    desc.write_text(
+        "Individual;Pool1;Pool2\nind1;R1;C1\nind2;R1;C2\nind3;R2;C1\n"
+    )
+    pools = load_pool_configuration(str(desc))
+    assert pools == {
+        "ind1": ["R1", "C1"], "ind2": ["R1", "C2"], "ind3": ["R2", "C1"],
+    }
+    conv = TillingIndividualVCF2PoolVCF(pools)
+    assert conv.pool_ids == ["C1", "C2", "R1", "R2"]
+    assert conv.pool_ploidy == {"C1": 4, "C2": 2, "R1": 4, "R2": 2}
+
+    def call(sample, idxs):
+        return CalledGenomicVariant(
+            sequence_name="chr1", first=100, alleles=["A", "T"],
+            variant_type=TYPE_BIALLELIC_SNV, sample_id=sample,
+            indexes_called_alleles=idxs,
+        )
+
+    var = call(None, [])
+    rec = VCFRecord(
+        variant=var,
+        calls=[call("ind1", [0, 1]), call("ind2", [0]), call("ind3", [1])],
+    )
+    out = conv.convert([rec])
+    assert len(out) == 1
+    by_pool = {c.sample_id: c for c in out[0].calls}
+    # ind1 het (+1), ind3 hom alt (+2); ind2 homoref contributes nothing
+    assert by_pool["R1"].allele_copy_numbers == [3, 1]  # ind1 het
+    assert by_pool["C1"].allele_copy_numbers == [1, 3]  # ind1 + ind3
+    assert by_pool["R2"].allele_copy_numbers == [0, 2]  # ind3 hom alt
+    assert by_pool["C2"].allele_copy_numbers == [2, 0]  # reference pool
+    assert by_pool["C2"].is_homozygous_reference
+    assert all(c.genotype_quality == 100 for c in out[0].calls)

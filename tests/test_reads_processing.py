@@ -104,3 +104,72 @@ def test_genome_mask():
     )
     masked = mask_genome_regions(g, [GenomicRegion("chr1", 3, 5)])
     assert masked[0].characters == "ACNNNCGTAC"
+
+
+def test_debruijn_mini_assembler_walks_spectrum():
+    """DeBruijnGraphExplorationMiniAssembler: best-first k-mer-graph walk
+    reaches the destination k-mer through solid k-mers only (ref:
+    DeBruijnGraphExplorationMiniAssembler.java:6-66)."""
+    import numpy as np
+
+    from ngsepcore_tpu.index.error_correction import (
+        DeBruijnGraphExplorationMiniAssembler,
+    )
+    from ngsepcore_tpu.index.kmers_extractor import KmersExtractor
+    from ngsepcore_tpu.core.sequences import decode_dna
+
+    rng = np.random.default_rng(3)
+    genome = decode_dna(rng.integers(0, 4, 300).astype(np.int8))
+    from ngsepcore_tpu.core.sequences import encode_dna
+
+    ex = KmersExtractor(kmer_length=9, only_forward_strand=True)
+    ex.process_codes_list([encode_dna(genome)])
+    asm = DeBruijnGraphExplorationMiniAssembler(ex.kmers_map, 1)
+    src = genome[50:59]
+    dst = genome[80:89]
+    path = asm.assemble(src, dst, 19, 39, 44)
+    assert path == genome[50:89]
+    # absent destination: no path
+    assert asm.assemble(src, "AAAAAAAAA", 19, 39, 44) is None
+
+
+def test_debruijn_correction_fixes_indel_errors():
+    """VERDICT r2 #8 acceptance: the de-Bruijn walk corrects simulated
+    1-bp indels, which spectrum substitution search cannot."""
+    import numpy as np
+
+    from ngsepcore_tpu.core.sequences import RawRead, decode_dna
+    from ngsepcore_tpu.index.error_correction import ReadsFileErrorsCorrector
+    from ngsepcore_tpu.index.kmers_extractor import KmersExtractor
+
+    rng = np.random.default_rng(5)
+    genome_codes = rng.integers(0, 4, 4000).astype(np.int8)
+    genome = decode_dna(genome_codes)
+    # clean coverage so the spectrum is solid
+    corr = ReadsFileErrorsCorrector(kmer_length=15, min_kmer_count=3)
+    from ngsepcore_tpu.core.sequences import encode_dna
+
+    ex = KmersExtractor(kmer_length=15, only_forward_strand=False)
+    ex.process_codes_list(
+        [encode_dna(genome[s : s + 100]) for s in range(0, 3900, 25)]
+    )
+    corr.kmers_map = ex.kmers_map
+
+    fixed_del = fixed_ins = 0
+    n_trials = 20
+    for t in range(n_trials):
+        s = int(rng.integers(100, 3700))
+        true_read = genome[s : s + 100]
+        p = int(rng.integers(30, 70))
+        # 1bp deletion
+        broken = true_read[:p] + true_read[p + 1 :]
+        out = corr.correct_read_debruijn(RawRead(name="d", sequence=broken))
+        if out.sequence == true_read:
+            fixed_del += 1
+        # 1bp insertion
+        broken = true_read[:p] + "A" + true_read[p:]
+        out = corr.correct_read_debruijn(RawRead(name="i", sequence=broken))
+        if out.sequence == true_read:
+            fixed_ins += 1
+    assert fixed_del >= 0.8 * n_trials, fixed_del
+    assert fixed_ins >= 0.7 * n_trials, fixed_ins
