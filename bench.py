@@ -327,6 +327,12 @@ def main() -> None:
             _log(f"run {i}: {dt:.2f}s")
         emit(records)
         elapsed = time.time() - t_start
+        # ALWAYS take at least one timed run after the warmup: the warmup
+        # absorbs compile replays (minutes of axon-tunnel variance), so
+        # its duration wildly overestimates a steady-state run and must
+        # not gate the first real measurement
+        if i == 0:
+            continue
         if elapsed + dt * 1.2 > BUDGET_S:
             _log(f"stopping: {elapsed:.0f}s elapsed of {BUDGET_S:.0f}s budget")
             break

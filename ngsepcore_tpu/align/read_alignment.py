@@ -56,10 +56,34 @@ class ReadAlignment:
     # thousands of times per run); invalidated on CIGAR mutation
     _ref_span: int | None = field(default=None, repr=False, compare=False)
     _indel_calls: list | None = field(default=None, repr=False, compare=False)
+    _m_runs: tuple | None = field(default=None, repr=False, compare=False)
 
     def _invalidate_cigar_cache(self) -> None:
         self._ref_span = None
         self._indel_calls = None
+        self._m_runs = None
+
+    def m_runs(self) -> tuple:
+        """(ref_start, read_start, length) per M/=/X run — the per-base
+        expansion's input, cached (pileup expansion re-walks every gapped
+        CIGAR per run otherwise)."""
+        if self._m_runs is None:
+            ref = self.first
+            ridx = 0
+            out = []
+            for l, op in self.cigar:
+                if op in ("M", "=", "X"):
+                    out.append((ref, ridx, l))
+                    ref += l
+                    ridx += l
+                elif op == "I":
+                    ridx += l
+                elif op in ("D", "N"):
+                    ref += l
+                elif op == "S":
+                    ridx += l
+            self._m_runs = tuple(out)
+        return self._m_runs
 
     @property
     def read_codes(self) -> np.ndarray:
@@ -182,20 +206,14 @@ class ReadAlignment:
 
     # ---- per-position access (pileup support) -----------------------------
     def read_position_at(self, ref_pos: int) -> int:
-        """0-based read index aligned to 1-based ref_pos, or -1."""
-        pos = self.first
-        read_idx = 0
-        for l, op in self.cigar:
-            cr = op in _CONSUMES_READ
-            cf = op in _CONSUMES_REF
-            if cf and pos + l > ref_pos:
-                if cr and pos <= ref_pos:
-                    return read_idx + (ref_pos - pos)
+        """0-based read index aligned to 1-based ref_pos, or -1 (cached
+        M-run walk: positions inside D/N gaps or outside the alignment
+        return -1, same as the op-by-op scan)."""
+        for ref, ridx, l in self.m_runs():
+            if ref_pos < ref:
                 return -1
-            if cf:
-                pos += l
-            if cr:
-                read_idx += l
+            if ref_pos < ref + l:
+                return ridx + (ref_pos - ref)
         return -1
 
     def indel_calls(self) -> list[tuple[int, int, int]]:

@@ -526,19 +526,34 @@ class ReadsAligner:
 
     def _tier3_dispatch(self, jobs: list, concat: np.ndarray):
         """Pack one chunk and launch the DP kernel + stats/pack post-pass
-        asynchronously.  Returns (jobs, device output handles)."""
+        asynchronously.  Returns (jobs, device output handles).
+
+        Subject rows pack through ONE strided gather over the concatenated
+        genome (per-job slicing + pack_reads list plumbing was a visible
+        host cost at ~200k jobs/run); query rows are direct row fills."""
         from ..kernels.pairwise import dp_stats_pack
 
+        n = len(jobs)
         max_q = max(len(j[1]) for j in jobs)
         max_s = max(j[3] - j[2] for j in jobs)
-        rows = _row_bucket(len(jobs), minimum=self.DP_ROWS_MIN)
-        pad_rows = [np.empty(0, np.int8)] * (rows - len(jobs))
-        qc, ql, _ = pack_reads(
-            [j[1] for j in jobs] + pad_rows, pad_to=max_q, pad_multiple=64
-        )
-        sc, sl, _ = pack_reads(
-            [concat[j[2] : j[3]] for j in jobs] + pad_rows, pad_to=max_s, pad_multiple=64
-        )
+        rows = _row_bucket(n, minimum=self.DP_ROWS_MIN)
+        Lq = -(-max_q // 64) * 64
+        Ls = -(-max_s // 64) * 64
+        qc = np.full((rows, Lq), 4, np.int8)
+        ql = np.zeros(rows, np.int32)
+        firsts = np.fromiter((j[2] for j in jobs), np.int64, n)
+        lasts = np.fromiter((j[3] for j in jobs), np.int64, n)
+        for i, j in enumerate(jobs):
+            q = j[1]
+            qc[i, : len(q)] = q
+            ql[i] = len(q)
+        sl = np.zeros(rows, np.int32)
+        sl[:n] = (lasts - firsts).astype(np.int32)
+        idx = firsts[:, None] + np.arange(Ls, dtype=np.int64)[None, :]
+        np.clip(idx, 0, len(concat) - 1, out=idx)
+        sc = np.full((rows, Ls), 4, np.int8)
+        sc[:n] = concat[idx]
+        sc[:n][np.arange(Ls)[None, :] >= sl[:n, None]] = 4
         self.dp_cells += qc.shape[0] * qc.shape[1] * sc.shape[1]
         out = affine_gap_align_batch(
             qc, ql, sc, sl, free_start2=True, free_end2=True

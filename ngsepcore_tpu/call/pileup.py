@@ -151,6 +151,14 @@ def _expand_complex_calls(
         strand_a[i] = 1 if a.flags & 16 else 0
         codes_parts.append(codes)
         qual_parts.append(a.qualities if a.qualities else "+" * n)
+        if not collect_indels:
+            # fast path: cached (ref, read, len) M-runs, no per-op walk
+            for ref, ridx, l in a.m_runs():
+                ap_aid(i)
+                ap_ref(ref)
+                ap_read(ridx)
+                ap_len(l)
+            continue
         ref = a.first
         ridx = 0
         for l, op in a.cigar:
@@ -162,24 +170,22 @@ def _expand_complex_calls(
                 ref += l
                 ridx += l
             elif op == "I":
-                if collect_indels:
-                    indels.append(
-                        IndelEvent(
-                            ref_pos=ref - 1,
-                            length=0,
-                            inserted=a.read_chars[ridx : ridx + l],
-                            read_name=a.read_name,
-                        )
+                indels.append(
+                    IndelEvent(
+                        ref_pos=ref - 1,
+                        length=0,
+                        inserted=a.read_chars[ridx : ridx + l],
+                        read_name=a.read_name,
                     )
+                )
                 ridx += l
             elif op == "D" or op == "N":
-                if collect_indels:
-                    indels.append(
-                        IndelEvent(
-                            ref_pos=ref - 1, length=l, inserted="",
-                            read_name=a.read_name,
-                        )
+                indels.append(
+                    IndelEvent(
+                        ref_pos=ref - 1, length=l, inserted="",
+                        read_name=a.read_name,
                     )
+                )
                 ref += l
             elif op == "S":
                 ridx += l

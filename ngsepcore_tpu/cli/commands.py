@@ -207,7 +207,46 @@ register(
         options=[
             Option("k", "kmer_length", "int", 15, "K-mer length"),
             Option("m", "min_kmer_count", "int", 5, "Min k-mer count"),
+            Option(
+                "a", "algorithm", "str", "debruijn",
+                "Correction algorithm: debruijn (k-mer-graph walks, fixes"
+                " indels; reference default) or snp",
+            ),
         ],
+    )
+)
+
+
+def _run_tilling_vcf2pool(opts: dict, args: list[str]) -> None:
+    from ..simulation.tilling import (
+        TillingIndividualVCF2PoolVCF,
+        load_pool_configuration,
+    )
+    from ..vcf.io import VCFFileReader, VCFFileWriter
+
+    if len(args) < 2:
+        raise SystemExit(
+            "Usage: TillingIndividualVCF2PoolVCF <individuals.vcf>"
+            " <pools_descriptor.txt> [out.vcf]"
+        )
+    pools = load_pool_configuration(args[1])
+    conv = TillingIndividualVCF2PoolVCF(pools)
+    records = conv.convert(VCFFileReader(args[0]).load_all())
+    out = args[2] if len(args) > 2 else "/dev/stdout"
+    with VCFFileWriter(out, conv.pool_ids) as w:
+        for r in records:
+            w.write(r)
+    print(f"Wrote {len(records)} pooled records", file=sys.stderr)
+
+
+register(
+    Command(
+        id="TillingIndividualVCF2PoolVCF",
+        group="Benchmark",
+        description="Convert an individuals VCF to the pooled-sample VCF a"
+        " TILLING run would produce",
+        runner=_run_tilling_vcf2pool,
+        options=[],
     )
 )
 
