@@ -9,9 +9,7 @@ the range (:330-345 pickBestPairPosition); halve the mapping quality of
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
-import numpy as np
 
 from ..core.sequences import RawRead
 from .read_alignment import (

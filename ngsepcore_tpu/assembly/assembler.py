@@ -15,7 +15,6 @@ walks becomes sorted-array segment reductions.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 

@@ -15,7 +15,6 @@ deterministic regardless of device count.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 
 from ..core.genome import ReferenceGenome
 from ..core.sequences import decode_dna, reverse_complement

@@ -11,10 +11,8 @@ lost — the analog of MAX_LENGTH_SINGLE_TASK chunking.
 """
 from __future__ import annotations
 
-import sys
 
 import numpy as np
-import jax
 
 from ..core.sequences import pack_reads
 from ..io.fasta import FastaFileReader

@@ -8,8 +8,6 @@ replacing the reference's one-task-per-read-object dispatch
 """
 from __future__ import annotations
 
-import gzip
-import io
 from typing import Iterator, List
 
 from ..core.sequences import RawRead

@@ -9,8 +9,6 @@ on top of the same record model.
 """
 from __future__ import annotations
 
-import gzip
-import io
 from typing import Iterator
 
 from ..align.read_alignment import ReadAlignment, cigar_from_string

@@ -13,7 +13,6 @@ depth) builds that matrix host- or device-side and reuses these kernels.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ vectorized across the candidate batch — replaces the per-read scalar loop.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

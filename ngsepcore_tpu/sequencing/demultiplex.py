@@ -10,10 +10,8 @@ wins, like the reference trie).
 """
 from __future__ import annotations
 
-import gzip
 from dataclasses import dataclass
 
-import numpy as np
 
 from ..core.degenerate import compile_degenerate
 from ..core.sequences import RawRead

@@ -8,7 +8,6 @@ the truth VCF.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 

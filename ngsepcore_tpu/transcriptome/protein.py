@@ -5,7 +5,6 @@ ProteinTranslatorDefaultBundle.properties codon table).
 """
 from __future__ import annotations
 
-import numpy as np
 
 _CODON_TABLE = {}
 _BASES = "TCAG"

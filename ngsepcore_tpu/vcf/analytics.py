@@ -15,7 +15,6 @@ into a single (samples, sites*3) @ (sites*3, samples) product.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np

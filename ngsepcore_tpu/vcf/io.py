@@ -8,7 +8,6 @@ VCFFileHeader.java:48-70 (default INFO/FORMAT header lines).
 """
 from __future__ import annotations
 
-import gzip
 import io
 from dataclasses import dataclass, field
 from typing import Iterator
