@@ -181,11 +181,17 @@ def spanning_call_for(a, first: int, last: int) -> SpanningCall | None:
     codes = a.read_codes[rp_f : rp_l + 1]
     if not len(codes):
         return None
-    q = (
-        qualities_to_phred(a.qualities[rp_f : rp_l + 1])
-        if a.qualities
-        else np.full(len(codes), 10, dtype=np.int8)
-    )
+    if a.qualities:
+        # full-read phred array cached on the alignment: alignments span
+        # several sites each, and re-decoding a quality substring per
+        # spanning call was a visible cost at ~80k calls/run
+        qp = getattr(a, "_quals_phred", None)
+        if qp is None or len(qp) != len(a.qualities):
+            qp = qualities_to_phred(a.qualities)
+            a._quals_phred = qp
+        q = qp[rp_f : rp_l + 1]
+    else:
+        q = np.full(len(codes), 10, dtype=np.int8)
     return SpanningCall(
         codes=codes, qualities=q, negative_strand=a.is_negative_strand
     )
