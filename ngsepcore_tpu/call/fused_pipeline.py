@@ -811,7 +811,7 @@ class AlignCallPipeline:
         # genotyping over merged host+array spanning calls, host base-call
         # expansion.  Precomputed HERE so compaction sees the final trims.
         from ..kernels.genotyping import MAX_BASE_QS
-        from .pileup import expand_batch_calls
+        from .aln_table import AlnTable
         from .realigner import IndelRealigner
 
         det = self.detector
@@ -831,16 +831,22 @@ class AlignCallPipeline:
             )
             with stage("call.realign"):
                 sites = realigner.realign(alns, array_reads=arr) if alns else []
+            # one columnar table per sequence (built AFTER realignment so
+            # CIGAR moves and end-trims are final) feeds both the indel
+            # genotyper and the base-call expansion
+            with stage("call.aln_table"):
+                table = AlnTable(alns, go)
             with stage("call.indel_genotype"):
                 indel_records = (
                     det._call_indels(
-                        si, name, alns, sites, gorder=go, array_reads=arr
+                        si, name, alns, sites, gorder=go, array_reads=arr,
+                        table=table,
                     )
                     if sites
                     else []
                 )
             with stage("call.expand_host_calls"):
-                pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
+                pos, allele, qual, strand = table.expand_calls()
                 o = np.argsort(pos, kind="stable")
             self._seq_host[si] = (
                 indel_records,

@@ -291,14 +291,19 @@ class SingleSampleVariantsDetector:
         # the spanning-call sites (IndelRealignerPileupListener analog)
         from .realigner import IndelRealigner
 
+        from .aln_table import AlnTable
+
         realigner = IndelRealigner(
             self.genome, seq_idx, self.known_strs.get(seq_name)
         )
         sites = realigner.realign(alns)
-        pos, allele, qual, strand, _ = expand_batch_calls(alns, collect_indels=False)
+        table = AlnTable(alns)
+        pos, allele, qual, strand = table.expand_calls()
         if len(pos) == 0:
             return []
-        indel_records = self._call_indels(seq_idx, seq_name, alns, sites)
+        indel_records = self._call_indels(
+            seq_idx, seq_name, alns, sites, table=table
+        )
         order = np.argsort(pos, kind="stable")
         pos, allele, qual, strand = (
             pos[order],
@@ -402,6 +407,7 @@ class SingleSampleVariantsDetector:
         sites,
         gorder=None,
         array_reads=None,
+        table=None,
     ) -> list[VCFRecord]:
         """Genotype the realigner's conciliated indel sites as spanning
         calls (SingleSampleVariantPileupListener indel path).
@@ -409,12 +415,41 @@ class SingleSampleVariantsDetector:
         `array_reads` optionally contributes spanning calls from gapless
         device-path reads (fused_pipeline._ArrayReads); `gorder` gives the
         host alignments' global arrival ranks so the merged call order
-        matches the classic single-list flow exactly."""
+        matches the classic single-list flow exactly.
+
+        Dispatches to call/indel_batch.py — all sites of the sequence in
+        one flat numpy pass (the per-site loop below, kept as the
+        `_call_indels_scalar` reference/bail-out path, was ~8s of a 35s
+        bench run; tests/test_indel_batch.py asserts record equality)."""
+        from .indel_batch import call_indels_batched
+
+        if not sites:
+            return []
+        sites_t = [(s.first, s.span, s.is_str) for s in sites]
+        return call_indels_batched(
+            self, seq_idx, seq_name, alns, sites_t,
+            gorder=gorder, array_reads=array_reads, table=table,
+        )
+
+    # ------------------------------------------------------------------
+    def _call_indels_scalar(
+        self,
+        seq_idx: int,
+        seq_name: str,
+        alns: list[ReadAlignment],
+        sites,
+        gorder=None,
+        array_reads=None,
+        table=None,  # unused: object-walk path needs no columnar table
+    ) -> list[VCFRecord]:
+        """Reference per-site loop (see _call_indels); `sites` here is the
+        (first, span, is_str) tuple list."""
         from .indels import call_indel, cluster_allele_calls, spanning_call_for
 
         if not sites:
             return []
-        sites = [(s.first, s.span, s.is_str) for s in sites]
+        if sites and not isinstance(sites[0], tuple):
+            sites = [(s.first, s.span, s.is_str) for s in sites]
         seq_len = self.genome.sequence_length(seq_idx)
         # interval lookup over alignments
         firsts = np.array([a.first for a in alns])
