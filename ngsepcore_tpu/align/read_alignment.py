@@ -344,42 +344,70 @@ def left_align_indels(
     (IndelRealignerPileupListener.moveIndelStarts:274); normalizing each
     CIGAR at alignment time achieves the same consistency.  ref_codes is
     the subject window; ref_offset is where the alignment starts inside it.
+
+    The shift distance of each gap run is computed in closed form: a run
+    of length l at cursor p shifts k steps iff x[p-1-j] == x[p+l-1-j] for
+    all j < k (x = read for I, subject for D; the underlying sequence
+    never changes, so the per-step conditions are independent), bounded by
+    the preceding M run.  One left-to-right pass replaces the
+    restart-on-every-shift scan (~1.1s of a 35s bench run at ~96k gapped
+    alignments; homopolymer runs shift 10+ steps each).
     """
-    # expand to op runs with absolute query/ref cursors
-    runs = [list(r) for r in cigar]
-    # compute run start positions
-    changed = True
-    while changed:
-        changed = False
-        qi = 0
-        sj = ref_offset
-        for i, (l, op) in enumerate([tuple(r) for r in runs]):
-            if op in ("I", "D") and i > 0 and runs[i - 1][1] == "M" and runs[i - 1][0] > 0:
-                if op == "I":
-                    seq = read_codes[qi : qi + l]
-                    prev_q = read_codes[qi - 1] if qi > 0 else -1
-                    can = qi > 0 and len(seq) > 0 and prev_q == seq[-1]
+    read_codes = np.asarray(read_codes)
+    ref_codes = np.asarray(ref_codes)
+    # pre-merge adjacent equal ops: the shift bound below reads only the
+    # immediately preceding run, while the restart-scan walks through
+    # consecutive M runs one by one
+    runs: list[list] = []
+    for l, op in cigar:
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += l
+        else:
+            runs.append([l, op])
+    qi = 0
+    sj = ref_offset
+    i = 0
+    while i < len(runs):
+        l, op = runs[i]
+        if (
+            op in ("I", "D")
+            and l > 0
+            and i > 0
+            and runs[i - 1][1] == "M"
+            and runs[i - 1][0] > 0
+        ):
+            x = read_codes if op == "I" else ref_codes
+            p = qi if op == "I" else sj
+            kmax = min(runs[i - 1][0], p)
+            if kmax > 0 and p + l <= len(x):
+                a = x[p - kmax : p][::-1]
+                b = x[p + l - kmax : p + l][::-1]
+                neq = np.flatnonzero(a != b)
+                k = int(neq[0]) if len(neq) else kmax
+            else:
+                k = 0
+            if k > 0:
+                runs[i - 1][0] -= k
+                if i + 1 < len(runs) and runs[i + 1][1] == "M":
+                    runs[i + 1][0] += k
                 else:
-                    seq = ref_codes[sj : sj + l]
-                    prev_s = ref_codes[sj - 1] if sj > 0 else -1
-                    can = sj > 0 and len(seq) > 0 and prev_s == seq[-1]
-                if can:
-                    runs[i - 1][0] -= 1
-                    if i + 1 < len(runs) and runs[i + 1][1] == "M":
-                        runs[i + 1][0] += 1
-                    else:
-                        runs.insert(i + 1, [1, "M"])
-                    if runs[i - 1][0] == 0:
-                        del runs[i - 1]
-                    changed = True
-                    break
-            if op in ("M", "=", "X"):
-                qi += l
-                sj += l
-            elif op in ("I", "S"):
-                qi += l
-            elif op in ("D", "N"):
-                sj += l
+                    runs.insert(i + 1, [k, "M"])
+                # the preceding M shrank by k: it consumed k less of BOTH
+                # query and subject, so both cursors sit k earlier here
+                qi -= k
+                sj -= k
+                if runs[i - 1][0] == 0:
+                    del runs[i - 1]
+                    i -= 1
+        l, op = runs[i]
+        if op in ("M", "=", "X"):
+            qi += l
+            sj += l
+        elif op in ("I", "S"):
+            qi += l
+        elif op in ("D", "N"):
+            sj += l
+        i += 1
     # merge adjacent equal ops
     merged: list[tuple[int, str]] = []
     for l, op in runs:

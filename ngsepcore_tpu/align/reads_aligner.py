@@ -510,7 +510,73 @@ class ReadsAligner:
             pend.append(self._tier3_dispatch(jobs[c0 : c0 + self.DP_ROWS], concat))
         fetched = jax.device_get([p[2] for p in pend])
         for (chunk, qc, _), out in zip(pend, fetched):
-            self._tier3_decode(chunk, qc, out, concat)
+            cands = [j[0] for j in chunk]
+            qlens = np.fromiter((len(j[1]) for j in chunk), np.int64, len(chunk))
+            firsts = np.fromiter((j[2] for j in chunk), np.int64, len(chunk))
+            self._tier3_decode_arrays(
+                cands, qlens, firsts, lambda i, c=chunk: c[i][1], out, concat
+            )
+
+    def _tier3_run_dev(
+        self, cands, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
+        qget,
+    ) -> None:
+        """Device-gather tier-3: job inputs (query codes, subject windows)
+        are built ON DEVICE from the run-wide packed-read matrix and the
+        resident genome (kernels/pairwise.dp_gather_inputs), so each job
+        crosses the host link as ~20 bytes of metadata instead of ~1 KB of
+        packed matrices (~80 MB per bench run).  `cands` is the
+        _Candidate list aligned with the meta arrays; `qget(i)` returns
+        host-side query codes (only touched for accepted gapped rows,
+        which need the left-align pass)."""
+        n = len(cands)
+        if n == 0:
+            return
+        import jax
+
+        from ..kernels.pairwise import dp_gather_inputs
+
+        concat = self.genome.concat
+        concat_dev = self.genome.device_concat()
+        self.complete_alns += n
+        pend = []
+        for c0 in range(0, n, self.DP_ROWS):
+            c1 = min(n, c0 + self.DP_ROWS)
+            nb = c1 - c0
+            bucket = _row_bucket(nb, minimum=self.DP_ROWS_MIN)
+            ql_c = qlen[c0:c1]
+            sl_c = (lasts[c0:c1] - firsts[c0:c1]).astype(np.int32)
+            Lq = -(-int(ql_c.max()) // 64) * 64
+            Ls = -(-int(sl_c.max()) // 64) * 64
+            rows_b = np.zeros(bucket, np.int32)
+            rows_b[:nb] = rows[c0:c1]
+            str_b = np.zeros(bucket, np.int32)
+            str_b[:nb] = strand[c0:c1]
+            f_b = np.zeros(bucket, np.int32)
+            f_b[:nb] = firsts[c0:c1]
+            sl_b = np.zeros(bucket, np.int32)
+            sl_b[:nb] = sl_c
+            qc, ln, sc = dp_gather_inputs(
+                bigpq, lengths_dev, concat_dev, rows_b, str_b, f_b, sl_b,
+                Lq=Lq, Ls=Ls,
+            )
+            self.dp_cells += bucket * Lq * Ls
+            out = affine_gap_align_batch(
+                qc, ln, sc, sl_b, free_start2=True, free_end2=True
+            )
+            from ..kernels.pairwise import dp_stats_pack
+
+            stats = dp_stats_pack(
+                out["ops"], out["n_ops"], out["start_j"], qc, sc
+            )
+            pend.append((c0, c1, stats))
+        fetched = jax.device_get([p[2] for p in pend])
+        for (c0, c1, _), out in zip(pend, fetched):
+            self._tier3_decode_arrays(
+                cands[c0:c1], qlen[c0:c1].astype(np.int64),
+                firsts[c0:c1].astype(np.int64),
+                lambda i, o=c0: qget(o + i), out, concat,
+            )
 
     def _tier3(
         self,
@@ -563,58 +629,105 @@ class ReadsAligner:
         )
         return jobs, None, stats
 
-    def _tier3_decode(
-        self, jobs: list, qc, out: dict, concat: np.ndarray
+    def _tier3_decode_arrays(
+        self, cands, qlens, firsts, qget, out: dict, concat: np.ndarray
     ) -> None:
         """Decode one fetched stats chunk: mismatch accept, then CIGARs.
 
         The mismatch statistic, gap flag, and a 2-bit-packed ops array
-        come precomputed from the device (kernels/pairwise.dp_stats_pack);
-        per-job Python survives only for ACCEPTED rows, and the dominant
-        gapless rows take a constant-time single-run CIGAR path."""
+        come precomputed from the device (kernels/pairwise.dp_stats_pack).
+        All per-row math (accept mask, concat-position split, ops unpack,
+        run boundaries) is vectorized over the chunk; Python survives only
+        to assemble cigar lists and ReadAlignment objects for ACCEPTED
+        rows, and the dominant gapless rows take a constant-time
+        single-run path with no clip_borders call (a single >=15bp M run
+        is clip-invariant)."""
         from .read_alignment import left_align_indels
 
-        n = len(jobs)
+        n = len(cands)
         mism_all = np.asarray(out["mism"])[:n].astype(np.int64)
         has_gap = np.asarray(out["has_gap"])[:n]
-        packed = np.asarray(out["packed"])[:n]
         n_ops = np.asarray(out["n_ops"])[:n].astype(np.int64)
         start_j = np.asarray(out["start_j"])[:n].astype(np.int64)
-        qlen_all = np.fromiter((len(j[1]) for j in jobs), np.int64, n)
-        ok = np.nonzero(mism_all <= 0.1 * qlen_all)[0]
-        sh = 2 * np.arange(16, dtype=np.uint32)
+        ok = np.nonzero(mism_all <= 0.1 * qlens)[0]
+        if not len(ok):
+            return
+        # vectorized split_concat_pos over accepted rows
+        offs = self.genome.offsets
+        aln_first = firsts[ok] + start_j[ok]
+        si_all = np.clip(
+            np.searchsorted(offs, aln_first, side="right") - 1,
+            0, self.genome.num_sequences - 1,
+        )
+        pos1_all = (aln_first - offs[si_all] + 1).astype(np.int64)
+        names = [
+            self.genome.sequence_name(i)
+            for i in range(self.genome.num_sequences)
+        ]
+        qual_all = np.rint(100 - 5 * mism_all).astype(np.int64)
 
-        for i in ok:
-            c, qcodes, first, last = jobs[i]
-            mism = int(mism_all[i])
-            if has_gap[i]:
-                no = int(n_ops[i])
-                o = (
-                    (packed[i][:, None] >> sh[None, :]) & 3
-                ).ravel()[:no].astype(np.uint8)
-                b = np.flatnonzero(o[1:] != o[:-1]) + 1
-                bounds = np.concatenate([[0], b, [len(o)]])
-                cigar = [
-                    (int(bounds[t + 1] - bounds[t]), "MID"[int(o[bounds[t]]) - 1])
-                    for t in range(len(bounds) - 1)
+        # gapped accepted rows: unpack ops + run boundaries in one pass
+        gsel = ok[has_gap[ok]]
+        runs_by_row: dict[int, list] = {}
+        if len(gsel):
+            packed = np.asarray(out["packed"])[gsel]
+            sh = 2 * np.arange(16, dtype=np.uint32)
+            om = ((packed[:, :, None] >> sh[None, None, :]) & 3).reshape(
+                len(gsel), -1
+            )
+            S = om.shape[1]
+            col = np.arange(S, dtype=np.int64)[None, :]
+            valid = col < n_ops[gsel][:, None]
+            prev = np.concatenate(
+                [np.full((len(gsel), 1), -1, om.dtype), om[:, :-1]], axis=1
+            )
+            is_start = (om != prev) & valid
+            rrow, rcol = np.nonzero(is_start)
+            # run end = next start within the row, else n_ops
+            nxt = np.empty(len(rrow), np.int64)
+            nxt[:-1] = np.where(
+                rrow[:-1] == rrow[1:], rcol[1:], n_ops[gsel[rrow[:-1]]]
+            )
+            if len(rrow):
+                nxt[-1] = n_ops[gsel[rrow[-1]]]
+            rlen = nxt - rcol
+            rop = om[rrow, rcol]
+            b0 = np.zeros(len(gsel) + 1, np.int64)
+            np.add.at(b0[1:], rrow, 1)
+            np.cumsum(b0, out=b0)
+            for t, gi in enumerate(gsel):
+                lo, hi = b0[t], b0[t + 1]
+                runs_by_row[gi] = [
+                    (int(rlen[u]), "MID"[int(rop[u]) - 1])
+                    for u in range(lo, hi)
                 ]
+
+        for t, i in enumerate(ok):
+            c = cands[i]
+            if has_gap[i]:
+                first = int(firsts[i])
                 # normalize indel placement so all reads report the same
                 # event position (ref: IndelRealignerPileupListener
                 # .moveIndelStarts)
                 cigar = left_align_indels(
-                    cigar, qcodes, concat[first:last], int(start_j[i])
+                    runs_by_row[i], qget(i),
+                    concat[first : first + int(start_j[i]) + int(n_ops[i])],
+                    int(start_j[i]),
+                )
+                clip_ok = (
+                    cigar[0][1] == "M" and cigar[0][0] >= MIN_MATCH_LENGTH
+                    and cigar[-1][1] == "M" and cigar[-1][0] >= MIN_MATCH_LENGTH
                 )
             else:
                 cigar = [(int(n_ops[i]), "M")]
-            aln_first_concat = first + int(start_j[i])
-            seq_idx, pos1 = self.genome.split_concat_pos(aln_first_concat)
+                clip_ok = int(n_ops[i]) >= MIN_MATCH_LENGTH
             aln = ReadAlignment(
-                sequence_name=self.genome.sequence_name(seq_idx),
-                first=pos1,
+                sequence_name=names[si_all[t]],
+                first=int(pos1_all[t]),
                 cigar=cigar,
-                num_mismatches=mism,
+                num_mismatches=int(mism_all[i]),
             )
-            if not aln.clip_borders(MIN_MATCH_LENGTH):
+            if not clip_ok and not aln.clip_borders(MIN_MATCH_LENGTH):
                 continue
             c.aln = aln
-            c.quality = int(round(100 - 5 * mism))
+            c.quality = int(qual_all[i])

@@ -106,16 +106,24 @@ class AlnTable:
         if R == 0:
             z = np.empty(0, np.int64)
             return z, z.astype(np.int8), z.astype(np.int8), z.astype(np.int8)
-        rid = np.repeat(np.arange(R, dtype=np.int64), self.run_len)
-        cum = np.zeros(R, np.int64)
+        # int32 throughout: at ~14M calls per sequence the pass is memory-
+        # bandwidth bound on this 2-vCPU host, and every column fits
+        rid = np.repeat(
+            np.arange(R, dtype=np.int32), self.run_len
+        )
+        cum = np.zeros(R, np.int32)
         np.cumsum(self.run_len[:-1], out=cum[1:])
-        o = np.arange(int(self.run_len.sum()), dtype=np.int64) - cum[rid]
-        aid = self.run_aln[rid]
-        pos = self.run_ref[rid] + o
-        ri = self.run_read[rid] + o
-        keep = (ri >= self.ig5[aid]) & (ri < self.lens[aid] - self.ig3[aid])
+        o = np.arange(int(self.run_len.sum()), dtype=np.int32) - cum[rid]
+        aid = self.run_aln[rid].astype(np.int32)
+        pos = self.run_ref[rid].astype(np.int32) + o
+        ri = self.run_read[rid].astype(np.int32) + o
+        lo32 = self.ig5.astype(np.int32)
+        hi32 = (self.lens - self.ig3).astype(np.int32)
+        keep = (ri >= lo32[aid]) & (ri < hi32[aid])
         pos, ri, aid = pos[keep], ri[keep], aid[keep]
-        src = self.off[aid] + ri
+        src = self.off[aid].astype(np.int64) + ri
+        # pos stays int32: callers sort it (numpy radix-sorts int32 ~6x
+        # faster than the int64 mergesort) and positions are per-sequence
         return (
             pos,
             self.codes_flat[src],

@@ -67,7 +67,7 @@ class _BatchState:
     fused: np.ndarray  # bool: unique tier-1 accept, candidate for device path
     host_alns: list[list[ReadAlignment]] = field(default_factory=list)
     selected: list = field(default_factory=list)  # host-path candidates
-    dp_jobs: list = field(default_factory=list)  # deferred tier-3 DP jobs
+    dp_meta: dict | None = None  # deferred tier-3 job arrays (device gather)
     read0: int = 0  # global index of this batch's first read (chunks vary)
     # realigner end-trims for fused reads inside indel neighborhoods
     # (alignment-space bases to ignore; folded into cs/ce at compaction)
@@ -319,10 +319,10 @@ class AlignCallPipeline:
             st.read0 = a
         # one DP sweep over all batches' fallback candidates (a per-batch
         # sweep would pay the fixed-row DP kernel once per batch for a
-        # handful of jobs each)
-        all_jobs = [j for st in batches for j in st.dp_jobs]
+        # handful of jobs each); inputs are gathered on device from the
+        # already-uploaded packed reads + genome (no qc/sc host packing)
         with stage("align.tier3_dp"):
-            self.aligner._tier3_run(all_jobs)
+            self._tier3_run_fused(batches)
         with stage("align.select_final"):
             for st in batches:
                 out, n_aligned = select_final_alignments(
@@ -331,11 +331,69 @@ class AlignCallPipeline:
                 self.aligner.aligned_reads += n_aligned
                 st.host_alns = out
                 st.selected = []
-                st.dp_jobs = []
+                st.dp_meta = None
         with stage("align.late_fuse"):
             for st in batches:
                 self._late_fuse(st)
         return self._call(batches)
+
+    # ------------------------------------------------------------------
+    def _tier3_run_fused(self, batches: list[_BatchState]) -> None:
+        """Tier-3 DP over every batch's fallback candidates with inputs
+        gathered ON DEVICE (kernels/pairwise.dp_gather_inputs) from the
+        per-batch packed-read uploads concatenated into one run-wide
+        matrix.  Host-side job state is ~20 bytes per job; query codes
+        rematerialize host-side only for accepted gapped rows (left-align
+        needs them)."""
+        import jax
+
+        from ..kernels.shear_pileup import concat_reads
+
+        metas = [st.dp_meta for st in batches]
+        n_jobs = sum(len(m["cands"]) for m in metas if m)
+        if n_jobs == 0:
+            return
+        Lp = max(st.fwd_mat.shape[1] for st in batches)
+        bigpq = concat_reads(*[st.pq_dev for st in batches], lanes=Lp)
+        row_off = np.cumsum(
+            [0] + [st.fwd_mat.shape[0] for st in batches]
+        )
+        lengths_dev = jax.device_put(
+            np.concatenate([st.lengths for st in batches]).astype(np.int32)
+        )
+        cands: list = []
+        rows_l, str_l, ql_l, f_l, l_l, bi_l = [], [], [], [], [], []
+        for bi, m in enumerate(metas):
+            if not m or not m["cands"]:
+                continue
+            cands.extend(m["cands"])
+            rows_l.append(row_off[bi] + m["row"])
+            str_l.append(m["strand"])
+            ql_l.append(m["qlen"])
+            f_l.append(m["first"])
+            l_l.append(m["last"])
+            bi_l.append(np.full(len(m["row"]), bi, np.int32))
+        rows = np.concatenate(rows_l).astype(np.int32)
+        strand = np.concatenate(str_l).astype(np.int32)
+        qlen = np.concatenate(ql_l).astype(np.int64)
+        firsts = np.concatenate(f_l).astype(np.int64)
+        lasts = np.concatenate(l_l).astype(np.int64)
+        bi_all = np.concatenate(bi_l)
+        row_local = np.concatenate([m["row"] for m in metas if m and m["cands"]])
+
+        def qget(i: int) -> np.ndarray:
+            st = batches[bi_all[i]]
+            r = int(row_local[i])
+            ql = int(qlen[i])
+            if strand[i]:
+                g = st.fwd_mat[r, :ql][::-1]
+                return np.where(g < 4, 3 - g, g).astype(np.int8)
+            return st.fwd_mat[r, :ql]
+
+        self.aligner._tier3_run_dev(
+            cands, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
+            qget,
+        )
 
     # ------------------------------------------------------------------
     def _late_fuse(self, st: _BatchState) -> None:
@@ -597,7 +655,6 @@ class AlignCallPipeline:
         n_cells = int(clf["cell_count"])
         cells = np.asarray(clf["cells"])[:n_cells]
         selected: list[_Candidate] = []
-        dp_jobs: list = []
         if n_cells:
             ridx_a = cells[:, 0]
             pred_a = cells[:, 1].astype(np.int64)
@@ -663,6 +720,16 @@ class AlignCallPipeline:
                         quality=int(round(100 - 5 * t)),
                     )
                 )
+            dpsel = np.nonzero(~t1_a)[0]
+            if len(t2_hits) > 1:  # only the None sentinel when no STRs hit
+                dpsel = np.array(
+                    [
+                        i
+                        for i in dpsel
+                        if (int(ridx_a[i]), int(col_a[i])) not in t2_hits
+                    ],
+                    dtype=np.int64,
+                )
             dp_cands = [
                 _Candidate(
                     read_idx=int(ridx_a[i]),
@@ -671,11 +738,32 @@ class AlignCallPipeline:
                     pred_start=int(pred_a[i]),
                     weight=float(w_a[i]),
                 )
-                for i in np.nonzero(~t1_a)[0]
-                if (int(ridx_a[i]), int(col_a[i])) not in t2_hits
+                for i in dpsel
             ]
-            dp_jobs = al._tier3_jobs(dp_cands, fwd_mat, None, lengths_h)
+            # job meta arrays (same window filter as _tier3_jobs); query
+            # codes never materialize host-side — the DP kernel gathers
+            # them on device
+            if len(dpsel):
+                ql = lengths_h[ridx_a[dpsel]].astype(np.int64)
+                s0 = offs[si_a[dpsel]]
+                s1 = offs[si_a[dpsel] + 1]
+                jf = np.maximum(s0, pred_a[dpsel] - 3)
+                jl = np.minimum(s1, pred_a[dpsel] + ql + 3)
+                d = jl - jf
+                jkeep = np.nonzero((d <= 1.5 * ql) & (d >= 0.5 * ql))[0]
+                dp_meta = {
+                    "cands": [dp_cands[int(k)] for k in jkeep],
+                    "row": ridx_a[dpsel][jkeep].astype(np.int64),
+                    "strand": strand_a[dpsel][jkeep].astype(np.int32),
+                    "qlen": ql[jkeep],
+                    "first": jf[jkeep],
+                    "last": jl[jkeep],
+                }
+            else:
+                dp_meta = None
             selected.extend(dp_cands)
+        else:
+            dp_meta = None
 
         return _BatchState(
             reads=reads,
@@ -691,7 +779,7 @@ class AlignCallPipeline:
             fused=fused,
             host_alns=[[] for _ in range(B)],
             selected=selected,
-            dp_jobs=dp_jobs,
+            dp_meta=dp_meta,
         )
 
     # ------------------------------------------------------------------

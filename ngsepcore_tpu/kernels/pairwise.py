@@ -315,6 +315,43 @@ def ops_to_cigar_and_strings(
     return cigar, mismatches
 
 
+@partial(jax.jit, static_argnames=("Lq", "Ls"))
+def dp_gather_inputs(
+    bigpq,  # (R, Lp) uint8 packed code|qual<<3, run-wide read matrix
+    lengths,  # (R,) int32 read lengths
+    concat,  # (G,) int8 concatenated genome codes
+    rows,  # (B,) int32 global read row per DP job
+    strand,  # (B,) int32 1 = align the reverse complement
+    firsts,  # (B,) int32 subject window start (concat coords)
+    slen,  # (B,) int32 subject window length
+    *,
+    Lq: int,
+    Ls: int,
+):
+    """Build the DP query/subject matrices ON DEVICE from the already
+    uploaded packed reads and genome.
+
+    The predecessor packed qc/sc on the host and uploaded ~1 KB per job
+    per chunk (~80 MB per bench run through the host link); job specs are
+    ~20 bytes each instead.  Reverse queries are derived by flip+complement
+    here (the reverse rows never exist host-side)."""
+    B = rows.shape[0]
+    sub = (jnp.take(bigpq, rows, axis=0) & 7).astype(jnp.int8)  # (B, Lp)
+    ln = jnp.take(lengths, rows)
+    Lp = sub.shape[1]
+    j = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    rev = (strand == 1)[:, None]
+    idx = jnp.where(rev, ln[:, None] - 1 - j, j)
+    g = jnp.take_along_axis(sub, jnp.clip(idx, 0, Lp - 1), axis=1)
+    g = jnp.where(rev & (g < 4), 3 - g, g)
+    qc = jnp.where(j < ln[:, None], g, jnp.int8(4))
+    js = jnp.arange(Ls, dtype=jnp.int32)[None, :]
+    sidx = firsts[:, None] + js
+    sc_raw = jnp.take(concat, jnp.clip(sidx, 0, concat.shape[0] - 1))
+    sc = jnp.where(js < slen[:, None], sc_raw, jnp.int8(4))
+    return qc, ln, sc
+
+
 @jax.jit
 def dp_stats_pack(ops, n_ops, start_j, query, subject):
     """Device post-pass over affine_gap_align_batch output.
