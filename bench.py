@@ -233,12 +233,14 @@ def main() -> None:
     import jax
 
     # persistent compilation cache: re-runs (and the driver's run after a
-    # warm session) skip the ~30s/program tunnel compile round trips
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    # warm session) skip the ~30s/program tunnel compile round trips.
+    # Keyed by machine fingerprint so a cache written on one host type
+    # never hands mismatched AOT results to another.
+    from ngsepcore_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import ngsepcore_tpu  # noqa: F401
     from ngsepcore_tpu.align.reads_aligner import ReadsAligner

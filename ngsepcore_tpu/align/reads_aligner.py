@@ -508,8 +508,11 @@ class ReadsAligner:
         pend = []
         for c0 in range(0, len(jobs), self.DP_ROWS):
             pend.append(self._tier3_dispatch(jobs[c0 : c0 + self.DP_ROWS], concat))
-        fetched = jax.device_get([p[2] for p in pend])
-        for (chunk, qc, _), out in zip(pend, fetched):
+        fetched = jax.device_get(
+            [{k: v for k, v in p[2].items() if k != "packed"} for p in pend]
+        )
+        for (chunk, qc, stats), out in zip(pend, fetched):
+            out["packed_dev"] = stats["packed"]
             cands = [j[0] for j in chunk]
             qlens = np.fromiter((len(j[1]) for j in chunk), np.int64, len(chunk))
             firsts = np.fromiter((j[2] for j in chunk), np.int64, len(chunk))
@@ -519,7 +522,7 @@ class ReadsAligner:
 
     def _tier3_run_dev(
         self, cands, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
-        qget,
+        qget, sink=None,
     ) -> None:
         """Device-gather tier-3: job inputs (query codes, subject windows)
         are built ON DEVICE from the run-wide packed-read matrix and the
@@ -528,8 +531,10 @@ class ReadsAligner:
         packed matrices (~80 MB per bench run).  `cands` is the
         _Candidate list aligned with the meta arrays; `qget(i)` returns
         host-side query codes (only touched for accepted gapped rows,
-        which need the left-align pass)."""
-        n = len(cands)
+        which need the left-align pass).  With `sink` set, results are
+        emitted through it and `cands` may be None (array-native
+        selection)."""
+        n = len(rows)
         if n == 0:
             return
         import jax
@@ -570,12 +575,21 @@ class ReadsAligner:
                 out["ops"], out["n_ops"], out["start_j"], qc, sc
             )
             pend.append((c0, c1, stats))
-        fetched = jax.device_get([p[2] for p in pend])
-        for (c0, c1, _), out in zip(pend, fetched):
+        fetched = jax.device_get(
+            [{k: v for k, v in p[2].items() if k != "packed"} for p in pend]
+        )
+        for (c0, c1, stats), out in zip(pend, fetched):
+            out["packed_dev"] = stats["packed"]
             self._tier3_decode_arrays(
-                cands[c0:c1], qlen[c0:c1].astype(np.int64),
+                cands[c0:c1] if cands is not None else None,
+                qlen[c0:c1].astype(np.int64),
                 firsts[c0:c1].astype(np.int64),
                 lambda i, o=c0: qget(o + i), out, concat,
+                sink=(
+                    None
+                    if sink is None
+                    else (lambda i, *a, o=c0: sink(o + i, *a))
+                ),
             )
 
     def _tier3(
@@ -630,7 +644,8 @@ class ReadsAligner:
         return jobs, None, stats
 
     def _tier3_decode_arrays(
-        self, cands, qlens, firsts, qget, out: dict, concat: np.ndarray
+        self, cands, qlens, firsts, qget, out: dict, concat: np.ndarray,
+        sink=None,
     ) -> None:
         """Decode one fetched stats chunk: mismatch accept, then CIGARs.
 
@@ -644,9 +659,9 @@ class ReadsAligner:
         is clip-invariant)."""
         from .read_alignment import left_align_indels
 
-        n = len(cands)
+        n = len(qlens)
         mism_all = np.asarray(out["mism"])[:n].astype(np.int64)
-        has_gap = np.asarray(out["has_gap"])[:n]
+        has_gap = np.asarray(out["has_gap"])[:n].astype(bool)
         n_ops = np.asarray(out["n_ops"])[:n].astype(np.int64)
         start_j = np.asarray(out["start_j"])[:n].astype(np.int64)
         ok = np.nonzero(mism_all <= 0.1 * qlens)[0]
@@ -666,44 +681,47 @@ class ReadsAligner:
         ]
         qual_all = np.rint(100 - 5 * mism_all).astype(np.int64)
 
-        # gapped accepted rows: unpack ops + run boundaries in one pass
+        # gapped accepted rows: the fetched RLE IS the cigar (device-side
+        # run-length encoding in dp_stats_pack); rows overflowing RLE_MAX
+        # runs (none under the 10% mismatch accept) re-fetch their packed
+        # ops individually
+        from ..kernels.pairwise import RLE_MAX
+
         gsel = ok[has_gap[ok]]
         runs_by_row: dict[int, list] = {}
         if len(gsel):
-            packed = np.asarray(out["packed"])[gsel]
-            sh = 2 * np.arange(16, dtype=np.uint32)
-            om = ((packed[:, :, None] >> sh[None, None, :]) & 3).reshape(
-                len(gsel), -1
-            )
-            S = om.shape[1]
-            col = np.arange(S, dtype=np.int64)[None, :]
-            valid = col < n_ops[gsel][:, None]
-            prev = np.concatenate(
-                [np.full((len(gsel), 1), -1, om.dtype), om[:, :-1]], axis=1
-            )
-            is_start = (om != prev) & valid
-            rrow, rcol = np.nonzero(is_start)
-            # run end = next start within the row, else n_ops
-            nxt = np.empty(len(rrow), np.int64)
-            nxt[:-1] = np.where(
-                rrow[:-1] == rrow[1:], rcol[1:], n_ops[gsel[rrow[:-1]]]
-            )
-            if len(rrow):
-                nxt[-1] = n_ops[gsel[rrow[-1]]]
-            rlen = nxt - rcol
-            rop = om[rrow, rcol]
-            b0 = np.zeros(len(gsel) + 1, np.int64)
-            np.add.at(b0[1:], rrow, 1)
-            np.cumsum(b0, out=b0)
-            for t, gi in enumerate(gsel):
-                lo, hi = b0[t], b0[t + 1]
-                runs_by_row[gi] = [
-                    (int(rlen[u]), "MID"[int(rop[u]) - 1])
-                    for u in range(lo, hi)
-                ]
+            n_runs = np.asarray(out["n_runs"])
+            rle = np.asarray(out["rle"])
+            mid = "MID"
+            for gi in gsel:
+                nr = int(n_runs[gi])
+                if nr <= RLE_MAX:
+                    row = rle[gi]
+                    runs_by_row[gi] = [
+                        (int(row[u]) >> 2, mid[(int(row[u]) & 3) - 1])
+                        for u in range(nr)
+                    ]
+                else:  # overflow: unpack the full ops row
+                    import jax
+
+                    prow = np.asarray(
+                        jax.device_get(out["packed_dev"][int(gi)])
+                    )
+                    sh = 2 * np.arange(16, dtype=np.uint32)
+                    o = ((prow[:, None] >> sh[None, :]) & 3).ravel()[
+                        : int(n_ops[gi])
+                    ]
+                    b = np.flatnonzero(o[1:] != o[:-1]) + 1
+                    bounds = np.concatenate([[0], b, [len(o)]])
+                    runs_by_row[gi] = [
+                        (
+                            int(bounds[t + 1] - bounds[t]),
+                            mid[int(o[bounds[t]]) - 1],
+                        )
+                        for t in range(len(bounds) - 1)
+                    ]
 
         for t, i in enumerate(ok):
-            c = cands[i]
             if has_gap[i]:
                 first = int(firsts[i])
                 # normalize indel placement so all reads report the same
@@ -721,13 +739,28 @@ class ReadsAligner:
             else:
                 cigar = [(int(n_ops[i]), "M")]
                 clip_ok = int(n_ops[i]) >= MIN_MATCH_LENGTH
-            aln = ReadAlignment(
-                sequence_name=names[si_all[t]],
-                first=int(pos1_all[t]),
+            si = int(si_all[t])
+            pos1 = int(pos1_all[t])
+            if not clip_ok:
+                # unsafe borders: run the real clip on a temp alignment
+                aln = ReadAlignment(
+                    sequence_name=names[si],
+                    first=pos1,
+                    cigar=cigar,
+                    num_mismatches=int(mism_all[i]),
+                )
+                if not aln.clip_borders(MIN_MATCH_LENGTH):
+                    continue
+                cigar = aln.cigar
+                pos1 = aln.first
+            if sink is not None:
+                sink(i, si, pos1, cigar, int(mism_all[i]), int(qual_all[i]))
+                continue
+            c = cands[i]
+            c.aln = ReadAlignment(
+                sequence_name=names[si],
+                first=pos1,
                 cigar=cigar,
                 num_mismatches=int(mism_all[i]),
             )
-            if not clip_ok and not aln.clip_borders(MIN_MATCH_LENGTH):
-                continue
-            c.aln = aln
             c.quality = int(qual_all[i])

@@ -66,7 +66,8 @@ class _BatchState:
     strand: np.ndarray
     fused: np.ndarray  # bool: unique tier-1 accept, candidate for device path
     host_alns: list[list[ReadAlignment]] = field(default_factory=list)
-    selected: list = field(default_factory=list)  # host-path candidates
+    cand_t2: list = field(default_factory=list)  # tier-2 STR candidates
+    t1_cells: dict | None = None  # tier-1 host-cell arrays
     dp_meta: dict | None = None  # deferred tier-3 job arrays (device gather)
     read0: int = 0  # global index of this batch's first read (chunks vary)
     # realigner end-trims for fused reads inside indel neighborhoods
@@ -322,37 +323,31 @@ class AlignCallPipeline:
         # handful of jobs each); inputs are gathered on device from the
         # already-uploaded packed reads + genome (no qc/sc host packing)
         with stage("align.tier3_dp"):
-            self._tier3_run_fused(batches)
+            dp_store = self._tier3_run_fused(batches)
         with stage("align.select_final"):
+            j0 = 0
             for st in batches:
-                out, n_aligned = select_final_alignments(
-                    st.reads, st.selected, self.aligner.max_alns_per_read
-                )
-                self.aligner.aligned_reads += n_aligned
-                st.host_alns = out
-                st.selected = []
-                st.dp_meta = None
-        with stage("align.late_fuse"):
-            for st in batches:
-                self._late_fuse(st)
+                j0 = self._select_batch(st, dp_store, j0)
         return self._call(batches)
 
     # ------------------------------------------------------------------
-    def _tier3_run_fused(self, batches: list[_BatchState]) -> None:
+    def _tier3_run_fused(self, batches: list[_BatchState]) -> dict | None:
         """Tier-3 DP over every batch's fallback candidates with inputs
         gathered ON DEVICE (kernels/pairwise.dp_gather_inputs) from the
         per-batch packed-read uploads concatenated into one run-wide
         matrix.  Host-side job state is ~20 bytes per job; query codes
         rematerialize host-side only for accepted gapped rows (left-align
-        needs them)."""
+        needs them).  Results land in a flat store (arrays + cigar dict)
+        consumed by the array-native selection (_select_batch); no
+        per-job candidate objects exist."""
         import jax
 
         from ..kernels.shear_pileup import concat_reads
 
         metas = [st.dp_meta for st in batches]
-        n_jobs = sum(len(m["cands"]) for m in metas if m)
+        n_jobs = sum(len(m["row"]) for m in metas if m)
         if n_jobs == 0:
-            return
+            return None
         Lp = max(st.fwd_mat.shape[1] for st in batches)
         bigpq = concat_reads(*[st.pq_dev for st in batches], lanes=Lp)
         row_off = np.cumsum(
@@ -361,12 +356,10 @@ class AlignCallPipeline:
         lengths_dev = jax.device_put(
             np.concatenate([st.lengths for st in batches]).astype(np.int32)
         )
-        cands: list = []
         rows_l, str_l, ql_l, f_l, l_l, bi_l = [], [], [], [], [], []
         for bi, m in enumerate(metas):
-            if not m or not m["cands"]:
+            if not m:
                 continue
-            cands.extend(m["cands"])
             rows_l.append(row_off[bi] + m["row"])
             str_l.append(m["strand"])
             ql_l.append(m["qlen"])
@@ -379,76 +372,272 @@ class AlignCallPipeline:
         firsts = np.concatenate(f_l).astype(np.int64)
         lasts = np.concatenate(l_l).astype(np.int64)
         bi_all = np.concatenate(bi_l)
-        row_local = np.concatenate([m["row"] for m in metas if m and m["cands"]])
+        row_local = np.concatenate([m["row"] for m in metas if m])
+
+        rev_cache: dict[int, np.ndarray] = {}
 
         def qget(i: int) -> np.ndarray:
-            st = batches[bi_all[i]]
+            bi = int(bi_all[i])
+            st = batches[bi]
             r = int(row_local[i])
             ql = int(qlen[i])
-            if strand[i]:
-                g = st.fwd_mat[r, :ql][::-1]
-                return np.where(g < 4, 3 - g, g).astype(np.int8)
-            return st.fwd_mat[r, :ql]
+            if not strand[i]:
+                return st.fwd_mat[r, :ql]
+            rm = rev_cache.get(bi)
+            if rm is None:
+                # one vectorized revcomp matrix per batch beats ~100k
+                # per-row reversals (accepted gapped rows re-read here)
+                fm = st.fwd_mat
+                Lpb = fm.shape[1]
+                ridx = (
+                    st.lengths[:, None].astype(np.int64)
+                    - 1
+                    - np.arange(Lpb)[None, :]
+                )
+                g = np.take_along_axis(fm, np.clip(ridx, 0, Lpb - 1), axis=1)
+                rm = np.where(
+                    ridx >= 0, np.where(g < 4, 3 - g, g), np.int8(4)
+                ).astype(np.int8)
+                rev_cache[bi] = rm
+            return rm[r, :ql]
+
+        store = {
+            "acc": np.zeros(n_jobs, bool),
+            "q": np.zeros(n_jobs, np.int64),
+            "si": np.zeros(n_jobs, np.int64),
+            "pos1": np.zeros(n_jobs, np.int64),
+            "mism": np.zeros(n_jobs, np.int64),
+            "cs": np.zeros(n_jobs, np.int64),
+            "ce": np.zeros(n_jobs, np.int64),
+            "mlen": np.zeros(n_jobs, np.int64),
+            "gapless": np.zeros(n_jobs, bool),
+            "cigar": {},
+            "ridx": row_local,
+            "strand": strand,
+            "qlen": qlen,
+            "bi": bi_all,
+        }
+
+        def sink(i, si, pos1, cigar, mism, q):
+            store["acc"][i] = True
+            store["q"][i] = q
+            store["si"][i] = si
+            store["pos1"][i] = pos1
+            store["mism"][i] = mism
+            # gapless test for direct fusion: S/M runs only, exactly one M
+            ops_ = [op for _, op in cigar]
+            if "I" not in ops_ and "D" not in ops_ and ops_.count("M") == 1:
+                store["gapless"][i] = True
+                store["cs"][i] = cigar[0][0] if ops_[0] == "S" else 0
+                store["ce"][i] = (
+                    cigar[-1][0] if len(ops_) > 1 and ops_[-1] == "S" else 0
+                )
+                store["mlen"][i] = next(l for l, op in cigar if op == "M")
+            store["cigar"][i] = cigar
 
         self.aligner._tier3_run_dev(
-            cands, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
-            qget,
+            None, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
+            qget, sink=sink,
         )
+        return store
 
     # ------------------------------------------------------------------
-    def _late_fuse(self, st: _BatchState) -> None:
-        """Promote gapless host-path survivors onto the device path.
+    def _select_batch(self, st: _BatchState, dp_store: dict | None,
+                      j0: int) -> int:
+        """Array-native candidate selection for one batch: the per-read
+        combine+filter of select_final_alignments (ref:
+        SingleReadsAligner.filterAlignments:118-143) over the tier-2
+        object lane, the tier-1 cell arrays, and the DP result store —
+        then DIRECT fusion of single gapless winners onto the device
+        pileup path (the role _late_fuse played), so candidate/alignment
+        objects exist only for winners that genuinely need the host path
+        (gapped reads, STR-overlapping reads, multi-alignments).
 
-        A host read whose final list is a single primary alignment with an
-        S/M-only CIGAR carries exactly the evidence the fused path encodes
-        as (pred, cs, ce, strand): full-row base calls over [cs, len-ce).
-        Promoting it skips the per-alignment expand/realign host work; the
-        indel-neighborhood demotion in _call still pulls it back (via
-        _materialize, which rebuilds the identical S/M/S alignment) when
-        realignment could touch it.  DP-resolved repeat reads — the bulk of
-        the host path on repeat-dense genomes — are gapless and land here."""
+        Returns the store offset past this batch's DP jobs."""
+        from ..align.read_alignment import FLAG_READ_REVERSE
+        from ..align.reads_aligner import _materialize_sequences
+        from ..core.sequences import ReadBlock
+
+        al = self.aligner
+        det = self.detector
         offs = self.genome.offsets
-        name_to_idx = {
-            self.genome.sequence_name(i): i
-            for i in range(self.genome.num_sequences)
-        }
-        min_mq = self.detector.min_mq
-        for row, per_read in enumerate(st.host_alns):
-            if len(per_read) != 1:
-                continue
-            a = per_read[0]
-            if a.is_unmapped or a.alignment_quality < min_mq:
-                continue
-            cig = a.cigar
-            if not cig or any(op not in ("S", "M") for _, op in cig):
-                continue
-            if sum(1 for _, op in cig if op == "M") != 1:
-                continue
-            if a.bases_to_ignore_start or a.bases_to_ignore_end:
-                continue
-            tcs = cig[0][0] if cig[0][1] == "S" else 0
-            tce = cig[-1][0] if len(cig) > 1 and cig[-1][1] == "S" else 0
-            m_len = sum(l for l, op in cig if op == "M")
-            ql = int(st.lengths[row])
-            if tcs + m_len + tce != ql:
-                continue  # defensive: CIGAR must span the packed row
-            base = int(offs[name_to_idx[a.sequence_name]])
-            pred = base + a.first - 1 - tcs
-            if len(self._str_iv_lo):
-                first, last = pred, pred + ql
-                k = int(
-                    np.searchsorted(self._str_iv_lo, last, side="right") - 1
-                )
-                k = min(max(k, 0), len(self._str_iv_lo) - 1)
-                if self._str_iv_lo[k] <= last and self._str_iv_hi[k] >= first:
-                    continue  # STR conciliation needs the host object
-            st.fused[row] = True
-            st.pred[row] = pred
-            st.cs[row] = tcs
-            st.ce[row] = tce
-            st.mm[row] = a.num_mismatches
-            st.strand[row] = 1 if a.is_negative_strand else 0
-            st.host_alns[row] = []
+        nt2 = len(st.cand_t2)
+        t1 = st.t1_cells
+        nt1 = len(t1["ridx"]) if t1 else 0
+        ndp = len(st.dp_meta["row"]) if st.dp_meta else 0
+        j1 = j0 + ndp
+        st.dp_meta = None
+        if nt2 + nt1 + ndp == 0:
+            return j1
+        z = np.zeros(0, np.int64)
+        t2_ridx = np.fromiter((c.read_idx for c in st.cand_t2), np.int64, nt2)
+        t2_q = np.fromiter((c.quality for c in st.cand_t2), np.int64, nt2)
+        ridx = np.concatenate([
+            t2_ridx, t1["ridx"] if t1 else z,
+            dp_store["ridx"][j0:j1] if ndp else z,
+        ])
+        q = np.concatenate([
+            t2_q, t1["q"] if t1 else z,
+            dp_store["q"][j0:j1] if ndp else z,
+        ])
+        valid = np.concatenate([
+            np.ones(nt2, bool), np.ones(nt1, bool),
+            dp_store["acc"][j0:j1] if ndp else np.zeros(0, bool),
+        ])
+        kind = np.concatenate([
+            np.zeros(nt2, np.int8), np.ones(nt1, np.int8),
+            np.full(ndp, 2, np.int8),
+        ])
+        pay = np.concatenate([
+            np.arange(nt2, dtype=np.int64),
+            np.arange(nt1, dtype=np.int64),
+            j0 + np.arange(ndp, dtype=np.int64),
+        ])
+        sel = np.nonzero(valid)[0]
+        if not len(sel):
+            return j1
+        ridx, q, kind, pay = ridx[sel], q[sel], kind[sel], pay[sel]
+        # (read, quality desc, arrival) — ties resolve by arrival order
+        # exactly like the stable sort over the legacy candidate list
+        order = np.lexsort((np.arange(len(sel)), -q, ridx))
+        rs, qs, ks, ps = ridx[order], q[order], kind[order], pay[order]
+        newg = np.ones(len(rs), bool)
+        newg[1:] = rs[1:] != rs[:-1]
+        gid = np.cumsum(newg) - 1
+        gstart = np.nonzero(newg)[0]
+        best = qs[gstart][gid]
+        # unified accept rule: q > trunc(0.8*best) reproduces both the
+        # multi-candidate threshold and the single-candidate q>0 check
+        thr = np.trunc(0.8 * best).astype(np.int64)
+        kept = qs > thr
+        nk = np.zeros(len(gstart), np.int64)
+        np.add.at(nk, gid, kept)
+        rank = np.arange(len(rs)) - gstart[gid]
+        capped = kept & (rank < al.max_alns_per_read)
+        nkg = nk[gid]
+        qf = np.where(
+            nkg > 1,
+            np.rint(0.3 * qs / np.maximum(nkg, 1)).astype(np.int64),
+            qs,
+        )
+        qf = np.clip(qf, 0, 255)
+        al.aligned_reads += int((nk > 0).sum())
+
+        w = np.nonzero(capped)[0]
+        # ---- direct fusion of single gapless winners --------------------
+        single = (nkg[w] == 1) & (qf[w] >= det.min_mq)
+        wk, wp, wr = ks[w], ps[w], rs[w]
+        ln_w = st.lengths[wr].astype(np.int64)
+        pred_w = np.zeros(len(w), np.int64)
+        cs_w = np.zeros(len(w), np.int64)
+        ce_w = np.zeros(len(w), np.int64)
+        mm_w = np.zeros(len(w), np.int64)
+        str_w = np.zeros(len(w), np.int64)
+        fusable = np.zeros(len(w), bool)
+        m1 = wk == 1
+        if m1.any() and t1:
+            p1 = wp[m1]
+            pred_w[m1] = t1["pred"][p1]
+            cs_w[m1] = t1["cs"][p1]
+            ce_w[m1] = t1["ce"][p1]
+            mm_w[m1] = t1["mm"][p1]
+            str_w[m1] = t1["strand"][p1]
+            fusable[m1] = True  # t1 cigars span the row by construction
+        m2 = wk == 2
+        if m2.any():
+            p2 = wp[m2]
+            gl = dp_store["gapless"][p2]
+            cs2 = dp_store["cs"][p2]
+            ce2 = dp_store["ce"][p2]
+            pred_w[m2] = (
+                offs[dp_store["si"][p2]] + dp_store["pos1"][p2] - 1 - cs2
+            )
+            cs_w[m2] = cs2
+            ce_w[m2] = ce2
+            mm_w[m2] = dp_store["mism"][p2]
+            str_w[m2] = dp_store["strand"][p2]
+            fusable[m2] = gl & (
+                cs2 + dp_store["mlen"][p2] + ce2 == dp_store["qlen"][p2]
+            )
+        fusable &= single
+        if len(self._str_iv_lo):
+            first = pred_w
+            last = pred_w + ln_w
+            k = np.searchsorted(self._str_iv_lo, last, side="right") - 1
+            k = np.clip(k, 0, len(self._str_iv_lo) - 1)
+            overl = (self._str_iv_lo[k] <= last) & (self._str_iv_hi[k] >= first)
+            fusable &= ~overl  # STR conciliation needs the host object
+        fsel = np.nonzero(fusable)[0]
+        if len(fsel):
+            fr = wr[fsel]
+            st.fused[fr] = True
+            st.pred[fr] = pred_w[fsel]
+            st.cs[fr] = cs_w[fsel]
+            st.ce[fr] = ce_w[fsel]
+            st.mm[fr] = mm_w[fsel]
+            st.strand[fr] = str_w[fsel]
+
+        # ---- host-object winners ---------------------------------------
+        rest = np.nonzero(~fusable)[0]
+        if len(rest):
+            is_block = isinstance(st.reads, ReadBlock)
+            names_blk = st.reads.names if is_block else None
+            gnames = [
+                self.genome.sequence_name(i)
+                for i in range(self.genome.num_sequences)
+            ]
+            mat_jobs = []
+            for t in rest:
+                wi = w[t]
+                k_, p_, r_ = int(ks[wi]), int(ps[wi]), int(rs[wi])
+                if k_ == 0:
+                    cand = st.cand_t2[p_]
+                    aln = cand.aln
+                    rev = cand.reverse
+                elif k_ == 1:
+                    tcs = int(t1["cs"][p_])
+                    tce = int(t1["ce"][p_])
+                    ql = int(st.lengths[r_])
+                    cigar = []
+                    if tcs > 0:
+                        cigar.append((tcs, "S"))
+                    cigar.append((ql - tcs - tce, "M"))
+                    if tce > 0:
+                        cigar.append((tce, "S"))
+                    si = int(t1["si"][p_])
+                    aln = ReadAlignment(
+                        sequence_name=gnames[si],
+                        first=int(t1["pred"][p_]) + tcs - int(offs[si]) + 1,
+                        cigar=cigar,
+                        num_mismatches=int(t1["mm"][p_]),
+                    )
+                    rev = bool(t1["strand"][p_])
+                else:
+                    aln = ReadAlignment(
+                        sequence_name=gnames[int(dp_store["si"][p_])],
+                        first=int(dp_store["pos1"][p_]),
+                        cigar=dp_store["cigar"][p_],
+                        num_mismatches=int(dp_store["mism"][p_]),
+                    )
+                    rev = bool(dp_store["strand"][p_])
+                if is_block:
+                    aln.read_name = (
+                        names_blk[r_] if names_blk is not None
+                        else f"read_{r_}"
+                    )
+                else:
+                    aln.read_name = st.reads[r_].name
+                if rev:
+                    aln.flags |= FLAG_READ_REVERSE
+                if rank[wi] > 0:
+                    aln.set_secondary(True)
+                aln.alignment_quality = int(qf[wi])
+                st.host_alns[r_].append(aln)
+                mat_jobs.append((aln, r_, rev))
+            _materialize_sequences(st.reads, mat_jobs, None, is_block)
+        st.cand_t2 = []
+        st.t1_cells = None
+        return j1
 
     # ------------------------------------------------------------------
     def _build_str_intervals(self):
@@ -654,7 +843,9 @@ class AlignCallPipeline:
 
         n_cells = int(clf["cell_count"])
         cells = np.asarray(clf["cells"])[:n_cells]
-        selected: list[_Candidate] = []
+        cand_t2: list[_Candidate] = []
+        t1_cells = None
+        dp_meta = None
         if n_cells:
             ridx_a = cells[:, 0]
             pred_a = cells[:, 1].astype(np.int64)
@@ -684,62 +875,35 @@ class AlignCallPipeline:
                 )
                 for cell, cand in t2_hits.items():
                     if cell is not None:
-                        selected.append(cand)
-            names = [
-                self.genome.sequence_name(i)
-                for i in range(self.genome.num_sequences)
-            ]
-            for i in np.nonzero(t1_a)[0]:
-                ridx, c = int(ridx_a[i]), int(col_a[i])
-                if (ridx, c) in t2_hits:
-                    continue  # replaced by the tier-2 alignment
-                si = int(si_a[i])
-                p = int(pred_a[i])
-                tcs, tce = int(cs_a[i]), int(ce_a[i])
-                t = int(mm_a[i])
-                ql = int(lengths_h[ridx])
-                cigar = []
-                if tcs > 0:
-                    cigar.append((tcs, "S"))
-                cigar.append((ql - tcs - tce, "M"))
-                if tce > 0:
-                    cigar.append((tce, "S"))
-                selected.append(
-                    _Candidate(
-                        read_idx=ridx,
-                        reverse=bool(strand_a[i]),
-                        seq_idx=si,
-                        pred_start=p,
-                        weight=float(w_a[i]),
-                        aln=ReadAlignment(
-                            sequence_name=names[si],
-                            first=p + tcs - int(offs[si]) + 1,
-                            cigar=cigar,
-                            num_mismatches=t,
-                        ),
-                        quality=int(round(100 - 5 * t)),
-                    )
-                )
+                        cand_t2.append(cand)
+            # tier-1 / DP cells stay ARRAYS: per-cell candidate objects and
+            # alignments materialize only for selection winners that need
+            # the host path (_select_batch)
+            t1sel = np.nonzero(t1_a)[0]
             dpsel = np.nonzero(~t1_a)[0]
             if len(t2_hits) > 1:  # only the None sentinel when no STRs hit
-                dpsel = np.array(
-                    [
-                        i
-                        for i in dpsel
-                        if (int(ridx_a[i]), int(col_a[i])) not in t2_hits
-                    ],
+                hitset = t2_hits.keys()
+                t1sel = np.array(
+                    [i for i in t1sel
+                     if (int(ridx_a[i]), int(col_a[i])) not in hitset],
                     dtype=np.int64,
                 )
-            dp_cands = [
-                _Candidate(
-                    read_idx=int(ridx_a[i]),
-                    reverse=bool(strand_a[i]),
-                    seq_idx=int(si_a[i]),
-                    pred_start=int(pred_a[i]),
-                    weight=float(w_a[i]),
+                dpsel = np.array(
+                    [i for i in dpsel
+                     if (int(ridx_a[i]), int(col_a[i])) not in hitset],
+                    dtype=np.int64,
                 )
-                for i in dpsel
-            ]
+            if len(t1sel):
+                t1_cells = {
+                    "ridx": ridx_a[t1sel].astype(np.int64),
+                    "pred": pred_a[t1sel],
+                    "strand": strand_a[t1sel].astype(np.int32),
+                    "mm": mm_a[t1sel].astype(np.int64),
+                    "cs": cs_a[t1sel].astype(np.int64),
+                    "ce": ce_a[t1sel].astype(np.int64),
+                    "si": si_a[t1sel].astype(np.int64),
+                    "q": np.rint(100 - 5 * mm_a[t1sel]).astype(np.int64),
+                }
             # job meta arrays (same window filter as _tier3_jobs); query
             # codes never materialize host-side — the DP kernel gathers
             # them on device
@@ -751,19 +915,14 @@ class AlignCallPipeline:
                 jl = np.minimum(s1, pred_a[dpsel] + ql + 3)
                 d = jl - jf
                 jkeep = np.nonzero((d <= 1.5 * ql) & (d >= 0.5 * ql))[0]
-                dp_meta = {
-                    "cands": [dp_cands[int(k)] for k in jkeep],
-                    "row": ridx_a[dpsel][jkeep].astype(np.int64),
-                    "strand": strand_a[dpsel][jkeep].astype(np.int32),
-                    "qlen": ql[jkeep],
-                    "first": jf[jkeep],
-                    "last": jl[jkeep],
-                }
-            else:
-                dp_meta = None
-            selected.extend(dp_cands)
-        else:
-            dp_meta = None
+                if len(jkeep):
+                    dp_meta = {
+                        "row": ridx_a[dpsel][jkeep].astype(np.int64),
+                        "strand": strand_a[dpsel][jkeep].astype(np.int32),
+                        "qlen": ql[jkeep],
+                        "first": jf[jkeep],
+                        "last": jl[jkeep],
+                    }
 
         return _BatchState(
             reads=reads,
@@ -778,7 +937,8 @@ class AlignCallPipeline:
             strand=((sel_a[:B] >> 16) & 1).astype(np.int32),
             fused=fused,
             host_alns=[[] for _ in range(B)],
-            selected=selected,
+            cand_t2=cand_t2,
+            t1_cells=t1_cells,
             dp_meta=dp_meta,
         )
 

@@ -352,6 +352,11 @@ def dp_gather_inputs(
     return qc, ln, sc
 
 
+RLE_MAX = 16  # CIGAR runs per row in the fetched RLE (mism<=0.1*len caps
+# gap runs at ~7, so 16 covers every acceptable alignment; n_runs reports
+# overflow and the decode falls back to the packed ops for that row)
+
+
 @jax.jit
 def dp_stats_pack(ops, n_ops, start_j, query, subject):
     """Device post-pass over affine_gap_align_batch output.
@@ -359,9 +364,11 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     Computes per row: the tier-3 mismatch statistic (+1 per mismatched
     pair, +2 per internal gap run, -2 when the alignment ends in a gap —
     ShortReadsUngappedSearchHitsClusterAligner.java:140-156), a gap flag,
-    and the ops 2-bit-packed 16-per-uint32.  The packed array is 4x
-    smaller on the host link than the uint8 ops, and the mismatch math no
-    longer runs on the host."""
+    the ops 2-bit-packed 16-per-uint32, and an RLE of the op runs
+    ((op | len<<2) as int16, RLE_MAX slots).  Callers fetch the ~50-byte
+    per-row summary (incl. the RLE, which IS the CIGAR) and leave the
+    packed ops on device — the ops fetch dominated tier-3 wall-clock on
+    link-attached chips (~22 MB/run at bench scale)."""
     B, S = ops.shape
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = col < n_ops[:, None]
@@ -388,7 +395,9 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     )[:, 0]
     ends_gap = (n_ops > 0) & ((last_op == OP_INS) | (last_op == OP_DEL))
     mism = sub_mm + 2 * k_runs - 2 * ends_gap.astype(jnp.int32)
-    has_gap = g.any(axis=1)
+    # int8, not bool: bool device->host copies cost ~85ms each over the
+    # link tunnel (per-element widening); int8 is ~20x cheaper
+    has_gap = g.any(axis=1).astype(jnp.int8)
     pad = (-S) % 16
     o = ops
     if pad:
@@ -398,10 +407,38 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     o = o.astype(jnp.uint32).reshape(B, -1, 16)
     sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     packed = jnp.bitwise_or.reduce(o << sh, axis=2)
+    # run-length encoding of the op runs (scatter by run rank)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), 255, ops.dtype), ops[:, :-1]], axis=1
+    )
+    is_start = valid & (ops != prev)
+    rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    n_runs = jnp.sum(is_start, axis=1, dtype=jnp.int32)
+    rows_i = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, S)
+    )
+    rk = jnp.where(is_start & (rank < RLE_MAX), rank, RLE_MAX)
+    starts = jnp.full((B, RLE_MAX + 1), 0, jnp.int32)
+    starts = starts.at[rows_i, rk].set(jnp.broadcast_to(col, (B, S)))
+    starts = starts[:, :RLE_MAX]
+    slot = jnp.arange(RLE_MAX, dtype=jnp.int32)[None, :]
+    nxt = jnp.concatenate(
+        [starts[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    end = jnp.where(slot + 1 < n_runs[:, None], nxt, n_ops[:, None])
+    rlen = jnp.where(slot < n_runs[:, None], end - starts, 0)
+    rop = jnp.take_along_axis(
+        ops, jnp.minimum(starts, S - 1), axis=1
+    ).astype(jnp.int32)
+    rle = jnp.where(
+        slot < n_runs[:, None], rop | (rlen << 2), 0
+    ).astype(jnp.int16)
     return {
         "mism": mism,
         "has_gap": has_gap,
         "packed": packed,
+        "rle": rle,
+        "n_runs": n_runs,
         "n_ops": n_ops,
         "start_j": start_j,
     }

@@ -476,8 +476,9 @@ def classify_candidates(
     )
     cells = jnp.zeros((cap, 4), jnp.int32).at[dst].set(lanes, mode="drop")
     return {
-        "fused": fused,
-        "resolved_drop": resolved_drop,
+        # int8, not bool: bool device->host copies are ~20x slower on the
+        # link tunnel (see kernels/pairwise.dp_stats_pack)
+        "fused": fused.astype(jnp.int8),
         "sel_pred": sel_pred,
         "sel_a": sel_a,
         "sel_b": sel_b,

@@ -47,10 +47,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# the shear kernel statically unrolls one slice per read lane (160+); JAX's
-# trace-time bookkeeping recurses deeper than CPython's default 1000 frames
-if sys.getrecursionlimit() < 500_000:
-    sys.setrecursionlimit(500_000)
+from contextlib import contextmanager
+
+
+@contextmanager
+def _deep_trace():
+    """Temporarily raise the recursion limit around kernel tracing: the
+    shear kernel statically unrolls one slice per read lane (160+) and
+    JAX/Pallas trace bookkeeping recurses deeper than CPython's default
+    1000 frames.  Scoped here (not at import) so the bump is not a
+    process-global side effect."""
+    old = sys.getrecursionlimit()
+    if old < 500_000:
+        sys.setrecursionlimit(500_000)
+    try:
+        yield
+    finally:
+        if sys.getrecursionlimit() > old:
+            sys.setrecursionlimit(old)
 
 # combined output layout (W, 128): count columns first, strand counts last
 STRAND_COL0 = 120  # strand counts at cols 120..127: al*2 + strand
@@ -165,8 +179,18 @@ def _shear_hist_xla(stage_t, w0s, *, window, nq, lanes):
     return out
 
 
+def shear_hist(stage_t, w0s, *, window, nq, lanes):
+    """Combined (window, 128) count tensor: cols [0, 4*nq+2) are
+    allele-by-quality-bin counts (+N +low), cols 120..127 strand counts.
+    Plain wrapper so the deep Pallas trace runs under _deep_trace."""
+    with _deep_trace():
+        return _shear_hist_jit(
+            stage_t, w0s, window=window, nq=nq, lanes=lanes
+        )
+
+
 @partial(jax.jit, static_argnames=("window", "nq", "lanes"))
-def shear_hist(
+def _shear_hist_jit(
     stage_t: jnp.ndarray,  # (Lp, S) uint8 transposed stage, 0xFF where empty
     w0s: jnp.ndarray,  # scalar int32: stage col of the window's position 0
     *,
@@ -174,8 +198,6 @@ def shear_hist(
     nq: int,
     lanes: int,
 ) -> jnp.ndarray:
-    """Combined (window, 128) count tensor: cols [0, 4*nq+2) are
-    allele-by-quality-bin counts (+N +low), cols 120..127 strand counts."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -19,11 +19,11 @@ def main():
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    from ngsepcore_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import bench
     from ngsepcore_tpu.align.reads_aligner import ReadsAligner
