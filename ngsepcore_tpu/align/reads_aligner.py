@@ -539,58 +539,51 @@ class ReadsAligner:
             return
         import jax
 
-        from ..kernels.pairwise import dp_gather_inputs
+        from ..kernels.pairwise import dp_run_all
+        from ..utils.profiling import stage
 
         concat = self.genome.concat
         concat_dev = self.genome.device_concat()
         self.complete_alns += n
-        pend = []
-        for c0 in range(0, n, self.DP_ROWS):
-            c1 = min(n, c0 + self.DP_ROWS)
-            nb = c1 - c0
-            bucket = _row_bucket(nb, minimum=self.DP_ROWS_MIN)
-            ql_c = qlen[c0:c1]
-            sl_c = (lasts[c0:c1] - firsts[c0:c1]).astype(np.int32)
-            Lq = -(-int(ql_c.max()) // 64) * 64
-            Ls = -(-int(sl_c.max()) // 64) * 64
-            rows_b = np.zeros(bucket, np.int32)
-            rows_b[:nb] = rows[c0:c1]
-            str_b = np.zeros(bucket, np.int32)
-            str_b[:nb] = strand[c0:c1]
-            f_b = np.zeros(bucket, np.int32)
-            f_b[:nb] = firsts[c0:c1]
-            sl_b = np.zeros(bucket, np.int32)
-            sl_b[:nb] = sl_c
-            qc, ln, sc = dp_gather_inputs(
-                bigpq, lengths_dev, concat_dev, rows_b, str_b, f_b, sl_b,
-                Lq=Lq, Ls=Ls,
-            )
-            self.dp_cells += bucket * Lq * Ls
-            out = affine_gap_align_batch(
-                qc, ln, sc, sl_b, free_start2=True, free_end2=True
-            )
-            from ..kernels.pairwise import dp_stats_pack
+        CH = self.DP_ROWS
+        n_chunks = -(-n // CH)
+        pad = n_chunks * CH
+        sl_all = (lasts - firsts).astype(np.int32)
+        Lq = -(-int(qlen.max()) // 64) * 64
+        Ls = -(-int(sl_all.max()) // 64) * 64
+        self.dp_cells += pad * Lq * Ls
 
-            stats = dp_stats_pack(
-                out["ops"], out["n_ops"], out["start_j"], qc, sc
+        def padded(a, dtype=np.int32):
+            out = np.zeros(pad, dtype)
+            out[:n] = a
+            return out
+
+        with stage("align.tier3_dispatch"):
+            stats = dp_run_all(
+                bigpq, lengths_dev, concat_dev,
+                padded(rows), padded(strand), padded(firsts),
+                padded(sl_all),
+                CH=CH, Lq=Lq, Ls=Ls, n_chunks=n_chunks,
             )
-            pend.append((c0, c1, stats))
-        fetched = jax.device_get(
-            [{k: v for k, v in p[2].items() if k != "packed"} for p in pend]
-        )
-        for (c0, c1, stats), out in zip(pend, fetched):
-            out["packed_dev"] = stats["packed"]
-            self._tier3_decode_arrays(
-                cands[c0:c1] if cands is not None else None,
-                qlen[c0:c1].astype(np.int64),
-                firsts[c0:c1].astype(np.int64),
-                lambda i, o=c0: qget(o + i), out, concat,
-                sink=(
-                    None
-                    if sink is None
-                    else (lambda i, *a, o=c0: sink(o + i, *a))
-                ),
-            )
+        with stage("align.tier3_fetch"):
+            keys = ("mism", "has_gap", "rle", "n_runs", "n_ops", "start_j")
+            host = jax.device_get({k: stats[k] for k in keys})
+        with stage("align.tier3_decode"):
+            for ci in range(n_chunks):
+                c0 = ci * CH
+                c1 = min(n, c0 + CH)
+                out = {k: host[k][ci] for k in keys}
+                out["packed_dev"] = stats["packed"][ci]
+                self._tier3_decode_arrays(
+                    cands[c0:c1] if cands is not None else None,
+                    qlen[c0:c1].astype(np.int64),
+                    firsts[c0:c1].astype(np.int64),
+                    # store mode offsets chunk-local indices itself
+                    qget if sink is not None
+                    else (lambda i, o=c0: qget(o + i)),
+                    out, concat,
+                    sink=sink, sink_off=c0,
+                )
 
     def _tier3(
         self,
@@ -639,13 +632,127 @@ class ReadsAligner:
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )
         stats = dp_stats_pack(
-            out["ops"], out["n_ops"], out["start_j"], qc, sc
+            out["ops"], out["n_ops"], out["start_j"], out["score"], qc, sc
         )
         return jobs, None, stats
 
+
+    @staticmethod
+    def _rle_runs(out: dict, gsel, n_ops) -> dict:
+        """Per-row cigar run lists from the fetched device-side RLE; rows
+        overflowing RLE_MAX runs (none under the 10% mismatch accept)
+        re-fetch their packed ops individually."""
+        from ..kernels.pairwise import RLE_MAX
+
+        runs_by_row: dict[int, list] = {}
+        if not len(gsel):
+            return runs_by_row
+        n_runs = np.asarray(out["n_runs"])
+        rle = np.asarray(out["rle"])
+        mid = "MID"
+        for gi in gsel:
+            nr = int(n_runs[gi])
+            if nr <= RLE_MAX:
+                row = rle[gi]
+                runs_by_row[gi] = [
+                    (int(row[u]) >> 2, mid[(int(row[u]) & 3) - 1])
+                    for u in range(nr)
+                ]
+            else:  # overflow: unpack the full ops row
+                import jax
+
+                prow = np.asarray(
+                    jax.device_get(out["packed_dev"][int(gi)])
+                )
+                sh = 2 * np.arange(16, dtype=np.uint32)
+                o = ((prow[:, None] >> sh[None, :]) & 3).ravel()[
+                    : int(n_ops[gi])
+                ]
+                b = np.flatnonzero(o[1:] != o[:-1]) + 1
+                bounds = np.concatenate([[0], b, [len(o)]])
+                runs_by_row[gi] = [
+                    (
+                        int(bounds[t + 1] - bounds[t]),
+                        mid[int(o[bounds[t]]) - 1],
+                    )
+                    for t in range(len(bounds) - 1)
+                ]
+        return runs_by_row
+
+    def _tier3_decode_store(
+        self, store, off0, ok, has_gap, n_ops, start_j, mism_all,
+        qual_all, si_all, pos1_all, firsts, out, concat, qget,
+    ) -> None:
+        """Store-mode decode: vectorized slice writes into the DP result
+        store; per-row Python only for gapped rows (left-align + cigar)
+        and for rows whose borders need a real clip pass."""
+        from .read_alignment import left_align_indels
+
+        gl = ~has_gap[ok]
+        # gapless rows shorter than the anchor minimum cannot survive
+        # clip_borders([(n, M)]) — treat as rejected
+        gl_ok = ok[gl & (n_ops[ok] >= MIN_MATCH_LENGTH)]
+        idx = off0 + gl_ok
+        store["acc"][idx] = True
+        store["q"][idx] = qual_all[gl_ok]
+        store["mism"][idx] = mism_all[gl_ok]
+        store["gapless"][idx] = True
+        store["mlen"][idx] = n_ops[gl_ok]
+        # si/pos1 are indexed by position within ok
+        sel_gl = np.nonzero(gl & (n_ops[ok] >= MIN_MATCH_LENGTH))[0]
+        store["si"][idx] = si_all[sel_gl]
+        store["pos1"][idx] = pos1_all[sel_gl]
+        pos_in_ok = {int(i): t for t, i in enumerate(ok)}
+
+        gsel = ok[has_gap[ok]]
+        if not len(gsel):
+            return
+        runs_by_row = self._rle_runs(out, gsel, n_ops)
+        names = [
+            self.genome.sequence_name(i)
+            for i in range(self.genome.num_sequences)
+        ]
+        for i in gsel:
+            t = pos_in_ok[int(i)]
+            first = int(firsts[i])
+            cigar = left_align_indels(
+                runs_by_row[i], qget(off0 + i),
+                concat[first : first + int(start_j[i]) + int(n_ops[i])],
+                int(start_j[i]),
+            )
+            si = int(si_all[t])
+            pos1 = int(pos1_all[t])
+            if not (
+                cigar[0][1] == "M" and cigar[0][0] >= MIN_MATCH_LENGTH
+                and cigar[-1][1] == "M" and cigar[-1][0] >= MIN_MATCH_LENGTH
+            ):
+                aln = ReadAlignment(
+                    sequence_name=names[si], first=pos1, cigar=cigar,
+                    num_mismatches=int(mism_all[i]),
+                )
+                if not aln.clip_borders(MIN_MATCH_LENGTH):
+                    continue
+                cigar = aln.cigar
+                pos1 = aln.first
+            j = off0 + int(i)
+            store["acc"][j] = True
+            store["q"][j] = int(qual_all[i])
+            store["mism"][j] = int(mism_all[i])
+            store["si"][j] = si
+            store["pos1"][j] = pos1
+            ops_ = [op for _, op in cigar]
+            if "I" not in ops_ and "D" not in ops_ and ops_.count("M") == 1:
+                store["gapless"][j] = True
+                store["cs"][j] = cigar[0][0] if ops_[0] == "S" else 0
+                store["ce"][j] = (
+                    cigar[-1][0] if len(ops_) > 1 and ops_[-1] == "S" else 0
+                )
+                store["mlen"][j] = next(l for l, op in cigar if op == "M")
+            store["cigar"][j] = cigar
+
     def _tier3_decode_arrays(
         self, cands, qlens, firsts, qget, out: dict, concat: np.ndarray,
-        sink=None,
+        sink=None, sink_off: int = 0,
     ) -> None:
         """Decode one fetched stats chunk: mismatch accept, then CIGARs.
 
@@ -681,45 +788,20 @@ class ReadsAligner:
         ]
         qual_all = np.rint(100 - 5 * mism_all).astype(np.int64)
 
+        if sink is not None:
+            # store mode (array-native selection): all per-row fields land
+            # as vectorized slice writes; Python survives only for gapped
+            # cigars (left-align) and sub-minimum-anchor rows
+            self._tier3_decode_store(
+                sink, sink_off, ok, has_gap, n_ops, start_j, mism_all,
+                qual_all, si_all, pos1_all, firsts, out, concat, qget,
+            )
+            return
+
         # gapped accepted rows: the fetched RLE IS the cigar (device-side
-        # run-length encoding in dp_stats_pack); rows overflowing RLE_MAX
-        # runs (none under the 10% mismatch accept) re-fetch their packed
-        # ops individually
-        from ..kernels.pairwise import RLE_MAX
-
+        # run-length encoding in dp_stats_pack)
         gsel = ok[has_gap[ok]]
-        runs_by_row: dict[int, list] = {}
-        if len(gsel):
-            n_runs = np.asarray(out["n_runs"])
-            rle = np.asarray(out["rle"])
-            mid = "MID"
-            for gi in gsel:
-                nr = int(n_runs[gi])
-                if nr <= RLE_MAX:
-                    row = rle[gi]
-                    runs_by_row[gi] = [
-                        (int(row[u]) >> 2, mid[(int(row[u]) & 3) - 1])
-                        for u in range(nr)
-                    ]
-                else:  # overflow: unpack the full ops row
-                    import jax
-
-                    prow = np.asarray(
-                        jax.device_get(out["packed_dev"][int(gi)])
-                    )
-                    sh = 2 * np.arange(16, dtype=np.uint32)
-                    o = ((prow[:, None] >> sh[None, :]) & 3).ravel()[
-                        : int(n_ops[gi])
-                    ]
-                    b = np.flatnonzero(o[1:] != o[:-1]) + 1
-                    bounds = np.concatenate([[0], b, [len(o)]])
-                    runs_by_row[gi] = [
-                        (
-                            int(bounds[t + 1] - bounds[t]),
-                            mid[int(o[bounds[t]]) - 1],
-                        )
-                        for t in range(len(bounds) - 1)
-                    ]
+        runs_by_row = self._rle_runs(out, gsel, n_ops)
 
         for t, i in enumerate(ok):
             if has_gap[i]:
@@ -753,9 +835,6 @@ class ReadsAligner:
                     continue
                 cigar = aln.cigar
                 pos1 = aln.first
-            if sink is not None:
-                sink(i, si, pos1, cigar, int(mism_all[i]), int(qual_all[i]))
-                continue
             c = cands[i]
             c.aln = ReadAlignment(
                 sequence_name=names[si],

@@ -303,7 +303,33 @@ class AlignCallPipeline:
         import jax
 
         with stage("align.seed_fetch"):
-            fetched = jax.device_get([s[6] for s in seeded])
+            # one transfer per FIELD across all batches (device-side
+            # concat): the link pays ~5-9ms fixed per array, so per-batch
+            # per-field copies cost ~1s of pure latency at 17 batches
+            import jax.numpy as jnp
+
+            clfs = [s[6] for s in seeded]
+            keys = list(clfs[0].keys())
+            sizes = {
+                k: [(c[k].shape[0] if c[k].ndim else 1) for c in clfs]
+                for k in keys
+            }
+            cat = jax.device_get({
+                k: jnp.concatenate(
+                    [jnp.atleast_1d(c[k]) for c in clfs], axis=0
+                )
+                for k in keys
+            })
+            fetched = []
+            pos = {k: 0 for k in keys}
+            for bi in range(len(clfs)):
+                d = {}
+                for k in keys:
+                    w = sizes[k][bi]
+                    v = cat[k][pos[k] : pos[k] + w]
+                    pos[k] += w
+                    d[k] = v[0] if clfs[bi][k].ndim == 0 else v
+                fetched.append(d)
         with stage("align.classify"):
             batches = []
             for s, clf in zip(seeded, fetched):
@@ -418,26 +444,9 @@ class AlignCallPipeline:
             "bi": bi_all,
         }
 
-        def sink(i, si, pos1, cigar, mism, q):
-            store["acc"][i] = True
-            store["q"][i] = q
-            store["si"][i] = si
-            store["pos1"][i] = pos1
-            store["mism"][i] = mism
-            # gapless test for direct fusion: S/M runs only, exactly one M
-            ops_ = [op for _, op in cigar]
-            if "I" not in ops_ and "D" not in ops_ and ops_.count("M") == 1:
-                store["gapless"][i] = True
-                store["cs"][i] = cigar[0][0] if ops_[0] == "S" else 0
-                store["ce"][i] = (
-                    cigar[-1][0] if len(ops_) > 1 and ops_[-1] == "S" else 0
-                )
-                store["mlen"][i] = next(l for l, op in cigar if op == "M")
-            store["cigar"][i] = cigar
-
         self.aligner._tier3_run_dev(
             None, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
-            qget, sink=sink,
+            qget, sink=store,
         )
         return store
 
@@ -613,10 +622,15 @@ class AlignCallPipeline:
                     )
                     rev = bool(t1["strand"][p_])
                 else:
+                    # gapless DP rows carry no cigar entry (the vectorized
+                    # decode skips Python for them): single M run
+                    cig = dp_store["cigar"].get(p_)
+                    if cig is None:
+                        cig = [(int(dp_store["mlen"][p_]), "M")]
                     aln = ReadAlignment(
                         sequence_name=gnames[int(dp_store["si"][p_])],
                         first=int(dp_store["pos1"][p_]),
-                        cigar=dp_store["cigar"][p_],
+                        cigar=cig,
                         num_mismatches=int(dp_store["mism"][p_]),
                     )
                     rev = bool(dp_store["strand"][p_])
@@ -1539,7 +1553,10 @@ class AlignCallPipeline:
                     fused["expand"], fused["cdb32"], fused["qual_bin"],
                     het, minq,
                 )
-                call_kwargs = dict(window=window, nq=nq, lanes=Lp)
+                call_kwargs = dict(
+                    window=window, nq=nq, lanes=Lp,
+                    exact_f64=det.parity_audit,
+                )
                 with stage("call.window_dispatch"):
                     first = genotype_window_hist(*call_args, **call_kwargs)
                 pending.append(((call_args, call_kwargs), first))
@@ -1603,7 +1620,13 @@ class AlignCallPipeline:
         genome = self.genome
         offs = genome.offsets
 
-        span_kernel = self._span_kernel or genotype_window_span
+        from functools import partial as _partial
+
+        span_kernel = self._span_kernel or (
+            _partial(genotype_window_span, exact_f64=True)
+            if det.parity_audit
+            else genotype_window_span
+        )
         fused = self._compact_fused(batches)
         CALL_CHUNK = 1 << 16
         records: list[VCFRecord] = []

@@ -89,6 +89,8 @@ class SingleSampleVariantsDetector:
         sample_id: str = "Sample",
         heterozygosity_rate: float = HET_RATE_DIPLOID,
         min_quality: int = DEF_MIN_QUALITY,
+        parity_audit: bool = False,  # bit-exact emulated-f64 genotype
+        # contraction instead of the two-float f32 pair (-parityAudit)
         min_mq: int = DEF_MIN_MQ,
         ploidy: int = 2,
         calc_strand_bias: bool = False,
@@ -109,6 +111,7 @@ class SingleSampleVariantsDetector:
         self.sample_id = sample_id
         self.heterozygosity_rate = heterozygosity_rate
         self.min_quality = min_quality
+        self.parity_audit = parity_audit
         self.min_mq = min_mq
         self.ploidy = ploidy
         self.calc_strand_bias = calc_strand_bias
@@ -365,14 +368,16 @@ class SingleSampleVariantsDetector:
             ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
             first = genotype_window_sparse(
-                counts, strand_counts, total, ref_win, contribution, het, minq
+                counts, strand_counts, total, ref_win, contribution, het,
+                minq, exact_f64=self.parity_audit,
             )
             pending.append(
                 (w0, ref_win, (counts, strand_counts, total), first)
             )
         for w0, ref_win, acc, first in pending:
             res = genotype_window_resolved(
-                *acc, ref_win, contribution, het, minq, first_res=first
+                *acc, ref_win, contribution, het, minq, first_res=first,
+                exact_f64=self.parity_audit,
             )
             k = int(res["n_sites"])
             if k == 0:

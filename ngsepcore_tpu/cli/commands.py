@@ -529,6 +529,9 @@ register(
                    "Find repeats from multi-mapping reads and mask calls in them"),
             Option("knownRepeats", "known_repeats_file", "str", None,
                    "Known repeats file; calls inside repeats are masked"),
+            Option("parityAudit", "parity_audit", "bool", False,
+                   "Genotype with the bit-exact emulated-f64 contraction "
+                   "instead of the default two-float f32 pair"),
         ],
     )
 )

@@ -3,16 +3,28 @@
 Ref: the reference's only scale-out is shell-level per-sample scripts
 (training/runMapping:17-23); SURVEY §2.14 prescribes the TPU-native
 replacement: ONE mesh axis `reads` — read batches sharded across devices,
-the minimizer index and genome replicated, per-window allele-count tensors
-merged with `psum` before genotyping, VCF record order defined by genome
-position (windows are processed in genome order and the count merge is an
-integer sum, so the emitted record list is IDENTICAL for any device count;
-tests/test_distribute.py asserts this for n_devices in {1, 2, 8}).
+the minimizer index and genome replicated, window genotyping partitioned
+across devices, VCF record order defined by genome position (windows are
+processed in genome order and every per-position result is computed from
+the identical read set, so the emitted record list is IDENTICAL for any
+device count; tests/test_distribute.py asserts this for n_devices in
+{1, 2, 8}).
 
-This wraps the REAL `AlignCallPipeline` (call/fused_pipeline.py) — not a
-demo step: seeding kernels run SPMD over row-sharded read batches, and the
-window genotyper becomes a shard_map whose tier-1 pileup scatter is split
-across devices and psum-merged.
+Scaling design (round 4): the original span kernel scattered every
+device's read shard into a FULL-window count tensor and psum-merged, so
+the count-tensor zero-fill + scatter + collective cost grew linearly
+with the device count and the post-merge genotype math ran replicated —
+measured 2.02x total-work overhead at 2 virtual devices (SCALING_r03).
+Genotyping is position-parallel, so the mesh now partitions the WINDOW
+axis instead: reads are sorted by predicted start, each device
+searchsorteds its chunk's read span out of the sorted pred column,
+scatters only reads touching its window/D chunk into a (window/D, 128)
+local tensor, genotypes its chunk, and the compacted per-chunk results
+are merged on device in chunk order.  No collective touches the count
+tensors at all — total work is independent of D (boundary reads within
+one read length of a chunk edge are scattered by both neighbours, a
+~coverage*Lp/chunk fraction).  Per-device work shrinks as 1/D for the
+scatter, the genotype screen, and the count-tensor traffic alike.
 """
 from __future__ import annotations
 
@@ -38,75 +50,135 @@ from ..kernels.genotyping import (
 from .mesh import make_reads_mesh
 
 
-def make_sharded_span_kernel(mesh: Mesh):
-    """shard_map-wrapped window genotyper: each device scatters its shard
-    of the window's read span into a local count tensor; `psum` over the
-    `reads` axis merges them (the deterministic reduction replacing the
-    reference's synchronized map updates, ThreadPoolManager.java:69-99);
-    the screen+exact genotype math then runs replicated on the merged
-    counts, so every device holds the identical per-site results.
+def _pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
 
-    Same signature and semantics as kernels/genotyping.genotype_window_span.
-    """
+
+def make_sharded_span_kernel(mesh: Mesh):
+    """shard_map-wrapped window genotyper partitioned along the WINDOW
+    axis (see module docstring).  Same signature and semantics as
+    kernels/genotyping.genotype_window_span; the extra `span_overflow`
+    output reports a device whose chunk's read span exceeded the static
+    per-device row budget (resolve falls back to the unsharded kernel for
+    that window — never observed on read-coverage-uniform data, the
+    budget is 2x the even share)."""
     D = mesh.devices.size
 
     @partial(
         jax.jit,
-        static_argnames=("out_size", "rows", "n_alleles", "max_flag", "max_out"),
+        static_argnames=(
+            "out_size", "rows", "n_alleles", "max_flag", "max_out",
+            "exact_f64",
+        ),
     )
     def kernel(
         pq, meta, start, count, w0, packed, ref_codes, contribution,
         het_rate, min_quality,
         *, out_size, rows, n_alleles=4, max_flag=1 << 12, max_out=1024,
+        exact_f64=False,
     ):
         import jax.lax as lax
 
-        sl = lax.dynamic_slice_in_dim(pq, start, rows, 0)
-        mt = lax.dynamic_slice_in_dim(meta, start, rows, 0)
-        shard_rows = rows // D
+        chunk = out_size // D
+        rows_shard = min(rows, max(256, _pow2(2 * rows // D)))
+        Lp = pq.shape[1]
+        # sorted pred column over this window's full candidate span: the
+        # only O(rows) object each device touches is this 1-int column
+        pred_win = lax.dynamic_slice_in_dim(
+            meta[:, META_PRED], start, rows, 0
+        )
 
-        def body(sl_s, mt_s, count_, w0_, packed_, ref_codes_, contrib_,
-                 het_, minq_):
+        def body(pred_win_, start_, count_, w0_, packed_, ref_codes_,
+                 contrib_, het_, minq_, pq_, meta_):
             ax = lax.axis_index("reads")
-            counts128 = jnp.zeros((out_size, N_COLS), jnp.int32)
-            strand_flat = jnp.zeros((out_size * 8,), jnp.int32)
-            c = (sl_s & 7).astype(jnp.int8)
-            q = (sl_s >> 3).astype(jnp.int8)
-            # global row index: span validity (`count`) refers to rows of
-            # the full slice, of which this shard holds rows
-            # [ax*shard_rows, (ax+1)*shard_rows)
-            gidx = ax * shard_rows + jnp.arange(shard_rows, dtype=jnp.int32)
-            keep = (gidx < count_).astype(jnp.int8)
-            pred_rel = mt_s[:, META_PRED] - w0_
-            counts128, strand_flat = _span_scatter_counts(
-                counts128, strand_flat, c, q, mt_s[:, META_LEN], keep,
-                pred_rel, mt_s[:, META_CS], mt_s[:, META_CE],
-                mt_s[:, META_STRAND],
+            w0d = w0_ + ax * chunk
+            big = jnp.int32(2**31 - 1)
+            pw = jnp.where(
+                jnp.arange(rows, dtype=jnp.int32) < count_, pred_win_, big
             )
-            # host-path packed calls are scattered exactly once (shard 0)
-            pk = jnp.where(ax == 0, packed_, -1)
+            lo = jnp.searchsorted(pw, w0d - Lp, side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(
+                pw, w0d + chunk, side="left"
+            ).astype(jnp.int32)
+            cnt_d = hi - lo
+            overflow = (cnt_d > rows_shard).astype(jnp.int32)
+            start_d = start_ + lo
+            sl = lax.dynamic_slice_in_dim(pq_, start_d, rows_shard, 0)
+            mt = lax.dynamic_slice_in_dim(meta_, start_d, rows_shard, 0)
+            counts128 = jnp.zeros((chunk, N_COLS), jnp.int32)
+            strand_flat = jnp.zeros((chunk * 8,), jnp.int32)
+            c = (sl & 7).astype(jnp.int8)
+            q = (sl >> 3).astype(jnp.int8)
+            keep = (
+                jnp.arange(rows_shard, dtype=jnp.int32)
+                < jnp.minimum(cnt_d, rows_shard)
+            ).astype(jnp.int8)
+            pred_rel = mt[:, META_PRED] - w0d
+            counts128, strand_flat = _span_scatter_counts(
+                counts128, strand_flat, c, q, mt[:, META_LEN], keep,
+                pred_rel, mt[:, META_CS], mt[:, META_CE],
+                mt[:, META_STRAND],
+            )
+            # host-path packed calls of this chunk, rebased to chunk-local
+            # positions (pos lives in the low 20 bits; rel-ax*chunk never
+            # borrows into the flag bits)
+            rel = packed_ & 0xFFFFF
+            mine = (
+                (packed_ >= 0)
+                & (rel >= ax * chunk)
+                & (rel < (ax + 1) * chunk)
+            )
+            pk = jnp.where(mine, packed_ - ax * chunk, -1)
             counts128, strand_flat = _span_packed_scatter(
                 counts128, strand_flat, pk
             )
-            counts128 = lax.psum(counts128, "reads")
-            strand_flat = lax.psum(strand_flat, "reads")
-            return _sparse_genotype_body_flat(
-                counts128, strand_flat, ref_codes_, contrib_, het_, minq_,
-                n_alleles, max_flag, max_out,
+            ref_d = lax.dynamic_slice_in_dim(ref_codes_, ax * chunk, chunk, 0)
+            res = _sparse_genotype_body_flat(
+                counts128, strand_flat, ref_d, contrib_, het_, minq_,
+                n_alleles, max_flag, max_out, exact_f64,
             )
+            # chunk-local site positions -> window positions
+            res["site_idx"] = res["site_idx"] + ax * chunk
+            res["span_overflow"] = overflow
+            return jax.tree.map(lambda x: jnp.asarray(x)[None], res)
 
-        return jax.shard_map(
+        g = jax.shard_map(
             body,
             mesh=mesh,
             check_vma=False,
-            in_specs=(
-                P("reads", None),  # span slice of packed reads
-                P("reads", None),  # span slice of per-read metadata
-                P(), P(), P(), P(), P(), P(), P(),
-            ),
-            out_specs=P(),
-        )(sl, mt, count, w0, packed, ref_codes, contribution,
-          het_rate, min_quality)
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P("reads"),
+        )(pred_win, start, count, w0, packed, ref_codes, contribution,
+          het_rate, min_quality, pq, meta)
+
+        # ---- merge per-chunk compactions in chunk (= position) order ----
+        n_d = g["n_sites"].astype(jnp.int32)  # (D,)
+        off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(n_d)[:-1].astype(jnp.int32)]
+        )
+        slot = jnp.arange(max_out, dtype=jnp.int32)[None, :]
+        tgt = off[:, None] + slot
+        ok = (slot < n_d[:, None]) & (tgt < max_out)
+        tgt = jnp.where(ok, tgt, max_out).reshape(-1)
+
+        def merge(field):
+            f = field.reshape((D * max_out,) + field.shape[2:])
+            out = jnp.zeros(
+                (max_out + 1,) + field.shape[2:], field.dtype
+            )
+            return out.at[tgt].set(f)[:max_out]
+
+        merged = {
+            k: merge(g[k])
+            for k in (
+                "site_idx", "bi", "bj", "gq", "ref_prob", "depths",
+                "total", "logcond", "strand_counts",
+            )
+        }
+        merged["n_sites"] = jnp.sum(n_d)
+        merged["n_flagged"] = jnp.max(g["n_flagged"])
+        merged["span_overflow"] = jnp.max(g["span_overflow"])
+        return merged
 
     return kernel
 
@@ -118,7 +190,9 @@ class ShardedAlignCallPipeline(AlignCallPipeline):
       seeding/tier-1 kernels (kernels/seeding.py) compile SPMD and each
       device seeds its share of the reads;
     - the minimizer index and packed genome are replicated on every device;
-    - window genotyping uses the psum-merged shard_map span kernel above;
+    - window genotyping partitions the window axis across devices with
+      the kernel above (per-device work ~1/D, no count-tensor
+      collectives);
     - everything else (host realignment path, record assembly, ordering)
       is byte-identical to the single-device pipeline, so the VCF output
       is invariant to the device count.
@@ -159,5 +233,5 @@ class ShardedAlignCallPipeline(AlignCallPipeline):
 
     def _genotype(self, batches, host):
         # the shear-histogram path is a single-device optimization; under a
-        # mesh the span path runs with psum-merged counts
+        # mesh the span path runs with the window-partitioned kernel
         return self._genotype_span(batches, host)

@@ -279,9 +279,35 @@ def accumulate_tier1_window(
     )
 
 
+def _logcond_dot(csub, Cd, exact_f64: bool):
+    """Exact-stage contraction counts @ log-likelihood table.
+
+    Default: two-float (Dekker-split) f32 path — the f64 table splits into
+    hi = f32(Cd) and the f32 residual lo, both contracted at HIGHEST
+    precision and recombined in f64.  Counts are < 2^24 (exact in f32),
+    so the only error is f32 accumulation over <=128 terms (~1e-4
+    absolute worst-case at saturating depth, far below the +0.01 decision
+    margins and GQ rounding granularity).  f64 emulation runs the MXU at
+    ~1e-6 of peak; the f32 pair runs it natively.  `exact_f64=True`
+    (-parityAudit) keeps the bit-exact emulated-f64 contraction.
+    Ref constants preserved either way: CountsHelper.java:42-48,480-495.
+    """
+    if exact_f64:
+        return jnp.dot(csub.astype(jnp.float64), Cd)
+    hi = Cd.astype(jnp.float32)
+    lo = (Cd - hi.astype(jnp.float64)).astype(jnp.float32)
+    c32 = csub.astype(jnp.float32)
+    p = jax.lax.Precision.HIGHEST
+    return (
+        jnp.dot(c32, hi, precision=p).astype(jnp.float64)
+        + jnp.dot(c32, lo, precision=p).astype(jnp.float64)
+    )
+
+
 def _sparse_genotype_body(
     counts, strand_counts, total, ref_codes, contribution,
     het_rate, min_quality, n_alleles, max_flag, max_out,
+    exact_f64=False,
 ):
     """Shared body of the screened genotyper (see genotype_window_sparse).
 
@@ -331,10 +357,10 @@ def _sparse_genotype_body(
     fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
     in_flag = jnp.arange(max_flag) < n_flagged
 
-    # ---- stage 2: exact f64 path on flagged positions only --------------
+    # ---- stage 2: exact path on flagged positions only ------------------
     csub = jnp.take(counts, fidx, axis=0)  # (F, n*Q)
     Cd = contribution.reshape(n * N_QBINS, G)
-    logcond = jnp.dot(csub.astype(jnp.float64), Cd).reshape(max_flag, n, n)
+    logcond = _logcond_dot(csub, Cd, exact_f64).reshape(max_flag, n, n)
     log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
     log_prior_homo = jnp.log10((1 - het_rate) / n)
     prior = jnp.where(
@@ -397,7 +423,9 @@ def _sparse_genotype_body(
     }
 
 
-@partial(jax.jit, static_argnames=("n_alleles", "max_flag", "max_out"))
+@partial(
+    jax.jit, static_argnames=("n_alleles", "max_flag", "max_out", "exact_f64")
+)
 def genotype_window_sparse(
     counts: jnp.ndarray,  # (W, n*Q) int32 flat (allele, qbin) minor axis
     strand_counts: jnp.ndarray,  # (W, n*2) int32
@@ -409,6 +437,7 @@ def genotype_window_sparse(
     n_alleles: int = 4,
     max_flag: int = 1 << 14,
     max_out: int = 2048,
+    exact_f64: bool = False,
 ):
     """Screened genotyping: a cheap float32 contraction over the whole
     window flags every position whose decision COULD differ from
@@ -425,7 +454,7 @@ def genotype_window_sparse(
     when n_flagged > max_flag or larger max_out when n_sites > max_out."""
     return _sparse_genotype_body(
         counts, strand_counts, total, ref_codes, contribution,
-        het_rate, min_quality, n_alleles, max_flag, max_out,
+        het_rate, min_quality, n_alleles, max_flag, max_out, exact_f64,
     )
 
 
@@ -544,6 +573,7 @@ def _span_packed_scatter(counts128, strand_flat, packed):
 def _sparse_genotype_body_flat(
     counts128, strand_flat, ref_codes, contribution,
     het_rate, min_quality, n_alleles, max_flag, max_out,
+    exact_f64=False,
 ):
     """Screened genotyper over the combined (W, 128) count tensor and flat
     strand tensor (see _span_scatter_counts).  Same math/decisions as
@@ -582,9 +612,9 @@ def _sparse_genotype_body_flat(
     fidx = jnp.nonzero(flag, size=max_flag, fill_value=0)[0].astype(jnp.int32)
     in_flag = jnp.arange(max_flag) < n_flagged
 
-    # ---- stage 2: exact f64 path on flagged positions only --------------
+    # ---- stage 2: exact path on flagged positions only ------------------
     csub = jnp.take(counts128, fidx, axis=0)  # (F, 128)
-    logcond = jnp.dot(csub.astype(jnp.float64), Cd).reshape(max_flag, n, n)
+    logcond = _logcond_dot(csub, Cd, exact_f64).reshape(max_flag, n, n)
     log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
     log_prior_homo = jnp.log10((1 - het_rate) / n)
     prior = jnp.where(
@@ -650,7 +680,9 @@ def _sparse_genotype_body_flat(
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "rows", "n_alleles", "max_flag", "max_out"),
+    static_argnames=(
+        "out_size", "rows", "n_alleles", "max_flag", "max_out", "exact_f64"
+    ),
 )
 def genotype_window_span(
     pq: jnp.ndarray,  # (F, Lp) uint8 packed reads: bits0-2 base code,
@@ -673,6 +705,7 @@ def genotype_window_span(
     n_alleles: int = 4,
     max_flag: int = 1 << 12,
     max_out: int = 1024,
+    exact_f64: bool = False,
 ):
     """Window genotyper over a CONTIGUOUS SPAN of the run-wide fused-read
     arrays: count-tensor init + tier-1 span scatter + packed host-call
@@ -705,7 +738,7 @@ def genotype_window_span(
     counts128, strand_flat = _span_packed_scatter(counts128, strand_flat, packed)
     return _sparse_genotype_body_flat(
         counts128, strand_flat, ref_codes, contribution,
-        het_rate, min_quality, n_alleles, max_flag, max_out,
+        het_rate, min_quality, n_alleles, max_flag, max_out, exact_f64,
     )
 
 
@@ -743,7 +776,10 @@ def genotype_window_span_resolve_batch(pending: list, kernel=None) -> list:
     final = []
     retry = []
     for i, ((span_args, _), out) in enumerate(zip(pending, outs)):
-        if _needs_retry(out, DEF_MAX_FLAG, DEF_MAX_OUT):
+        if (
+            _needs_retry(out, DEF_MAX_FLAG, DEF_MAX_OUT)
+            or int(out.get("span_overflow", 0))
+        ):
             retry.append((i, span_args, out))
         final.append(out)
     for i, span_args, out in retry:
@@ -752,9 +788,22 @@ def genotype_window_span_resolve_batch(pending: list, kernel=None) -> list:
             pq, meta, start, count, w0, packed, ref_codes, contribution,
             het, minq, out_size, rows,
         ) = span_args
+        k = kernel
+        if int(out.get("span_overflow", 0)):
+            # a mesh chunk's read span exceeded its static row budget
+            # (pathologically skewed coverage): this window falls back to
+            # the unsharded kernel, which is correct at any skew
+            k = genotype_window_span
+            out = jax.device_get(
+                k(
+                    pq, meta, start, count, w0, packed, ref_codes,
+                    contribution, het, minq,
+                    out_size=out_size, rows=rows,
+                )
+            )
         while _needs_retry(out, max_flag, max_out):
             max_flag, max_out = _grown_bounds(out, max_flag, max_out)
-            res = kernel(
+            res = k(
                 pq, meta, start, count, w0, packed, ref_codes, contribution,
                 het, minq,
                 out_size=out_size, rows=rows, max_flag=max_flag,
@@ -795,7 +844,10 @@ def genotype_window_span_resolved(span_args, first_res=None):
 
 @partial(
     jax.jit,
-    static_argnames=("window", "nq", "lanes", "n_alleles", "max_flag", "max_out"),
+    static_argnames=(
+        "window", "nq", "lanes", "n_alleles", "max_flag", "max_out",
+        "exact_f64",
+    ),
 )
 def genotype_window_hist(
     stage_t: jnp.ndarray,  # (Lp, S) uint8 transposed col-byte stage
@@ -819,6 +871,7 @@ def genotype_window_hist(
     n_alleles: int = 4,
     max_flag: int = 1 << 12,
     max_out: int = 1024,
+    exact_f64: bool = False,
 ):
     """Window genotyper over the scatter-free shear-histogram pileup
     (kernels/shear_pileup.py).  Same screen/exact math and outputs as
@@ -884,14 +937,14 @@ def genotype_window_hist(
     fidx = jnp.take(flat_pos, fsel).astype(jnp.int32)
     in_flag = jnp.arange(max_flag) < n_flagged
 
-    # ---- stage 2: exact f64 on flagged positions, dense 124-col layout --
+    # ---- stage 2: exact math on flagged positions, dense 124-col layout -
     csub_b = jnp.take(hist, fidx, axis=0)  # (F, 128) binned layout
     csub = jnp.dot(
         csub_b.astype(jnp.float32), expand, preferred_element_type=jnp.float32
     ).astype(jnp.float64)  # exact: counts < 2^24, expand is 0/1
     Cd = jnp.zeros((N_COLS, G), jnp.float64)
     Cd = Cd.at[: n * N_QBINS].set(contribution.reshape(n * N_QBINS, G))
-    logcond = jnp.dot(csub, Cd).reshape(max_flag, n, n)
+    logcond = _logcond_dot(csub, Cd, exact_f64).reshape(max_flag, n, n)
     log_prior_hetero = jnp.log10(het_rate / (n * (n - 1)))
     log_prior_homo = jnp.log10((1 - het_rate) / n)
     prior = jnp.where(
@@ -1073,6 +1126,7 @@ def genotype_window_resolved(
     het_rate,
     min_quality,
     first_res=None,
+    exact_f64=False,
 ):
     """Host wrapper over genotype_window_sparse: fetches the compact result
     and retries with larger flag/output capacity in the (rare) event the
@@ -1088,6 +1142,7 @@ def genotype_window_resolved(
         res = genotype_window_sparse(
             counts, strand_counts, total, ref_codes, contribution,
             het_rate, min_quality, max_flag=max_flag, max_out=max_out,
+            exact_f64=exact_f64,
         )
     out = jax.device_get(res)
     while _needs_retry(out, max_flag, max_out):
@@ -1095,6 +1150,7 @@ def genotype_window_resolved(
         res = genotype_window_sparse(
             counts, strand_counts, total, ref_codes, contribution,
             het_rate, min_quality, max_flag=max_flag, max_out=max_out,
+            exact_f64=exact_f64,
         )
         out = jax.device_get(res)
     return out

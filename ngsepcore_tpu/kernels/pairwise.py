@@ -224,8 +224,14 @@ def affine_gap_align_batch(
     emit_lead_del = not free_start2
 
     def walk(tb_one, i_init, j_init, k_init):
+        # ops are emitted as scan OUTPUTS, not scattered at position n: a
+        # NONE op can only occur after the path is exhausted (i==0 with
+        # free subject start, or both cursors at 0), so emitted ops form
+        # a prefix and step position == n.  The per-step .at[n].set was a
+        # B-wide scatter x max_steps (TPU scatters serialize; ~half the
+        # traceback cost).
         def step(state, _):
-            i, j, k, n, ops = state
+            i, j, k, n = state
             in_aln = (i > 0) & (j > 0)
             ptr_byte = tb_one[jnp.maximum(i - 1, 0), jnp.maximum(j - 1, 0)]
             mp = ptr_byte & 3
@@ -246,13 +252,12 @@ def affine_gap_align_batch(
                 jnp.where(k == 0, mp, jnp.where(k == 1, ip, dp)).astype(jnp.int32),
                 k,
             )
-            ops = ops.at[n].set(op.astype(jnp.uint8))
             n = n + jnp.where(op != OP_NONE, 1, 0)
-            return (i - di, j - dj, new_k, n, ops), None
+            return (i - di, j - dj, new_k, n), op.astype(jnp.uint8)
 
-        ops0 = jnp.zeros((max_steps,), jnp.uint8)
-        (fi, fj, fk, n, ops), _ = jax.lax.scan(
-            step, (i_init, j_init, k_init, jnp.int32(0), ops0), None, length=max_steps
+        (fi, fj, fk, n), ops = jax.lax.scan(
+            step, (i_init, j_init, k_init, jnp.int32(0)), None,
+            length=max_steps,
         )
         return ops, n, fj
 
@@ -352,13 +357,46 @@ def dp_gather_inputs(
     return qc, ln, sc
 
 
+@partial(jax.jit, static_argnames=("CH", "Lq", "Ls", "n_chunks"))
+def dp_run_all(
+    bigpq, lengths, concat, rows, strand, firsts, slen,
+    *, CH: int, Lq: int, Ls: int, n_chunks: int,
+):
+    """The ENTIRE tier-3 sweep as one device program: a lax.map over
+    fixed-size chunks of the job arrays, each iteration gathering its
+    query/subject matrices (dp_gather_inputs), running the Gotoh DP and
+    the stats/RLE post-pass.  One dispatch and one result fetch replace
+    3 programs + ~4 small uploads per chunk — per-program round-trip
+    latency on link-attached chips (~tens of ms each) dominated tier-3
+    wall clock at ~90 chunks per run."""
+    import jax.lax as lax
+
+    def one(off):
+        r = lax.dynamic_slice_in_dim(rows, off, CH, 0)
+        st = lax.dynamic_slice_in_dim(strand, off, CH, 0)
+        f = lax.dynamic_slice_in_dim(firsts, off, CH, 0)
+        sln = lax.dynamic_slice_in_dim(slen, off, CH, 0)
+        qc, ln, sc = dp_gather_inputs(
+            bigpq, lengths, concat, r, st, f, sln, Lq=Lq, Ls=Ls
+        )
+        out = affine_gap_align_batch(
+            qc, ln, sc, sln, free_start2=True, free_end2=True
+        )
+        return dp_stats_pack(
+            out["ops"], out["n_ops"], out["start_j"], out["score"], qc, sc
+        )
+
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * CH
+    return lax.map(one, offs)
+
+
 RLE_MAX = 16  # CIGAR runs per row in the fetched RLE (mism<=0.1*len caps
 # gap runs at ~7, so 16 covers every acceptable alignment; n_runs reports
 # overflow and the decode falls back to the packed ops for that row)
 
 
 @jax.jit
-def dp_stats_pack(ops, n_ops, start_j, query, subject):
+def dp_stats_pack(ops, n_ops, start_j, score, query, subject):
     """Device post-pass over affine_gap_align_batch output.
 
     Computes per row: the tier-3 mismatch statistic (+1 per mismatched
@@ -368,7 +406,15 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     ((op | len<<2) as int16, RLE_MAX slots).  Callers fetch the ~50-byte
     per-row summary (incl. the RLE, which IS the CIGAR) and leave the
     packed ops on device — the ops fetch dominated tier-3 wall-clock on
-    link-attached chips (~22 MB/run at bench scale)."""
+    link-attached chips (~22 MB/run at bench scale).
+
+    The substitution count comes from the score decomposition instead of
+    a per-base comparison: with match=+1 mismatch=-1 open=3 ext=1 (the
+    tier-3 defaults this pass assumes), score = eq - neq - sum over gap
+    runs of (2 + run_len), and eq + neq = #M ops, so
+    neq = (#M - score - 2*K_runs - gap_len) / 2 exactly — two cumsums
+    and two lane-axis gathers (the slowest op class on this chip) drop
+    out of the hot pass."""
     B, S = ops.shape
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = col < n_ops[:, None]
@@ -376,18 +422,12 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     ins = (ops == OP_INS) & valid
     dele = (ops == OP_DEL) & valid
     g = ins | dele
-    qcons = (m | ins).astype(jnp.int32)
-    scons = (m | dele).astype(jnp.int32)
-    qi = jnp.cumsum(qcons, axis=1) - qcons
-    sj = jnp.cumsum(scons, axis=1) - scons
-    q_codes = jnp.take_along_axis(
-        query, jnp.minimum(qi, query.shape[1] - 1), axis=1
-    )
-    s_idx = jnp.minimum(start_j[:, None] + sj, subject.shape[1] - 1)
-    s_codes = jnp.take_along_axis(subject, s_idx, axis=1)
-    sub_mm = jnp.sum(m & (q_codes != s_codes), axis=1, dtype=jnp.int32)
     z = jnp.zeros((B, 1), bool)
     run_start = g & ~jnp.concatenate([z, g[:, :-1]], axis=1)
+    m_cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
+    gap_len = jnp.sum(g, axis=1, dtype=jnp.int32)
+    k_all = jnp.sum(run_start, axis=1, dtype=jnp.int32)
+    sub_mm = (m_cnt - score - 2 * k_all - gap_len) >> 1
     after_m = jnp.concatenate([z, m[:, :-1]], axis=1)
     k_runs = jnp.sum(run_start & after_m, axis=1, dtype=jnp.int32)
     last_op = jnp.take_along_axis(
@@ -407,20 +447,27 @@ def dp_stats_pack(ops, n_ops, start_j, query, subject):
     o = o.astype(jnp.uint32).reshape(B, -1, 16)
     sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     packed = jnp.bitwise_or.reduce(o << sh, axis=2)
-    # run-length encoding of the op runs (scatter by run rank)
+    # run-length encoding of the op runs.  Run starts land in their rank
+    # slot via RLE_MAX masked-min reductions — a (B, S) scatter here ran
+    # ~60ms/chunk (TPU scatters serialize); the reduction loop is pure
+    # VPU work
     prev = jnp.concatenate(
         [jnp.full((B, 1), 255, ops.dtype), ops[:, :-1]], axis=1
     )
     is_start = valid & (ops != prev)
     rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
     n_runs = jnp.sum(is_start, axis=1, dtype=jnp.int32)
-    rows_i = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, S)
-    )
-    rk = jnp.where(is_start & (rank < RLE_MAX), rank, RLE_MAX)
-    starts = jnp.full((B, RLE_MAX + 1), 0, jnp.int32)
-    starts = starts.at[rows_i, rk].set(jnp.broadcast_to(col, (B, S)))
-    starts = starts[:, :RLE_MAX]
+    col_b = jnp.broadcast_to(col, (B, S))
+    starts = jnp.stack(
+        [
+            jnp.min(
+                jnp.where(is_start & (rank == k), col_b, S), axis=1
+            )
+            for k in range(RLE_MAX)
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    starts = jnp.where(starts == S, 0, starts)
     slot = jnp.arange(RLE_MAX, dtype=jnp.int32)[None, :]
     nxt = jnp.concatenate(
         [starts[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1

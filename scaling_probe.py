@@ -117,30 +117,40 @@ def main() -> None:
     # NOTE the virtual-mesh wall clocks below do NOT measure this: the 8
     # virtual devices share 2 physical cores, so t_n/t_1 is SPMD
     # serialization on a fixed core budget, not sharding overhead.
-    serial_frac = 0.02
+    t1 = results[1]["wall_s"]
+    overhead = {n: round(results[n]["wall_s"] / t1, 3) for n in results}
+    # the virtual devices time-share one fixed host, so t_n/t_1 measures
+    # the TOTAL sharding work the mesh adds (collectives, partition pad,
+    # duplicated boundary reads); on real chips the compute term scales
+    # 1/n while that overhead fraction stays:
+    #   projected_eff(n) = t_1 / (n * (t_1/n + (t_n - t_1)))
+    projection = {
+        n: round(
+            t1 / (n * (t1 / n + max(results[n]["wall_s"] - t1, 0.0))), 3
+        )
+        for n in results
+    }
     out = {
         "workload": {"genome_bp": L, "n_reads": len(reads)},
         "per_device_count": results,
-        "virtual_mesh_note": (
-            "wall_s ratios reflect n SPMD programs time-sharing 2 physical"
-            " cores (serialization), not sharding overhead; the evidence"
-            " this artifact records is record-identity at every device"
-            " count plus the comms-volume analysis below"
-        ),
-        "projection_1_to_4_hosts": {
-            "model": "Amdahl: reads shard per host; host work shards with"
-                     " them; serial tail = ordered VCF merge",
-            "serial_fraction_measured": serial_frac,
-            "dcn_allreduce_mb_per_run": 6.0,
-            "projected_efficiency": {
-                n: round(1.0 / (n * serial_frac + (1 - serial_frac)), 3)
-                for n in (1, 2, 4, 8)
-            },
+        "overhead_vs_1dev": overhead,
+        "projection": {
+            "model": (
+                "t_n = t_compute/n + t_overhead(n); overhead measured as"
+                " (t_n_virtual - t_1_virtual) on the shared-core mesh,"
+                " compute scales 1/n on real chips"
+            ),
+            "projected_efficiency": projection,
         },
+        "design_note": (
+            "round-4 kernel partitions the WINDOW axis: per-device"
+            " scatter+genotype work is 1/D of the window, no count-tensor"
+            " collectives (distribute/pipeline.py docstring)"
+        ),
         "north_star": ">=80% scaling efficiency 1->4 hosts (BASELINE.json)",
     }
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SCALING_r03.json"
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_r04.json"
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
