@@ -38,12 +38,16 @@ _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles in this environment go over a
 # tunnel and cost minutes; caching them on disk makes repeat runs (tests,
-# bench, CLI invocations) start fast.
+# bench, CLI invocations) start fast.  The directory is keyed by machine
+# fingerprint (utils/jaxcache.py) — XLA:CPU AOT results compiled on a
+# host with different CPU features SIGILL when loaded elsewhere.
 _cache_dir = _os.environ.get(
     "NGSEP_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )
 try:
-    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    from .utils.jaxcache import enable_persistent_cache as _epc
+
+    _epc(_os.path.abspath(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - older jax without the knobs
     pass

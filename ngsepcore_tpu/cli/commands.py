@@ -252,21 +252,57 @@ register(
 
 
 def _run_demultiplex(opts: dict, args: list[str]) -> None:
-    from ..sequencing.demultiplex import BarcodeMap, ReadsDemultiplex, load_barcode_file
+    from ..sequencing.demultiplex import (
+        BarcodeMap,
+        ReadsDemultiplex,
+        load_barcode_file,
+        load_lane_files,
+        load_lanes_index,
+    )
 
     barcodes_file = opts.pop("barcodes_file", None)
-    out = opts.pop("output_prefix", None) or "demux"
-    if not barcodes_file or not args:
-        raise SystemExit("Usage: Demultiplex -b <barcodes.txt> -o <prefix> <lane.fastq>")
-    bm = BarcodeMap(load_barcode_file(barcodes_file))
-    d = ReadsDemultiplex(bm, **opts)
-    for path in args:
-        d.demultiplex_file(path, out)
-    print(
-        f"Assigned {d.stats.assigned}/{d.stats.total} reads to "
-        f"{len(d.stats.per_sample)} samples",
-        file=sys.stderr,
-    )
+    index_file = opts.pop("index_file", None)
+    descriptor = opts.pop("lane_files_descriptor", None)
+    flowcell = opts.pop("flowcell", None)
+    lane_no = opts.pop("lane", None)
+    out = opts.pop("output_prefix", None)
+    fastq2 = opts.pop("fastq2", None)
+    trim = opts.pop("trim_sequences", None)
+    if trim:
+        opts["trim_sequences"] = trim.split(",")
+    d = ReadsDemultiplex(None, **opts)
+    if index_file:
+        lanes = load_lanes_index(index_file, d.dual_barcode)
+        if descriptor:
+            load_lane_files(descriptor, lanes)
+            d.demultiplex_lanes(lanes)
+        else:
+            sel = [
+                l
+                for l in lanes
+                if flowcell is None
+                or (l.flowcell == flowcell and l.number == str(lane_no))
+            ]
+            if not sel or not args:
+                raise SystemExit(
+                    "Usage: Demultiplex -i <index.txt> [-d <lanes.txt> | "
+                    "-fc <flowcell> -l <lane> <r1.fastq> [-f2 <r2.fastq>]]"
+                )
+            d.barcode_map = sel[0].barcode_map
+            if fastq2:
+                d.demultiplex_paired(args[0], fastq2, out_prefix=out)
+            else:
+                d.demultiplex_file(args[0], out_prefix=out)
+    elif barcodes_file and args:
+        d.barcode_map = BarcodeMap(load_barcode_file(barcodes_file))
+        for path in args:
+            d.demultiplex_file(path, out or "demux")
+    else:
+        raise SystemExit(
+            "Usage: Demultiplex (-i <index.txt> | -b <barcodes.txt>) "
+            "[-d <lanes.txt>] [-fc <flowcell> -l <lane>] <lane.fastq>"
+        )
+    print(d.stats.report(), file=sys.stderr)
 
 
 register(
@@ -276,10 +312,30 @@ register(
         description="Demultiplexes pooled reads by barcodes",
         runner=_run_demultiplex,
         options=[
-            Option("b", "barcodes_file", "str", None, "Barcode->sample file"),
+            Option("b", "barcodes_file", "str", None,
+                   "Simple barcode->sample file"),
+            Option("i", "index_file", "str", None,
+                   "Index: flowcell lane barcode [barcode2] sample"),
+            Option("d", "lane_files_descriptor", "str", None,
+                   "Lane files descriptor: flowcell lane file1 [file2]"),
+            Option("fc", "flowcell", "str", None, "Flowcell id"),
+            Option("l", "lane", "str", None, "Lane number"),
+            Option("f2", "fastq2", "str", None,
+                   "Second fastq for paired-end demultiplexing"),
             Option("o", "output_prefix", "str", None, "Output prefix"),
+            Option("outDir", "out_directory", "str", None,
+                   "Output directory (per-sample file mode)"),
+            Option("p", "prefix", "str", None,
+                   "Prefix for sample files starting with a digit"),
             Option("a", "adapter", "str", None, "Adapter to trim"),
-            Option("l", "min_read_length", "int", 40, "Min read length after trim"),
+            Option("t", "trim_sequences", "str", None,
+                   "Comma-separated sequences to trim (IUPAC allowed)"),
+            Option("m", "min_read_length", "int", 40,
+                   "Min read length after trim"),
+            Option("dual", "dual_barcode", "bool", False,
+                   "Dual barcoding (read1+read2 barcode pairs)"),
+            Option("u", "uncompressed_output", "bool", False,
+                   "Write uncompressed fastq outputs"),
         ],
     )
 )
@@ -1548,25 +1604,36 @@ register(
 
 
 def _run_relative_coords_translator(opts: dict, args: list[str]) -> None:
+    from ..core.genome import ReferenceGenome
     from ..gbs.translator import translate_records
     from ..io.sam import ReadAlignmentFileReader
     from ..vcf.io import VCFFileReader, VCFFileWriter
 
+    genome_file = opts.pop("genome", None)
     if len(args) < 3:
         raise SystemExit(
-            "Usage: VCFRelativeCoordinatesTranslator <cluster.vcf> <consensus.sam> <out.vcf>"
+            "Usage: VCFRelativeCoordinatesTranslator -r <genome.fa> "
+            "<cluster.vcf> <consensus.sam> <out_prefix>"
         )
+    genome = ReferenceGenome.load(genome_file) if genome_file else None
     reader = VCFFileReader(args[0])
     records = reader.load_all()
     alns = {
         a.read_name: a
         for a in ReadAlignmentFileReader(args[1], skip_secondary=True)
     }
-    out, missed = translate_records(records, alns)
-    with VCFFileWriter(args[2], reader.sample_ids) as w:
+    out, stats = translate_records(records, alns, genome=genome)
+    prefix = args[2]
+    vcf_path = prefix if prefix.endswith(".vcf") else prefix + ".vcf"
+    with VCFFileWriter(vcf_path, reader.sample_ids) as w:
         for r in out:
             w.write(r)
-    print(f"Translated {len(out)} records; {missed} unmapped", file=sys.stderr)
+    info_path = (
+        prefix[: -len(".vcf")] if prefix.endswith(".vcf") else prefix
+    ) + ".info"
+    with open(info_path, "w") as fh:
+        fh.write(stats.report() + "\n")
+    print(stats.report(), file=sys.stderr)
 
 
 register(
@@ -1575,7 +1642,10 @@ register(
         group="VariantsDownstream",
         description="Maps de-novo GBS cluster variants to reference coordinates",
         runner=_run_relative_coords_translator,
-        options=[],
+        options=[
+            Option("r", "genome", "str", None,
+                   "Reference genome FASTA (refbase reconciliation)"),
+        ],
     )
 )
 
