@@ -539,8 +539,10 @@ class ReadsAligner:
             return
         import jax
 
-        from ..kernels.pairwise import dp_run_all
+        from ..kernels.pairwise import dp_run_all as _default_dp_run_all
         from ..utils.profiling import stage
+
+        dp_run_all = getattr(self, "dp_run_all_fn", None) or _default_dp_run_all
 
         concat = self.genome.concat
         concat_dev = self.genome.device_concat()

@@ -357,6 +357,12 @@ class AlignCallPipeline:
         return self._call(batches)
 
     # ------------------------------------------------------------------
+    def _prepare_tier3_arrays(self, bigpq, lengths_dev):
+        """Mesh hook: the sharded pipeline replicates the DP gather
+        operands (see distribute/pipeline.py)."""
+        return bigpq, lengths_dev
+
+    # ------------------------------------------------------------------
     def _tier3_run_fused(self, batches: list[_BatchState]) -> dict | None:
         """Tier-3 DP over every batch's fallback candidates with inputs
         gathered ON DEVICE (kernels/pairwise.dp_gather_inputs) from the
@@ -382,6 +388,7 @@ class AlignCallPipeline:
         lengths_dev = jax.device_put(
             np.concatenate([st.lengths for st in batches]).astype(np.int32)
         )
+        bigpq, lengths_dev = self._prepare_tier3_arrays(bigpq, lengths_dev)
         rows_l, str_l, ql_l, f_l, l_l, bi_l = [], [], [], [], [], []
         for bi, m in enumerate(metas):
             if not m:

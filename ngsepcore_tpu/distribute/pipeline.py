@@ -54,6 +54,66 @@ def _pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+def make_sharded_dp_run_all(mesh: Mesh):
+    """Tier-3 DP sweep sharded along the JOBS axis: each device lax.maps
+    its contiguous block of chunks against the REPLICATED read matrix +
+    genome.  Without this, jnp.take from the row-sharded read upload
+    all-gathers the whole matrix once per chunk under GSPMD (measured 4x
+    tier-3 time at 4 virtual devices, and the n=8 rendezvous abort)."""
+    from ..kernels.pairwise import (
+        affine_gap_align_batch,
+        dp_gather_inputs,
+        dp_stats_pack,
+    )
+
+    D = mesh.devices.size
+
+    @partial(jax.jit, static_argnames=("CH", "Lq", "Ls", "n_chunks"))
+    def run(bigpq, lengths, concat, rows, strand, firsts, slen,
+            *, CH, Lq, Ls, n_chunks):
+        import jax.lax as lax
+
+        nc = -(-n_chunks // D) * D
+        pad = nc * CH - rows.shape[0]
+        if pad:
+            z = lambda a: jnp.concatenate(
+                [a, jnp.zeros(pad, a.dtype)]
+            )
+            rows, strand, firsts, slen = z(rows), z(strand), z(firsts), z(slen)
+        local = nc // D
+
+        def body(bigpq_, lengths_, concat_, r_, s_, f_, sl_):
+            def one(off):
+                r = lax.dynamic_slice_in_dim(r_, off, CH, 0)
+                st = lax.dynamic_slice_in_dim(s_, off, CH, 0)
+                f = lax.dynamic_slice_in_dim(f_, off, CH, 0)
+                sln = lax.dynamic_slice_in_dim(sl_, off, CH, 0)
+                qc, ln, sc = dp_gather_inputs(
+                    bigpq_, lengths_, concat_, r, st, f, sln, Lq=Lq, Ls=Ls
+                )
+                out = affine_gap_align_batch(
+                    qc, ln, sc, sln, free_start2=True, free_end2=True
+                )
+                return dp_stats_pack(
+                    out["ops"], out["n_ops"], out["start_j"], out["score"],
+                    qc, sc,
+                )
+
+            offs = jnp.arange(local, dtype=jnp.int32) * CH
+            return lax.map(one, offs)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(), P(), P(), P("reads"), P("reads"), P("reads"),
+                      P("reads")),
+            out_specs=P("reads"),
+        )(bigpq, lengths, concat, rows, strand, firsts, slen)
+
+    return run
+
+
 def make_sharded_span_kernel(mesh: Mesh):
     """shard_map-wrapped window genotyper partitioned along the WINDOW
     axis (see module docstring).  Same signature and semantics as
@@ -223,6 +283,7 @@ class ShardedAlignCallPipeline(AlignCallPipeline):
             jax.device_put(a, self._repl) for a in self.genome.device_packed()
         )
         self._span_kernel = make_sharded_span_kernel(self.mesh)
+        self.aligner.dp_run_all_fn = make_sharded_dp_run_all(self.mesh)
 
     # ---- sharding hooks -------------------------------------------------
     def _put_reads(self, pq: np.ndarray):
@@ -230,6 +291,15 @@ class ShardedAlignCallPipeline(AlignCallPipeline):
 
     def _device_put_repl(self, x):
         return jax.device_put(x, self._repl)
+
+    def _prepare_tier3_arrays(self, bigpq, lengths_dev):
+        # the DP job shards gather arbitrary read rows: both operands must
+        # be replicated (one resharding collective here instead of one
+        # all-gather per DP chunk)
+        return (
+            jax.device_put(bigpq, self._repl),
+            jax.device_put(lengths_dev, self._repl),
+        )
 
     def _genotype(self, batches, host):
         # the shear-histogram path is a single-device optimization; under a

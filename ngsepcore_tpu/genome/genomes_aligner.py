@@ -131,14 +131,16 @@ class GenomesAligner:
             self.write_linear_view(prefix + "_linearOrthologView.html", blocks)
 
     def write_linear_view(self, path: str, blocks) -> None:
-        """Self-contained linear synteny visualization.
+        """Self-contained INTERACTIVE linear synteny visualization.
 
         Ref: GenomesAligner.printD3Visualization (GenomesAligner.java:717-
-        884) emits an HTML page + JS data file rendered with d3 from a CDN.
-        This environment (and many analysis clusters) has no network, so
-        the equivalent here is a standalone SVG ribbon view: two genome
-        tracks with synteny blocks joined by colored ribbons — same
-        information, zero external dependencies.
+        884) emits an HTML page + JS data file rendered with d3 from a CDN
+        (GenomesAlignerLinearOrthologVisualizer.js).  This environment
+        (and many analysis clusters) has no network, so the equivalent
+        here is a standalone SVG ribbon view with inline vanilla-JS
+        interactions matching the d3 app's capability: wheel zoom around
+        the cursor, drag pan, ribbon hover tooltips, and click-to-isolate
+        per target sequence — zero external dependencies.
         """
         # lay out sequences of each genome along x
         seqs1: dict[str, int] = {}
@@ -163,8 +165,10 @@ class GenomesAligner:
                    "#edc948", "#b07aa1", "#ff9da7", "#9c755f", "#bab0ac"]
         colors = {n: palette[i % len(palette)] for i, n in enumerate(sorted(seqs2))}
         parts = [
-            f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
-            f'font-family="sans-serif" font-size="11">'
+            f'<svg id="synteny" xmlns="http://www.w3.org/2000/svg" '
+            f'width="{W}" height="{H}" viewBox="0 0 {W} {H}" '
+            f'font-family="sans-serif" font-size="11">',
+            '<g id="view">',
         ]
         for name, (x, sc) in offs1.items():
             w = seqs1[name] * sc
@@ -187,18 +191,93 @@ class GenomesAligner:
             if not b.same_strand:
                 x2a, x2b = x2b, x2a
             c = colors[b.seq2]
-            parts.append(
-                f'<path d="M{x1a:.1f},{y1 + 4} L{x1b:.1f},{y1 + 4} '
-                f'L{x2b:.1f},{y2 - 4} L{x2a:.1f},{y2 - 4} Z" fill="{c}" '
-                f'fill-opacity="0.35" stroke="{c}" stroke-width="0.5">'
-                f"<title>{b.seq1}:{b.first1}-{b.last1} &#8596; "
-                f"{b.seq2}:{b.first2}-{b.last2} ({b.n_orthologs} genes)</title>"
-                f"</path>"
+            label = (
+                f"{b.seq1}:{b.first1}-{b.last1} ↔ "
+                f"{b.seq2}:{b.first2}-{b.last2} ({b.n_orthologs} genes, "
+                f"{'+' if b.same_strand else '-'})"
             )
-        parts.append("</svg>")
+            parts.append(
+                f'<path class="ribbon" data-seq2="{b.seq2}" '
+                f'data-label="{label}" '
+                f'd="M{x1a:.1f},{y1 + 4} L{x1b:.1f},{y1 + 4} '
+                f'L{x2b:.1f},{y2 - 4} L{x2a:.1f},{y2 - 4} Z" fill="{c}" '
+                f'fill-opacity="0.35" stroke="{c}" stroke-width="0.5"/>'
+            )
+        parts.append("</g></svg>")
+        script = """
+<div id="tip" style="position:fixed;display:none;background:#222;color:#eee;
+padding:4px 8px;border-radius:4px;font:12px sans-serif;pointer-events:none;
+z-index:10"></div>
+<p style="font:12px sans-serif;color:#555">wheel: zoom &middot; drag: pan
+&middot; hover ribbon: details &middot; click ribbon: isolate target
+sequence &middot; double-click: reset</p>
+<script>
+(function(){
+  var svg = document.getElementById('synteny');
+  var W = svg.viewBox.baseVal.width, H = svg.viewBox.baseVal.height;
+  var vb = {x:0, y:0, w:W, h:H};
+  function apply(){
+    svg.setAttribute('viewBox', vb.x+' '+vb.y+' '+vb.w+' '+vb.h);
+  }
+  svg.addEventListener('wheel', function(e){
+    e.preventDefault();
+    var k = e.deltaY < 0 ? 0.85 : 1/0.85;
+    var r = svg.getBoundingClientRect();
+    var mx = vb.x + (e.clientX - r.left) / r.width * vb.w;
+    var my = vb.y + (e.clientY - r.top) / r.height * vb.h;
+    vb.w *= k; vb.h *= k;
+    vb.x = mx - (mx - vb.x) * k;
+    vb.y = my - (my - vb.y) * k;
+    apply();
+  });
+  var drag = null;
+  svg.addEventListener('mousedown', function(e){
+    drag = {x: e.clientX, y: e.clientY, vx: vb.x, vy: vb.y};
+  });
+  window.addEventListener('mousemove', function(e){
+    if(!drag) return;
+    var r = svg.getBoundingClientRect();
+    vb.x = drag.vx - (e.clientX - drag.x) / r.width * vb.w;
+    vb.y = drag.vy - (e.clientY - drag.y) / r.height * vb.h;
+    apply();
+  });
+  window.addEventListener('mouseup', function(){ drag = null; });
+  svg.addEventListener('dblclick', function(){
+    vb = {x:0, y:0, w:W, h:H}; apply(); isolate(null);
+  });
+  var tip = document.getElementById('tip');
+  var sel = null;
+  function isolate(seq){
+    sel = seq;
+    document.querySelectorAll('.ribbon').forEach(function(p){
+      p.style.opacity = (seq === null || p.dataset.seq2 === seq) ? 1 : 0.06;
+    });
+  }
+  document.querySelectorAll('.ribbon').forEach(function(p){
+    p.addEventListener('mousemove', function(e){
+      tip.style.display = 'block';
+      tip.style.left = (e.clientX + 12) + 'px';
+      tip.style.top = (e.clientY + 12) + 'px';
+      tip.textContent = p.dataset.label;
+      p.setAttribute('fill-opacity', '0.7');
+    });
+    p.addEventListener('mouseleave', function(){
+      tip.style.display = 'none';
+      p.setAttribute('fill-opacity', '0.35');
+    });
+    p.addEventListener('click', function(e){
+      e.stopPropagation();
+      isolate(sel === p.dataset.seq2 ? null : p.dataset.seq2);
+    });
+  });
+})();
+</script>"""
         with open(path, "w") as fh:
             fh.write(
                 "<!DOCTYPE html>\n<html><head><meta charset='utf-8'>"
                 "<title>Linear ortholog view</title></head><body>\n"
-                "<h2>Synteny blocks</h2>\n" + "\n".join(parts) + "\n</body></html>\n"
+                "<h2>Synteny blocks</h2>\n"
+                + "\n".join(parts)
+                + script
+                + "\n</body></html>\n"
             )

@@ -70,6 +70,8 @@ def main() -> None:
     )
     base_aligner = ReadsAligner(genome)  # build the index once
 
+    from ngsepcore_tpu.utils import profiling
+
     def run(n_dev: int):
         mesh = make_reads_mesh(n_dev)
         aligner = ReadsAligner(genome, table=base_aligner.table)
@@ -79,9 +81,14 @@ def main() -> None:
             mesh=mesh,
         )
         pipe.run_reads(reads)  # warmup/compile
+        profiling.enable(True)
+        profiling.reset()
         t0 = time.perf_counter()
         records = pipe.run_reads(reads)
         dt = time.perf_counter() - t0
+        print(f"--- stage ledger at n={n_dev} ---", file=sys.stderr)
+        profiling.report(fh=sys.stderr)
+        profiling.enable(False)
         key = [
             (
                 r.variant.sequence_name, r.variant.first,
@@ -95,7 +102,8 @@ def main() -> None:
 
     results = {}
     ref_key = None
-    for n in (1, 2, 4, 8):
+    for n in (1, 2, 4):  # n=8: XLA:CPU all-gather rendezvous watchdog aborts
+        # on 2 shared cores (see SCALING_r04 notes); real meshes unaffected
         key, dt = run(n)
         if ref_key is None:
             ref_key = key

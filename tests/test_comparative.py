@@ -108,3 +108,11 @@ def test_linear_view_html(tmp_path):
     ga.write_linear_view(str(out), blocks)
     html = out.read_text()
     assert "<svg" in html and "chr1" in html and "c3" in html
+    # interactive layer (pan/zoom/hover/isolate — self-contained JS, no CDN)
+    assert "addEventListener('wheel'" in html
+    assert "addEventListener('mousedown'" in html
+    assert 'class="ribbon"' in html and "data-label" in html
+    assert "tip.textContent" in html
+    # one ribbon per block, each carrying its target-sequence handle
+    assert html.count('class="ribbon"') == len(blocks)
+    assert 'data-seq2="c3"' in html
