@@ -123,8 +123,8 @@ def bench_multisample(genome_codes) -> dict:
     records = run()
     dt = time.time() - t0
     return {
-        "config": "#5 multi-sample joint genotyping + CNV read depth "
-                  "(3 samples x 8x, 2 Mbp)",
+        "config": f"#5 multi-sample joint genotyping + CNV read depth "
+                  f"({n_samples} samples x {cov}x, {L / 1e6:g} Mbp)",
         "wall_s": round(dt, 2),
         "warmup_s": round(warm, 2),
         "reads_per_s": round(total_reads / dt, 0),

@@ -305,10 +305,21 @@ class AlignCallPipeline:
         with stage("align.seed_fetch"):
             # one transfer per FIELD across all batches (device-side
             # concat): the link pays ~5-9ms fixed per array, so per-batch
-            # per-field copies cost ~1s of pure latency at 17 batches
+            # per-field copies cost ~1s of pure latency at 17 batches.
+            # cells are pre-trimmed to the actual cell count (a tiny
+            # count fetch first): the bucket-sized buffer is ~1 MB per
+            # batch while typical runs fill a quarter of it
             import jax.numpy as jnp
 
             clfs = [s[6] for s in seeded]
+            counts = jax.device_get(
+                jnp.stack([c["cell_count"] for c in clfs])
+            )
+            clfs = [dict(c) for c in clfs]
+            for c, n in zip(clfs, counts):
+                cap = c["cells"].shape[0]
+                trim = min(cap, (int(n) + 1023) & ~1023)
+                c["cells"] = c["cells"][:trim]
             keys = list(clfs[0].keys())
             sizes = {
                 k: [(c[k].shape[0] if c[k].ndim else 1) for c in clfs]
@@ -856,8 +867,7 @@ class AlignCallPipeline:
         offs = self.genome.offsets
         fused = np.array(clf["fused"][:B], dtype=bool)
         sel_pred = clf["sel_pred"][:B].astype(np.int64)
-        sel_a = clf["sel_a"][:B]
-        sel_b = clf["sel_b"][:B]
+        sel_ab = clf["sel_ab"][:B]
         al.aligned_reads += int(clf["aligned_extra"])
         al.few_mismatches_alns += int(clf["fused_count"])
         al.aligned_reads += int(clf["fused_count"])
@@ -952,10 +962,10 @@ class AlignCallPipeline:
             res_dev=res_dev,
             lengths=lengths32,
             pred=np.where(fused, sel_pred, -1).astype(np.int64),
-            cs=(sel_b[:B] & 0xFFFF).astype(np.int32),
-            ce=((sel_b[:B] >> 16) & 0xFFFF).astype(np.int32),
-            mm=(sel_a[:B] & 0xFFFF).astype(np.int32),
-            strand=((sel_a[:B] >> 16) & 1).astype(np.int32),
+            cs=((sel_ab >> 11) & 0x3FF).astype(np.int32),
+            ce=((sel_ab >> 21) & 0x3FF).astype(np.int32),
+            mm=(sel_ab & 0x3FF).astype(np.int32),
+            strand=((sel_ab >> 10) & 1).astype(np.int32),
             fused=fused,
             host_alns=[[] for _ in range(B)],
             cand_t2=cand_t2,

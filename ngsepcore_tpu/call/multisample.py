@@ -219,6 +219,18 @@ class MultisampleVariantsDetector:
         if not sites:
             return []
         seq_len = self.genome.sequence_length(seq_idx)
+        # per-sample interval index: only alignments starting within one
+        # max read span of a site can span it — O(coverage) candidates per
+        # site instead of O(all alignments) (same windowing as
+        # single_sample._call_indels_scalar; the naive scan was 50M+
+        # spanning_call_for calls on a 3-sample 400 kb probe)
+        idx = []
+        for alns in per_sample:
+            firsts = np.fromiter((a.first for a in alns), np.int64, len(alns))
+            lasts = np.fromiter((a.last for a in alns), np.int64, len(alns))
+            order = np.argsort(firsts, kind="stable")
+            max_span = int((lasts - firsts).max() + 1) if len(alns) else 0
+            idx.append((firsts[order], order, max_span))
         records: list[VCFRecord] = []
         for site in sites:
             first, span = site.first, site.span
@@ -228,9 +240,14 @@ class MultisampleVariantsDetector:
             reference = self.genome.reference_string(seq_idx, first, last)
             calls_by_sample: list[list] = []
             pooled = []
-            for alns in per_sample:
+            for alns, (firsts_s, order, max_span) in zip(per_sample, idx):
                 cs = []
-                for a in alns:
+                lo = np.searchsorted(firsts_s, first - max_span, side="left")
+                hi = np.searchsorted(firsts_s, first, side="right")
+                for oi in order[lo:hi]:
+                    a = alns[oi]
+                    if a.last < last:
+                        continue
                     c = spanning_call_for(a, first, last)
                     if c is not None:
                         cs.append(c)

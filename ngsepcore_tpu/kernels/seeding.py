@@ -438,11 +438,14 @@ def classify_candidates(
 
     take = lambda a: jnp.take_along_axis(a, sel_col[:, None], axis=1)[:, 0]
     sel_pred = take(pred)
-    sel_a = jnp.clip(take(mm), 0, 0xFFFF) | (
-        jnp.clip(take(strand), 0, 1) << 16
-    )
-    sel_b = jnp.clip(take(cs), 0, 0xFFFF) | (
-        jnp.clip(take(ce), 0, 0xFFFF) << 16
+    # one packed word per read: mm(10) | strand(1)<<10 | cs(10)<<11 |
+    # ce(10)<<21 — halves the fetched per-read metadata (the host link
+    # pays real time per MB on this tunnel)
+    sel_ab = (
+        jnp.clip(take(mm), 0, 0x3FF)
+        | (jnp.clip(take(strand), 0, 1) << 10)
+        | (jnp.clip(take(cs), 0, 0x3FF) << 11)
+        | (jnp.clip(take(ce), 0, 0x3FF) << 21)
     )
 
     # ---- host-cell compaction (row-major order preserved) -------------
@@ -480,8 +483,7 @@ def classify_candidates(
         # link tunnel (see kernels/pairwise.dp_stats_pack)
         "fused": fused.astype(jnp.int8),
         "sel_pred": sel_pred,
-        "sel_a": sel_a,
-        "sel_b": sel_b,
+        "sel_ab": sel_ab,
         "cells": cells,
         "cell_count": cell_count,
         "aligned_extra": aligned_extra,
