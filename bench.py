@@ -52,23 +52,26 @@ MAX_RUNS = 4  # first run doubles as warmup (compile replay + autotuning)
 BATCH = 65536  # big batches amortize fixed per-program costs (link round
 # trips, kernel tails); 64k x 256 intermediates still fit HBM comfortably
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
-SIM_VERSION = 3  # bump to invalidate .bench_cache
+SIM_VERSION = 4  # bump to invalidate .bench_cache (v4: cache preserves
+# ReadBlock.default_quality — v3 silently reloaded q40 reads as q20,
+# costing ~2 points of SNV recall on cached runs)
 
 # Accuracy gates (vs the simulator's truth). SNV recall is gated on truth
 # sites outside repeat regions (reads there multi-map and are
 # MAPQ-filtered — the reference misses them too; that is what its -noRep
 # handling is about).  Indel gates guard the indel path (VERDICT r2 #6).
 #
-# Calibration (measured on this workload, r3): SNV precision 0.9994,
-# SNV recall_unique 0.7226, indel recall_unique 0.8354, indel precision
-# 0.9995.  Recall is statistics-limited, not pipeline-limited: at 11.25x
-# diploid coverage a het site has ~5.6x per allele, and the GQ>=40
-# emission threshold (the reference's own q40 tutorial filter,
-# training/Tutorial.txt) leaves ~28%% of het sites under-powered.  Gates
+# Calibration (measured on this workload, r4, q40 reads): SNV precision
+# 0.9985, SNV recall_unique 0.8692, indel recall_unique 0.8338, indel
+# precision 0.9995.  Remaining recall loss is statistics-limited, not
+# pipeline-limited: at 11.25x diploid coverage a het site has ~5.6x per
+# allele and the GQ>=40 emission threshold (the reference's own q40
+# tutorial filter, training/Tutorial.txt) under-powers the thin tail —
+# tests/test_accuracy_anchor.py proves >=0.95/0.90 recall at 30x.  Gates
 # sit at measured-minus-margin to catch regressions without gating on
 # coverage statistics.
 MIN_PRECISION = 0.90
-MIN_RECALL_UNIQUE = 0.68
+MIN_RECALL_UNIQUE = 0.82
 MIN_INDEL_RECALL_UNIQUE = 0.75
 MIN_INDEL_PRECISION = 0.90
 
@@ -176,7 +179,11 @@ def load_or_simulate():
         d = np.load(path)
         codes = d["codes"]
         repeat_iv = d["repeat_iv"]
-        reads = ReadBlock(d["read_codes"], d["read_lengths"])
+        reads = ReadBlock(
+            d["read_codes"], d["read_lengths"],
+            d["read_quals"] if "read_quals" in d else None,
+            default_quality=int(d["default_quality"]),
+        )
         truth_snv_pos = d["snv_pos"]
         truth_snv_alt = d["snv_alt"]
         truth_indel_pos = d["indel_pos"]
@@ -219,12 +226,17 @@ def load_or_simulate():
         truth_indel_pos = np.array(
             sorted(c.first for c in sim.calls if not c.is_snv), np.int64
         )
+        extra = (
+            {"read_quals": reads.quals} if reads.quals is not None else {}
+        )
         np.savez(
             path,
             codes=codes, repeat_iv=repeat_iv,
             read_codes=reads.codes, read_lengths=reads.lengths,
+            default_quality=np.int64(reads.default_quality),
             snv_pos=truth_snv_pos, snv_alt=truth_snv_alt,
             indel_pos=truth_indel_pos,
+            **extra,
         )
         _log("inputs cached")
     seqs = QualifiedSequenceList()

@@ -568,7 +568,10 @@ class ReadsAligner:
                 CH=CH, Lq=Lq, Ls=Ls, n_chunks=n_chunks,
             )
         with stage("align.tier3_fetch"):
-            keys = ("mism", "has_gap", "rle", "n_runs", "n_ops", "start_j")
+            keys = (
+                "mism", "has_gap", "rle", "n_runs", "n_ops", "start_j",
+                "la_fallback",
+            )
             host = jax.device_get({k: stats[k] for k in keys})
         with stage("align.tier3_decode"):
             for ci in range(n_chunks):
@@ -656,10 +659,20 @@ class ReadsAligner:
             nr = int(n_runs[gi])
             if nr <= RLE_MAX:
                 row = rle[gi]
-                runs_by_row[gi] = [
-                    (int(row[u]) >> 2, mid[(int(row[u]) & 3) - 1])
-                    for u in range(nr)
-                ]
+                # device left-align can zero an M run between two gaps:
+                # drop empty runs and merge adjacent equal ops
+                runs: list[tuple[int, str]] = []
+                for u in range(nr):
+                    v = int(row[u])
+                    ln = v >> 2
+                    if ln == 0:
+                        continue
+                    op = mid[(v & 3) - 1]
+                    if runs and runs[-1][1] == op:
+                        runs[-1] = (runs[-1][0] + ln, op)
+                    else:
+                        runs.append((ln, op))
+                runs_by_row[gi] = runs
             else:  # overflow: unpack the full ops row
                 import jax
 
@@ -710,6 +723,7 @@ class ReadsAligner:
         if not len(gsel):
             return
         runs_by_row = self._rle_runs(out, gsel, n_ops)
+        la_fb = np.asarray(out["la_fallback"]).astype(bool)
         names = [
             self.genome.sequence_name(i)
             for i in range(self.genome.num_sequences)
@@ -717,11 +731,17 @@ class ReadsAligner:
         for i in gsel:
             t = pos_in_ok[int(i)]
             first = int(firsts[i])
-            cigar = left_align_indels(
-                runs_by_row[i], qget(off0 + i),
-                concat[first : first + int(start_j[i]) + int(n_ops[i])],
-                int(start_j[i]),
-            )
+            # the RLE comes left-aligned from the device
+            # (kernels/pairwise._left_align_rle); only rows the device
+            # pass could not normalize exactly re-run the host pass
+            if la_fb[i]:
+                cigar = left_align_indels(
+                    runs_by_row[i], qget(off0 + i),
+                    concat[first : first + int(start_j[i]) + int(n_ops[i])],
+                    int(start_j[i]),
+                )
+            else:
+                cigar = runs_by_row[i]
             si = int(si_all[t])
             pos1 = int(pos1_all[t])
             if not (
@@ -800,22 +820,24 @@ class ReadsAligner:
             )
             return
 
-        # gapped accepted rows: the fetched RLE IS the cigar (device-side
-        # run-length encoding in dp_stats_pack)
+        # gapped accepted rows: the fetched RLE IS the cigar, already
+        # left-aligned on device (dp_stats_pack/_left_align_rle); rows the
+        # device pass could not normalize exactly re-run the host pass
         gsel = ok[has_gap[ok]]
         runs_by_row = self._rle_runs(out, gsel, n_ops)
+        la_fb = np.asarray(out["la_fallback"]).astype(bool)
 
         for t, i in enumerate(ok):
             if has_gap[i]:
                 first = int(firsts[i])
-                # normalize indel placement so all reads report the same
-                # event position (ref: IndelRealignerPileupListener
-                # .moveIndelStarts)
-                cigar = left_align_indels(
-                    runs_by_row[i], qget(i),
-                    concat[first : first + int(start_j[i]) + int(n_ops[i])],
-                    int(start_j[i]),
-                )
+                if la_fb[i]:
+                    cigar = left_align_indels(
+                        runs_by_row[i], qget(i),
+                        concat[first : first + int(start_j[i]) + int(n_ops[i])],
+                        int(start_j[i]),
+                    )
+                else:
+                    cigar = runs_by_row[i]
                 clip_ok = (
                     cigar[0][1] == "M" and cigar[0][0] >= MIN_MATCH_LENGTH
                     and cigar[-1][1] == "M" and cigar[-1][0] >= MIN_MATCH_LENGTH

@@ -477,6 +477,9 @@ def dp_stats_pack(ops, n_ops, start_j, score, query, subject):
     rop = jnp.take_along_axis(
         ops, jnp.minimum(starts, S - 1), axis=1
     ).astype(jnp.int32)
+    rlen, la_fallback = _left_align_rle(
+        rop, rlen, n_runs, start_j, query, subject
+    )
     rle = jnp.where(
         slot < n_runs[:, None], rop | (rlen << 2), 0
     ).astype(jnp.int16)
@@ -488,4 +491,93 @@ def dp_stats_pack(ops, n_ops, start_j, score, query, subject):
         "n_runs": n_runs,
         "n_ops": n_ops,
         "start_j": start_j,
+        "la_fallback": la_fallback,
     }
+
+
+LA_LMAX = 16  # max indel length left-aligned on device; longer runs (and
+# RLE overflows) raise la_fallback and the host runs the exact pass
+
+
+def _left_align_rle(rop, rlen, n_runs, start_j, query, subject):
+    """Shift I/D runs in the device RLE to their leftmost equivalent
+    placement — the same normalization read_alignment.left_align_indels
+    applies on host (ref: IndelRealignerPileupListener.moveIndelStarts:274),
+    moved on device so gapped rows need no host query fetch or per-row pass.
+
+    A gap run of length l at cursor p (in the consumed sequence: query for
+    I, subject for D) shifts k steps iff x[p-1-j] == x[p+l-1-j] for all
+    j < k, bounded by the preceding M run.  The first mismatching j is the
+    backward run length of eq_l[t] = (x[t] == x[t+l]) ending at t = p-1 —
+    computed for every position and every lag 1..LA_LMAX as pure VPU work
+    (compare + cummax), then read with ONE take_along_axis per side.  The
+    only sequential piece is the 16-slot pass (earlier shifts grow the M
+    run that bounds the next gap), a statically unrolled loop of (B,)
+    vector updates.
+
+    Cursor positions are invariant under the shifts (a shift moves k bases
+    from the preceding M to the following M; total consumption before any
+    later run is unchanged), so they are precomputed from the original RLE.
+
+    Returns (new_rlen, la_fallback) where la_fallback flags rows whose
+    exact normalization needs the host pass: a gap run longer than
+    LA_LMAX, more runs than RLE_MAX, or a shift whose following run is
+    not M (the host pass inserts an M run there; slots are fixed here).
+    """
+    B, R = rop.shape
+    slot = jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid_slot = slot < n_runs[:, None]
+    is_m = rop == OP_MATCH
+    is_i = rop == OP_INS
+    is_d = rop == OP_DEL
+    gap = (is_i | is_d) & valid_slot
+    qcons = jnp.where(is_i | is_m, rlen, 0)
+    scons = jnp.where(is_d | is_m, rlen, 0)
+    pq = jnp.cumsum(qcons, axis=1) - qcons  # query offset at slot start
+    ps = start_j[:, None] + jnp.cumsum(scons, axis=1) - scons
+
+    def brl_tables(x):
+        # (B, LA_LMAX * L): for lag l (block l-1), the count of consecutive
+        # t' <= t with x[t'] == x[t'+l], evaluated at every t
+        Bx, L = x.shape
+        idxs = jnp.arange(L, dtype=jnp.int32)[None, :]
+        tabs = []
+        for l in range(1, LA_LMAX + 1):
+            eq = jnp.concatenate(
+                [x[:, l:] == x[:, : L - l], jnp.zeros((Bx, l), bool)],
+                axis=1,
+            )
+            nf = jnp.where(eq, jnp.int32(-1), idxs)
+            tabs.append(idxs - jax.lax.cummax(nf, axis=1))
+        return jnp.concatenate(tabs, axis=1)
+
+    Lq = query.shape[1]
+    Ls = subject.shape[1]
+    lidx = jnp.clip(rlen, 1, LA_LMAX) - 1
+    kq = jnp.take_along_axis(
+        brl_tables(query), lidx * Lq + jnp.clip(pq - 1, 0, Lq - 1), axis=1
+    )
+    kd = jnp.take_along_axis(
+        brl_tables(subject), lidx * Ls + jnp.clip(ps - 1, 0, Ls - 1), axis=1
+    )
+    k_raw = jnp.where(is_i, kq, kd)
+    k_raw = jnp.where(gap & (rlen >= 1) & (rlen <= LA_LMAX), k_raw, 0)
+    fallback = jnp.any(gap & (rlen > LA_LMAX), axis=1) | (n_runs > R)
+
+    lens = rlen
+    for t in range(1, R):
+        next_m = (
+            is_m[:, t + 1] & (n_runs > t + 1)
+            if t + 1 < R
+            else jnp.zeros((B,), bool)
+        )
+        can = gap[:, t] & is_m[:, t - 1]
+        p_t = jnp.where(is_i[:, t], pq[:, t], ps[:, t])
+        k = jnp.minimum(k_raw[:, t], jnp.minimum(lens[:, t - 1], p_t))
+        k = jnp.where(can, k, 0)
+        fallback = fallback | ((k > 0) & ~next_m)
+        k = jnp.where(next_m, k, 0)
+        lens = lens.at[:, t - 1].add(-k)
+        if t + 1 < R:
+            lens = lens.at[:, t + 1].add(k)
+    return lens, fallback.astype(jnp.int8)

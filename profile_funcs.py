@@ -58,6 +58,8 @@ def main():
     st = pstats.Stats(pr)
     st.sort_stats("cumulative").print_stats(60)
     st.sort_stats("tottime").print_stats(50)
+    st.print_callers("_methods.py:99")  # np.clip's worker: find big callers
+    st.print_callers("read_alignment.py:219")  # indel_calls callers
 
 
 main()
