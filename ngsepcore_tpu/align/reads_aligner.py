@@ -530,28 +530,40 @@ class ReadsAligner:
         crosses the host link as ~20 bytes of metadata instead of ~1 KB of
         packed matrices (~80 MB per bench run).  `cands` is the
         _Candidate list aligned with the meta arrays; `qget(i)` returns
-        host-side query codes (only touched for accepted gapped rows,
-        which need the left-align pass).  With `sink` set, results are
-        emitted through it and `cands` may be None (array-native
-        selection)."""
+        host-side query codes (only touched for la_fallback rows).  With
+        `sink` set, results are emitted through it and `cands` may be None
+        (array-native selection)."""
+        pend = self._tier3_dispatch_dev(
+            rows, strand, qlen, firsts, lasts, bigpq, lengths_dev
+        )
+        self._tier3_finish_dev(pend, cands, qget, sink=sink)
+
+    def _tier3_dispatch_dev(
+        self, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
+    ):
+        """Launch the tier-3 sweep asynchronously; returns a pending dict
+        (device handles + chunking) for _tier3_finish_dev.  Splitting
+        dispatch from fetch lets the caller overlap the device DP of one
+        read group with host work on another."""
         n = len(rows)
         if n == 0:
-            return
-        import jax
+            return None
 
         from ..kernels.pairwise import dp_run_all as _default_dp_run_all
         from ..utils.profiling import stage
 
         dp_run_all = getattr(self, "dp_run_all_fn", None) or _default_dp_run_all
 
-        concat = self.genome.concat
         concat_dev = self.genome.device_concat()
         self.complete_alns += n
         CH = self.DP_ROWS
         n_chunks = -(-n // CH)
         pad = n_chunks * CH
         sl_all = (lasts - firsts).astype(np.int32)
-        Lq = -(-int(qlen.max()) // 64) * 64
+        # Lq is the lax.scan row axis — no lane alignment needed, and every
+        # padded row is a fully-computed frozen step (150bp reads at
+        # 64-granularity ran 192 scan rows; 16-granularity runs 160)
+        Lq = -(-int(qlen.max()) // 16) * 16
         Ls = -(-int(sl_all.max()) // 64) * 64
         self.dp_cells += pad * Lq * Ls
 
@@ -567,6 +579,23 @@ class ReadsAligner:
                 padded(sl_all),
                 CH=CH, Lq=Lq, Ls=Ls, n_chunks=n_chunks,
             )
+        return {
+            "stats": stats, "n": n, "CH": CH, "n_chunks": n_chunks,
+            "qlen": qlen, "firsts": firsts,
+        }
+
+    def _tier3_finish_dev(self, pend, cands, qget, sink=None) -> None:
+        """Fetch + decode a _tier3_dispatch_dev launch."""
+        if pend is None:
+            return
+        import jax
+
+        from ..utils.profiling import stage
+
+        stats, n = pend["stats"], pend["n"]
+        CH, n_chunks = pend["CH"], pend["n_chunks"]
+        qlen, firsts = pend["qlen"], pend["firsts"]
+        concat = self.genome.concat
         with stage("align.tier3_fetch"):
             keys = (
                 "mism", "has_gap", "rle", "n_runs", "n_ops", "start_j",

@@ -296,76 +296,105 @@ class AlignCallPipeline:
             for bi, (a, b) in enumerate(spans):
                 _progress_check(self.progress_notifier, bi)
                 seeded.append(self._seed_batch(reads[a:b]))
-        # classification runs ON DEVICE (kernels/seeding.classify_candidates)
-        # so one link round trip for ALL batches carries only ~14 bytes per
-        # read (fused flags + selected placement + compacted host cells)
-        # instead of the full (B, C) candidate matrices.
+        # The align phase runs as a software pipeline over GROUPS of
+        # batches: while the host fetches/classifies group g and walks its
+        # DP results, the device is already seeding groups g+1.. and
+        # running group g's tier-3 sweep.  A single fetch-everything pass
+        # left the device idle through ~4s of host classify/decode/select
+        # work and the host idle through ~7s of device kernels.
+        n_b = len(seeded)
+        gsz = max(1, min(5, -(-n_b // 4)))
+        groups = [
+            list(range(a, min(a + gsz, n_b))) for a in range(0, n_b, gsz)
+        ]
+        batches: list[_BatchState] = []
+        pending = None
+        for gi, group in enumerate(groups):
+            with stage("align.seed_fetch"):
+                fetched = self._fetch_seed_results([seeded[i] for i in group])
+            with stage("align.classify"):
+                gbatches = []
+                for i, clf in zip(group, fetched):
+                    gbatches.append(self._classify_one(seeded[i], clf))
+                    gbatches[-1].read0 = spans[i][0]
+            # dispatch this group's tier-3 sweep (async), then finish the
+            # PREVIOUS group's sweep while this one runs on device
+            with stage("align.tier3_dp"):
+                pend_g = self._tier3_dispatch_fused(gbatches)
+            if pending is not None:
+                self._tier3_finish_group(pending)
+            pending = (gbatches, pend_g)
+            batches.extend(gbatches)
+        if pending is not None:
+            self._tier3_finish_group(pending)
+        return self._call(batches)
+
+    # ------------------------------------------------------------------
+    def _fetch_seed_results(self, seeded: list) -> list[dict]:
+        """One transfer per FIELD across the given batches (device-side
+        concat): the link pays ~5-9ms fixed per array, so per-batch
+        per-field copies cost ~1s of pure latency at 17 batches.  cells
+        are pre-trimmed to the actual cell count (a tiny count fetch
+        first): the bucket-sized buffer is ~1 MB per batch while typical
+        runs fill a quarter of it."""
+        import jax
+        import jax.numpy as jnp
+
+        clfs = [s[6] for s in seeded]
+        counts = jax.device_get(jnp.stack([c["cell_count"] for c in clfs]))
+        clfs = [dict(c) for c in clfs]
+        for c, n in zip(clfs, counts):
+            cap = c["cells"].shape[0]
+            trim = min(cap, (int(n) + 1023) & ~1023)
+            c["cells"] = c["cells"][:trim]
+        keys = list(clfs[0].keys())
+        sizes = {
+            k: [(c[k].shape[0] if c[k].ndim else 1) for c in clfs]
+            for k in keys
+        }
+        cat = jax.device_get({
+            k: jnp.concatenate(
+                [jnp.atleast_1d(c[k]) for c in clfs], axis=0
+            )
+            for k in keys
+        })
+        fetched = []
+        pos = {k: 0 for k in keys}
+        for bi in range(len(clfs)):
+            d = {}
+            for k in keys:
+                w = sizes[k][bi]
+                v = cat[k][pos[k] : pos[k] + w]
+                pos[k] += w
+                d[k] = v[0] if clfs[bi][k].ndim == 0 else v
+            fetched.append(d)
+        return fetched
+
+    def _classify_one(self, s, clf) -> "_BatchState":
+        """Classification runs ON DEVICE (kernels/seeding
+        .classify_candidates) so the link carries only ~14 bytes per read;
+        rare cell overflows re-classify with the full-cap program."""
         import jax
 
-        with stage("align.seed_fetch"):
-            # one transfer per FIELD across all batches (device-side
-            # concat): the link pays ~5-9ms fixed per array, so per-batch
-            # per-field copies cost ~1s of pure latency at 17 batches.
-            # cells are pre-trimmed to the actual cell count (a tiny
-            # count fetch first): the bucket-sized buffer is ~1 MB per
-            # batch while typical runs fill a quarter of it
-            import jax.numpy as jnp
-
-            clfs = [s[6] for s in seeded]
-            counts = jax.device_get(
-                jnp.stack([c["cell_count"] for c in clfs])
-            )
-            clfs = [dict(c) for c in clfs]
-            for c, n in zip(clfs, counts):
-                cap = c["cells"].shape[0]
-                trim = min(cap, (int(n) + 1023) & ~1023)
-                c["cells"] = c["cells"][:trim]
-            keys = list(clfs[0].keys())
-            sizes = {
-                k: [(c[k].shape[0] if c[k].ndim else 1) for c in clfs]
-                for k in keys
-            }
-            cat = jax.device_get({
-                k: jnp.concatenate(
-                    [jnp.atleast_1d(c[k]) for c in clfs], axis=0
+        cap = s[6]["cells"].shape[0]
+        if int(clf["cell_count"]) > cap:
+            clf = jax.device_get(
+                self._dispatch_classify(
+                    s[5], s[4], cap=cap * s[5]["pred_start"].shape[1]
                 )
-                for k in keys
-            })
-            fetched = []
-            pos = {k: 0 for k in keys}
-            for bi in range(len(clfs)):
-                d = {}
-                for k in keys:
-                    w = sizes[k][bi]
-                    v = cat[k][pos[k] : pos[k] + w]
-                    pos[k] += w
-                    d[k] = v[0] if clfs[bi][k].ndim == 0 else v
-                fetched.append(d)
-        with stage("align.classify"):
-            batches = []
-            for s, clf in zip(seeded, fetched):
-                cap = s[6]["cells"].shape[0]
-                if int(clf["cell_count"]) > cap:
-                    # rare overflow: re-classify with the full-cap program
-                    clf = jax.device_get(
-                        self._dispatch_classify(
-                            s[5], s[4], cap=cap * s[5]["pred_start"].shape[1]
-                        )
-                    )
-                batches.append(self._classify_batch(*s[:6], clf))
-        for st, (a, _b) in zip(batches, spans):
-            st.read0 = a
-        # one DP sweep over all batches' fallback candidates (a per-batch
-        # sweep would pay the fixed-row DP kernel once per batch for a
-        # handful of jobs each); inputs are gathered on device from the
-        # already-uploaded packed reads + genome (no qc/sc host packing)
+            )
+        return self._classify_batch(*s[:6], clf)
+
+    def _tier3_finish_group(self, pending) -> None:
+        """Fetch + decode a group's tier-3 sweep and run final selection
+        for its batches."""
+        gbatches, pend_g = pending
         with stage("align.tier3_dp"):
-            dp_store = self._tier3_run_fused(batches)
+            dp_store = self._tier3_finish_fused(pend_g)
         with stage("align.select_final"):
             j0 = 0
-            for st in batches:
+            for st in gbatches:
                 j0 = self._select_batch(st, dp_store, j0)
-        return self._call(batches)
 
     # ------------------------------------------------------------------
     def _prepare_tier3_arrays(self, bigpq, lengths_dev):
@@ -374,15 +403,15 @@ class AlignCallPipeline:
         return bigpq, lengths_dev
 
     # ------------------------------------------------------------------
-    def _tier3_run_fused(self, batches: list[_BatchState]) -> dict | None:
-        """Tier-3 DP over every batch's fallback candidates with inputs
-        gathered ON DEVICE (kernels/pairwise.dp_gather_inputs) from the
-        per-batch packed-read uploads concatenated into one run-wide
-        matrix.  Host-side job state is ~20 bytes per job; query codes
-        rematerialize host-side only for accepted gapped rows (left-align
-        needs them).  Results land in a flat store (arrays + cigar dict)
-        consumed by the array-native selection (_select_batch); no
-        per-job candidate objects exist."""
+    def _tier3_dispatch_fused(self, batches: list[_BatchState]):
+        """Launch tier-3 DP over the given batches' fallback candidates
+        with inputs gathered ON DEVICE (kernels/pairwise.dp_gather_inputs)
+        from the per-batch packed-read uploads concatenated into one
+        group-wide matrix.  Host-side job state is ~20 bytes per job;
+        query codes rematerialize host-side only for la_fallback rows.
+        Returns a launch handle for _tier3_finish_fused, whose store
+        (arrays + cigar dict) feeds the array-native selection
+        (_select_batch); no per-job candidate objects exist."""
         import jax
 
         from ..kernels.shear_pileup import concat_reads
@@ -418,32 +447,19 @@ class AlignCallPipeline:
         bi_all = np.concatenate(bi_l)
         row_local = np.concatenate([m["row"] for m in metas if m])
 
-        rev_cache: dict[int, np.ndarray] = {}
-
         def qget(i: int) -> np.ndarray:
-            bi = int(bi_all[i])
-            st = batches[bi]
+            # only la_fallback rows reach here since the device left-align
+            # (a handful per run) — per-row reversal beats building a
+            # whole-batch revcomp matrix for them
+            st = batches[int(bi_all[i])]
             r = int(row_local[i])
             ql = int(qlen[i])
+            row = st.fwd_mat[r, :ql]
             if not strand[i]:
-                return st.fwd_mat[r, :ql]
-            rm = rev_cache.get(bi)
-            if rm is None:
-                # one vectorized revcomp matrix per batch beats ~100k
-                # per-row reversals (accepted gapped rows re-read here)
-                fm = st.fwd_mat
-                Lpb = fm.shape[1]
-                ridx = (
-                    st.lengths[:, None].astype(np.int64)
-                    - 1
-                    - np.arange(Lpb)[None, :]
-                )
-                g = np.take_along_axis(fm, np.clip(ridx, 0, Lpb - 1), axis=1)
-                rm = np.where(
-                    ridx >= 0, np.where(g < 4, 3 - g, g), np.int8(4)
-                ).astype(np.int8)
-                rev_cache[bi] = rm
-            return rm[r, :ql]
+                return row
+            from ..core.sequences import reverse_complement_codes
+
+            return reverse_complement_codes(row)
 
         store = {
             "acc": np.zeros(n_jobs, bool),
@@ -462,11 +478,19 @@ class AlignCallPipeline:
             "bi": bi_all,
         }
 
-        self.aligner._tier3_run_dev(
-            None, rows, strand, qlen, firsts, lasts, bigpq, lengths_dev,
-            qget, sink=store,
+        pend = self.aligner._tier3_dispatch_dev(
+            rows, strand, qlen, firsts, lasts, bigpq, lengths_dev
         )
-        return store
+        return {"pend": pend, "store": store, "qget": qget}
+
+    def _tier3_finish_fused(self, launched) -> dict | None:
+        """Fetch + decode a _tier3_dispatch_fused launch into its store."""
+        if launched is None:
+            return None
+        self.aligner._tier3_finish_dev(
+            launched["pend"], None, launched["qget"], sink=launched["store"]
+        )
+        return launched["store"]
 
     # ------------------------------------------------------------------
     def _select_batch(self, st: _BatchState, dp_store: dict | None,
