@@ -338,15 +338,18 @@ class MinimizerTable:
             if U == 0 or slot.max() < W:
                 break
             NB *= 2  # a bucket overflowed (skewed hashes); re-spread
-        # ONE combined (NB, 4W) row per bucket — cols [hi | lo | row | cnt]
-        # — so a query is a single row gather (gather cost on this chip is
-        # per ROW: four separate (NB, W) tables quadrupled it).  The entry
-        # lists the kernel can consume (<= SEED_HITS_PER_KMER) live as one
-        # aligned (U, SEED_HITS_PER_KMER) row per code, gathered by the
-        # code's row index; b_cnt keeps the TRUE count for hit weighting.
+        # ONE combined (NB, 4W + W*KH) row per bucket — cols [hi | lo |
+        # row | cnt | entries] — so a query is a SINGLE row gather (gather
+        # cost on this chip is per ROW: four separate (NB, W) tables
+        # quadrupled it, and the former separate (U, KH) entry-row table
+        # cost a second dependent row gather per minimizer, ~25ms per 32k
+        # batch).  Slot w's <= KH entries live at [4W + w*KH, ...); the
+        # kernel selects the matching slot's block with the same match
+        # mask it uses for row/cnt.  b_cnt keeps the TRUE count for hit
+        # weighting.
         from ..kernels.seeding import SEED_HITS_PER_KMER as KH
 
-        b_all = np.zeros((NB, 4 * W), np.int32)
+        b_all = np.zeros((NB, 4 * W + W * KH), np.int32)
         b_all[:, :W] = -1
         b_all[:, W : 2 * W] = -1
         counts = np.diff(self.row_offsets)
@@ -358,21 +361,21 @@ class MinimizerTable:
         entries = (
             self.entry_pos | (self.entry_strand.astype(np.int64) << 31)
         ).astype(np.uint32).view(np.int32)
-        ep4 = np.zeros((max(U, 1), KH), np.int32)
         if U:
-            take = np.minimum(counts, KH)
-            rows = np.repeat(np.arange(U, dtype=np.int64), take)
+            take = np.minimum(counts, KH)[order]
+            rows = np.repeat(bs, take)
+            base = 4 * W + slot * KH
             cols = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
                 np.concatenate([[0], np.cumsum(take)[:-1]]), take
             )
-            src = np.repeat(self.row_offsets[:-1], take) + cols
-            ep4[rows, cols] = entries[src]
+            src = np.repeat(self.row_offsets[:-1][order], take) + cols
+            b_all[rows, np.repeat(base, take) + cols] = entries[src]
         return (
             jnp.asarray(b_all),
             jnp.zeros(0, jnp.int32),
             jnp.zeros(0, jnp.int32),
             jnp.zeros(0, jnp.int32),
-            jnp.asarray(ep4),
+            jnp.zeros((0, KH), jnp.int32),
         )
 
     def save(self, path: str) -> None:

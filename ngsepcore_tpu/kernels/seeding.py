@@ -185,11 +185,23 @@ def seed_cluster_screen(
     # ---- stage 1: canonical minimizer selection (int32-native) ---------
     khi, klo, kflag, valid = kmer_codes_canonical_2x32(codes, lengths, k)
     sel = select_minimizers(minimizer_hash30(khi, klo), valid, window)
-    # compact selected positions to M slots (position order preserved)
-    nk = sel.shape[1]
-    pos = jnp.arange(nk, dtype=jnp.int32)[None, :]
-    _, seli = jax.lax.top_k(jnp.where(sel, (1 << 24) - pos, 0), M)  # (B, M)
-    msel = jnp.take_along_axis(sel, seli, axis=1)
+    # compact selected positions to M slots (position order preserved):
+    # M masked argmaxes over the selection ranks — top_k here lowered to a
+    # full sorting network (~22ms per 32k batch for a 16-slot compaction)
+    rank = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
+    seli = jnp.stack(
+        [
+            jnp.argmax(sel & (rank == s), axis=1).astype(jnp.int32)
+            for s in range(M)
+        ],
+        axis=1,
+    )  # (B, M)
+    # slots past the selected count point at argmax's fallback index 0 —
+    # mask them (take_along_axis(sel, 0) may be True and would duplicate)
+    n_sel = 1 + jnp.max(jnp.where(sel, rank, -1), axis=1)
+    msel = jnp.take_along_axis(sel, seli, axis=1) & (
+        jnp.arange(M, dtype=jnp.int32)[None, :] < n_sel[:, None]
+    )
     mhi = jnp.take_along_axis(khi, seli, axis=1)
     mlo = jnp.take_along_axis(klo, seli, axis=1)
     mflag = jnp.take_along_axis(kflag, seli, axis=1)
@@ -199,31 +211,43 @@ def seed_cluster_screen(
     qhash = lookup_hash32(mhi, mlo)
     if hash_keys.ndim == 2:
         # bucketized layout (MinimizerTable._build_bucketized): ONE row
-        # gather of a combined [hi | lo | code-row | cnt] bucket row (row
-        # gathers on this chip cost per row, so one 4W-lane gather beats
-        # four W-lane ones 4x), exact compare, then one aligned row gather
-        # of the code's (K,) entry row — no element-granular gathers at all
+        # gather of a combined [hi | lo | code-row | cnt | entries] bucket
+        # row (row gathers on this chip cost per row, so one wide gather
+        # beats several narrow ones), exact compare, then the matching
+        # slot's inlined entry block selected with the same match mask —
+        # no second dependent row gather, no element-granular gathers
         b_all, ep4 = hash_keys, entry_packed
-        W = b_all.shape[1] // 4
-        assert K <= ep4.shape[1]
+        inline = ep4.shape[0] == 0
+        W = (
+            b_all.shape[1] // (4 + SEED_HITS_PER_KMER)
+            if inline
+            else b_all.shape[1] // 4
+        )
         NB = b_all.shape[0]
         bidx = (qhash & jnp.uint32(NB - 1)).astype(jnp.int32)
-        rows = b_all[bidx]  # (B, M, 4W)
+        rows = b_all[bidx]  # (B, M, 4W [+ W*KH])
         match = (rows[..., :W] == mhi[..., None]) & (
             rows[..., W : 2 * W] == mlo[..., None]
         )
         found = msel & match.any(-1)
         mi = match.astype(jnp.int32)
-        crow = jnp.where(
-            found, jnp.sum(rows[..., 2 * W : 3 * W] * mi, axis=-1), 0
-        )
         cnt = jnp.where(
-            found, jnp.sum(rows[..., 3 * W :] * mi, axis=-1), 0
+            found, jnp.sum(rows[..., 3 * W : 4 * W] * mi, axis=-1), 0
         )
         cnt = jnp.minimum(cnt, K)
         kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
         hit_valid = kk < cnt[..., None]
-        entry = jnp.where(hit_valid, ep4[crow][..., :K], 0)
+        if inline:
+            KH = SEED_HITS_PER_KMER
+            ent = rows[..., 4 * W :].reshape(rows.shape[:-1] + (W, KH))
+            entry = jnp.sum(ent[..., :K] * mi[..., None], axis=-2)
+        else:
+            crow = jnp.where(
+                found, jnp.sum(rows[..., 2 * W : 3 * W] * mi, axis=-1), 0
+            )
+            assert K <= ep4.shape[1]
+            entry = ep4[crow][..., :K]
+        entry = jnp.where(hit_valid, entry, 0)
     else:
         U = hash_keys.shape[0]
         r = jnp.clip(jnp.searchsorted(hash_keys, qhash), 0, max(U - 1, 0))
@@ -282,20 +306,38 @@ def seed_cluster_screen(
     is_end = valid2 & (next_start | ~jnp.concatenate(
         [valid2[:, 1:], jnp.zeros((B, 1), bool)], 1
     ))
-    # segmented sums over contiguous runs via cumsum differences
+    # segmented sums over contiguous runs via cumsum differences.  The
+    # run-start value of the (nondecreasing) exclusive cumsum propagates
+    # with a cummax instead of a (B, H) minor-axis gather — element
+    # gathers on this chip cost ~12ns each, and three full-width
+    # take_along_axis here were ~70ms of a 190ms kernel
     di = distinct.astype(jnp.int32)
     cs = jnp.cumsum(di, axis=1)
-    cs_excl_at_start = jnp.take_along_axis(cs - di, start_idx, axis=1)
+    cs_excl_at_start = jax.lax.cummax(
+        jnp.where(run_start, cs - di, -1), axis=1
+    )
     seg_weight = cs - cs_excl_at_start
     weights_slot = jnp.where(is_end, seg_weight, 0)  # distinct qpos per cluster
     nh_slot = jnp.where(is_end, pos_idx - start_idx + 1, 0)
-    pred_slot = jnp.take_along_axis(est2, start_idx, axis=1)
-    strand_slot = jnp.take_along_axis(str2, start_idx, axis=1)
 
-    w_top, slot = jax.lax.top_k(weights_slot, C)  # (B, C) best clusters
+    # top-C clusters by weight: C masked argmax rounds (lax.top_k lowers
+    # to a sorting network), then per-slot lookups only for the winners
+    w_rem = weights_slot
+    slots = []
+    ws = []
+    for _ in range(C):
+        s = jnp.argmax(w_rem, axis=1).astype(jnp.int32)
+        slots.append(s)
+        ws.append(jnp.take_along_axis(w_rem, s[:, None], axis=1)[:, 0])
+        w_rem = w_rem * (
+            jnp.arange(H, dtype=jnp.int32)[None, :] != s[:, None]
+        )
+    slot = jnp.stack(slots, axis=1)  # (B, C)
+    w_top = jnp.stack(ws, axis=1)
     nh = jnp.take_along_axis(nh_slot, slot, axis=1)
-    pred = jnp.take_along_axis(pred_slot, slot, axis=1)
-    strand = jnp.take_along_axis(strand_slot, slot, axis=1)
+    sidx = jnp.take_along_axis(start_idx, slot, axis=1)  # run start of winner
+    pred = jnp.take_along_axis(est2, sidx, axis=1)
+    strand = jnp.take_along_axis(str2, sidx, axis=1)
     pred = jnp.where(w_top > 0, pred, BIG32)
     strand = jnp.clip(strand, 0, 1)
 
@@ -315,10 +357,15 @@ def seed_cluster_screen(
     qn2 = jnp.where(rev, qr_n2[:, None, :], q_n2[:, None, :])
     x = q_words ^ s_words
     mism_bits = ((x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)) | s_n2 | qn2
-    # expand bit 2j of each word to a (B, C, L) bool mismatch mask
-    jsh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, None, :]
-    m = ((mism_bits[..., None] >> jsh) & jnp.uint32(1)).astype(bool)
-    m = m.reshape(B, C, L)
+    # expand bit 2j of each word to a (B, C, L) bool mismatch mask.  The
+    # word axis expands via repeat so L stays the MINOR axis — the former
+    # (..., Wr, 16) layout put a 16-wide minor dim on every intermediate,
+    # which pads to the 128-lane tile (8x wasted VPU work and HBM)
+    jsh_l = (2 * (jnp.arange(L, dtype=jnp.uint32) % 16))[None, None, :]
+    m = (
+        (jnp.repeat(mism_bits, 16, axis=-1)[..., :L] >> jsh_l)
+        & jnp.uint32(1)
+    ).astype(bool)
     # out-of-genome placements mismatch everywhere (old semantics: subj = N)
     offs = jnp.arange(L, dtype=jnp.int32)[None, None, :]
     gpos = pred_c[..., None] + offs
