@@ -333,20 +333,13 @@ class AlignCallPipeline:
     def _fetch_seed_results(self, seeded: list) -> list[dict]:
         """One transfer per FIELD across the given batches (device-side
         concat): the link pays ~5-9ms fixed per array, so per-batch
-        per-field copies cost ~1s of pure latency at 17 batches.  cells
-        are pre-trimmed to the actual cell count (a tiny count fetch
-        first): the bucket-sized buffer is ~1 MB per batch while typical
-        runs fill a quarter of it."""
+        per-field copies cost ~1s of pure latency at 17 batches.  Host
+        cells come back as dense lanes + mask (no device compaction, no
+        cell-count prefetch round trip)."""
         import jax
         import jax.numpy as jnp
 
-        clfs = [s[6] for s in seeded]
-        counts = jax.device_get(jnp.stack([c["cell_count"] for c in clfs]))
-        clfs = [dict(c) for c in clfs]
-        for c, n in zip(clfs, counts):
-            cap = c["cells"].shape[0]
-            trim = min(cap, (int(n) + 1023) & ~1023)
-            c["cells"] = c["cells"][:trim]
+        clfs = [dict(s[6]) for s in seeded]
         keys = list(clfs[0].keys())
         sizes = {
             k: [(c[k].shape[0] if c[k].ndim else 1) for c in clfs]
@@ -372,17 +365,8 @@ class AlignCallPipeline:
 
     def _classify_one(self, s, clf) -> "_BatchState":
         """Classification runs ON DEVICE (kernels/seeding
-        .classify_candidates) so the link carries only ~14 bytes per read;
-        rare cell overflows re-classify with the full-cap program."""
-        import jax
-
-        cap = s[6]["cells"].shape[0]
-        if int(clf["cell_count"]) > cap:
-            clf = jax.device_get(
-                self._dispatch_classify(
-                    s[5], s[4], cap=cap * s[5]["pred_start"].shape[1]
-                )
-            )
+        .classify_candidates); the link carries dense per-candidate lanes
+        the host compacts."""
         return self._classify_batch(*s[:6], clf)
 
     def _tier3_finish_group(self, pending) -> None:
@@ -741,7 +725,7 @@ class AlignCallPipeline:
         return jax.device_put(x)
 
     # ------------------------------------------------------------------
-    def _dispatch_classify(self, res_dev, lengths32, cap: int):
+    def _dispatch_classify(self, res_dev, lengths32):
         """Launch the on-device candidate classifier for one seeded batch
         (kernels/seeding.classify_candidates)."""
         import jax.numpy as jnp
@@ -765,7 +749,7 @@ class AlignCallPipeline:
             res_dev["mismatches"], res_dev["clip_start"], res_dev["clip_end"],
             lengths32,
             offs32, ivl, ivh, np.int32(self.detector.min_mq),
-            cap=cap, has_strs=len(self._str_iv_lo) > 0,
+            has_strs=len(self._str_iv_lo) > 0,
         )
 
     # ------------------------------------------------------------------
@@ -820,7 +804,7 @@ class AlignCallPipeline:
                 const_len=cl,
                 genome_has_n=self.genome.has_n,
             )
-            clf = self._dispatch_classify(res, lengths32, cap=bucket)
+            clf = self._dispatch_classify(res, lengths32)
             return reads, fwd_mat, lengths_h, pq_dev, lengths32, res, clf
         pad_blk = [np.empty(0, np.int8)] * (bucket - B)
         fwd_mat, lengths_h, _ = pack_reads(
@@ -872,7 +856,7 @@ class AlignCallPipeline:
             const_len=cl,
             genome_has_n=self.genome.has_n,
         )
-        clf = self._dispatch_classify(res, lengths32, cap=bucket)
+        clf = self._dispatch_classify(res, lengths32)
         return reads, fwd_mat, lengths_h, pq_dev, lengths32, res, clf
 
     # ------------------------------------------------------------------
@@ -896,21 +880,25 @@ class AlignCallPipeline:
         al.few_mismatches_alns += int(clf["fused_count"])
         al.aligned_reads += int(clf["fused_count"])
 
-        n_cells = int(clf["cell_count"])
-        cells = np.asarray(clf["cells"])[:n_cells]
+        # compact the dense cell lanes host-side (row-major order kept)
+        C = clf["cell_mask"].shape[0] // clf["fused"].shape[0]
+        sel = np.nonzero(np.asarray(clf["cell_mask"]))[0]
+        n_cells = len(sel)
         cand_t2: list[_Candidate] = []
         t1_cells = None
         dp_meta = None
         if n_cells:
-            ridx_a = cells[:, 0]
-            pred_a = cells[:, 1].astype(np.int64)
-            w_a = cells[:, 2] & 0xFFFF
-            col_a = (cells[:, 2] >> 16) & 15
-            t1_a = ((cells[:, 2] >> 20) & 1).astype(bool)
-            strand_a = (cells[:, 2] >> 21) & 1
-            mm_a = cells[:, 3] & 0x3FF
-            cs_a = (cells[:, 3] >> 10) & 0x3FF
-            ce_a = (cells[:, 3] >> 20) & 0x3FF
+            l2 = np.asarray(clf["cell_l2"])[sel]
+            l3 = np.asarray(clf["cell_l3"])[sel]
+            ridx_a = (sel // C).astype(np.int64)
+            pred_a = np.asarray(clf["cell_pred"])[sel].astype(np.int64)
+            w_a = l2 & 0xFFFF
+            col_a = (l2 >> 16) & 15
+            t1_a = ((l2 >> 20) & 1).astype(bool)
+            strand_a = (l2 >> 21) & 1
+            mm_a = l3 & 0x3FF
+            cs_a = (l3 >> 10) & 0x3FF
+            ce_a = (l3 >> 20) & 0x3FF
             si_a = np.clip(
                 np.searchsorted(offs, pred_a, side="right") - 1,
                 0,

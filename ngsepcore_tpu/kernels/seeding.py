@@ -386,7 +386,7 @@ def seed_cluster_screen(
     }
 
 
-@partial(jax.jit, static_argnames=("cap", "has_strs"))
+@partial(jax.jit, static_argnames=("has_strs",))
 def classify_candidates(
     pred: jnp.ndarray,  # (B, C) int32 predicted concat starts (BIG32 = none)
     weight: jnp.ndarray,  # (B, C) int32
@@ -400,7 +400,6 @@ def classify_candidates(
     iv_hi: jnp.ndarray,
     min_mq: jnp.ndarray,  # () int32
     *,
-    cap: int,
     has_strs: bool,
 ):
     """Device-side mirror of the fused pipeline's candidate classification
@@ -417,8 +416,8 @@ def classify_candidates(
     (SingleReadsAligner.filterAlignments:118-143).
 
     Returns fused/resolved-drop flags, the selected column's placement for
-    every row, compacted host cells [(row, pred, w|c|t1|strand, mm|cs|ce)]
-    with their count, and the two alignment counters."""
+    every row, DENSE host-cell lanes (pred, w|c|t1|strand, mm|cs|ce) with
+    a (B*C,) mask the host compacts, and the two alignment counters."""
     B, C = pred.shape
     qlen = lengths[:, None]
     valid_c = (weight > 0) & (pred < (1 << 29)) & (pred >= 0)
@@ -495,14 +494,13 @@ def classify_candidates(
         | (jnp.clip(take(ce), 0, 0x3FF) << 21)
     )
 
-    # ---- host-cell compaction (row-major order preserved) -------------
+    # ---- host cells: DENSE lanes + mask (host compacts) ----------------
+    # the former on-device compaction was a (B*C, 4) scatter — TPU
+    # scatters serialize (~36M lanes/s), ~15ms of a 38ms kernel — and
+    # forced a separate cell-count prefetch plus an overflow re-dispatch
+    # path; np.nonzero over 131k mask bytes costs ~1ms on host
     hostrow = jnp.any(keep, axis=1) & ~fused & ~resolved_drop
     cell = hostrow[:, None] & keep & in_b
-    cf = cell.reshape(-1)
-    dst = jnp.cumsum(cf.astype(jnp.int32)) - 1
-    cell_count = dst[-1] + 1
-    dst = jnp.where(cf, dst, cap)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     lane2 = (
         jnp.clip(w, 0, 0xFFFF)
@@ -515,24 +513,16 @@ def classify_candidates(
         | (jnp.clip(cs, 0, 0x3FF) << 10)
         | (jnp.clip(ce, 0, 0x3FF) << 20)
     )
-    lanes = jnp.stack(
-        [
-            rows.reshape(-1),
-            pred.reshape(-1),
-            lane2.reshape(-1),
-            lane3.reshape(-1),
-        ],
-        axis=-1,
-    )
-    cells = jnp.zeros((cap, 4), jnp.int32).at[dst].set(lanes, mode="drop")
     return {
         # int8, not bool: bool device->host copies are ~20x slower on the
         # link tunnel (see kernels/pairwise.dp_stats_pack)
         "fused": fused.astype(jnp.int8),
         "sel_pred": sel_pred,
         "sel_ab": sel_ab,
-        "cells": cells,
-        "cell_count": cell_count,
+        "cell_mask": cell.reshape(-1).astype(jnp.int8),
+        "cell_pred": pred.reshape(-1),
+        "cell_l2": lane2.reshape(-1),
+        "cell_l3": lane3.reshape(-1),
         "aligned_extra": aligned_extra,
         "fused_count": fused_count,
     }

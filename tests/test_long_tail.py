@@ -105,8 +105,8 @@ def test_gbs_coordinate_translation():
     aln = ReadAlignment(
         "chr2", 5000, [(80, "M")], read_chars="A" * 80, read_name="Cluster_1"
     )
-    out, missed = translate_records([rec], {"Cluster_1": aln})
-    assert missed == 0
+    out, stats = translate_records([rec], {"Cluster_1": aln})
+    assert stats.untranslated == 0 and stats.translated == 1
     assert out[0].variant.sequence_name == "chr2"
     assert out[0].variant.first == 5009  # 5000 + (10-1)
 
