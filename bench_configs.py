@@ -133,6 +133,95 @@ def bench_multisample(genome_codes) -> dict:
     }
 
 
+def bench_long_reads(genome_codes) -> dict:
+    """Long-read alignment at scale (PACBIO error profile): 600 x 10 kb
+    reads (~2 Mbp queried) against a 4 Mbp reference."""
+    from ngsepcore_tpu.align.long_reads import LongReadsAligner
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.core.sequences import (
+        QualifiedSequence,
+        QualifiedSequenceList,
+    )
+    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+
+    L = 4_000_000
+    seqs = QualifiedSequenceList()
+    seqs.add(QualifiedSequence(name="chr1", codes=genome_codes[:L].copy()))
+    genome = ReferenceGenome(seqs)
+    sim = SingleReadsSimulator(
+        genome, read_length=10_000, substitution_error_rate=0.01,
+        indel_error_rate=0.01, seed=77,
+    )
+    reads = sim.simulate(600)
+    aligner = LongReadsAligner(genome)
+
+    def run():
+        al = LongReadsAligner(genome, table=aligner.table)
+        alns = []
+        for i in range(0, len(reads), 128):
+            for group in al.align_batch(reads[i : i + 128]):
+                alns.extend(group)
+        return al, alns
+
+    t0 = time.time()
+    run()
+    warm = time.time() - t0
+    t0 = time.time()
+    al, alns = run()
+    dt = time.time() - t0
+    bases = sum(len(r.codes) for r in reads)
+    return {
+        "config": "long reads: 600 x 10 kb PACBIO (1%% sub + 1%% indel) vs 4 Mbp",
+        "wall_s": round(dt, 2),
+        "warmup_s": round(warm, 2),
+        "reads_per_s": round(len(reads) / dt, 1),
+        "query_mbp_per_s": round(bases / dt / 1e6, 2),
+        "aligned_frac": round(al.aligned_reads / max(al.total_reads, 1), 4),
+    }
+
+
+def bench_assembler(genome_codes) -> dict:
+    """OLC assembly at scale: 60x of 2.5 kb reads over 300 kb, with
+    polishing; reports genome bases assembled per second and N50."""
+    from ngsepcore_tpu.assembly.assembler import Assembler, n_statistics
+    from ngsepcore_tpu.core.sequences import reverse_complement_codes
+
+    rng = np.random.default_rng(31)
+    L = 120_000
+    g = genome_codes[:L]
+    n, rl = L * 40 // 2500, 2500
+    reads = []
+    starts = rng.integers(0, L - rl, size=n)
+    flips = rng.random(n) < 0.5
+    for s, f in zip(starts, flips):
+        codes = g[s : s + rl].copy()
+        errs = rng.random(rl) < 0.01
+        idx = np.nonzero(errs)[0]
+        codes[idx] = (codes[idx] + rng.integers(1, 4, size=len(idx)).astype(np.int8)) % 4
+        reads.append(reverse_complement_codes(codes) if f else codes)
+
+    def run():
+        return Assembler().assemble(reads)
+
+    t0 = time.time()
+    run()
+    warm = time.time() - t0
+    t0 = time.time()
+    contigs = run()
+    dt = time.time() - t0
+    lens = [len(c) for c in contigs]
+    n50 = n_statistics(lens).get("N50", 0) if lens else 0
+    return {
+        "config": "assembler: 40x of 2.5 kb reads (1%% error), 120 kb genome, 1 polish round",
+        "wall_s": round(dt, 2),
+        "warmup_s": round(warm, 2),
+        "genome_bases_per_s": round(L / dt, 0),
+        "n_contigs": len(lens),
+        "n50": int(n50),
+        "longest_frac": round(max(lens) / L, 3) if lens else 0.0,
+    }
+
+
 def main() -> None:
     from ngsepcore_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -143,7 +232,9 @@ def main() -> None:
 
     genome, _, _, *_ = bench.load_or_simulate()
     for fn in (lambda: bench_kmers(genome),
-               lambda: bench_multisample(genome.sequences[0].codes)):
+               lambda: bench_multisample(genome.sequences[0].codes),
+               lambda: bench_long_reads(genome.sequences[0].codes),
+               lambda: bench_assembler(genome.sequences[0].codes)):
         print(json.dumps(fn()), flush=True)
 
 
