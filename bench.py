@@ -71,8 +71,9 @@ SIM_VERSION = 4  # bump to invalidate .bench_cache (v4: cache preserves
 # sit at measured-minus-margin to catch regressions without gating on
 # coverage statistics.
 MIN_PRECISION = 0.90
-MIN_RECALL_UNIQUE = 0.82
-MIN_INDEL_RECALL_UNIQUE = 0.75
+MIN_RECALL_UNIQUE = 0.85  # measured 0.8692 (r4) minus 2 pts
+MIN_INDEL_RECALL_UNIQUE = 0.81  # measured 0.8338 (r4) minus ~2 pts
+MIN_INDEL_RECALL_ALL = 0.79  # measured 0.8183 (r4) minus ~2 pts
 MIN_INDEL_PRECISION = 0.90
 
 # chip peak for the roofline columns: TPU v5e ~197 TFLOP/s bf16.
@@ -102,6 +103,53 @@ def measure_einsum_flops() -> float:
     jax.block_until_ready(r)
     dt = (time.time() - t0) / 10
     return 2.0 * W * 128 * 16 / dt
+
+
+def measure_dp_cell_rate() -> float:
+    """MEASURED throughput of the tier-3 Gotoh kernel (forward scan +
+    run-jump traceback + stats, kernels/pairwise) at its real bench shape
+    (2048-row chunks, Lq=160, Ls=256 — the shapes _tier3_dispatch_dev
+    launches on this workload).  Earlier rounds divided total DP cells by
+    WHOLE-RUN wall clock, which mixed every other stage into the "kernel"
+    rate; this measures the kernel itself, end to end, including the
+    result fetch of one chunk's stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngsepcore_tpu.kernels.pairwise import (
+        affine_gap_align_runs,
+        dp_stats_runs,
+    )
+
+    rng = np.random.default_rng(0)
+    B, Lq, Ls = 2048, 160, 256
+    q = rng.integers(0, 4, (B, Lq), dtype=np.int8)
+    s = rng.integers(0, 4, (B, Ls), dtype=np.int8)
+    s[:, 40 : 40 + Lq] = np.where(
+        rng.random((B, Lq)) < 0.02,
+        rng.integers(0, 4, (B, Lq), dtype=np.int8),
+        q,
+    )
+    ql = jnp.asarray(np.full(B, 150, np.int32))
+    sl = jnp.asarray(np.full(B, 250, np.int32))
+    qj, sj = jnp.asarray(q), jnp.asarray(s)
+
+    f = jax.jit(
+        lambda a, b, c, d: dp_stats_runs(
+            affine_gap_align_runs(a, b, c, d, free_start2=True, free_end2=True),
+            a,
+            c,
+        )
+    )
+    out = f(qj, ql, sj, sl)
+    jax.device_get(out["mism"])
+    t0 = time.time()
+    n = 10
+    for _ in range(n):
+        out = f(qj, ql, sj, sl)
+    jax.device_get(out["mism"])
+    dt = (time.time() - t0) / n
+    return B * 150 * 250 / dt
 
 
 def build_repeat_genome(rng: np.random.Generator, L: int):
@@ -303,6 +351,7 @@ def main() -> None:
     warmup_s = None
     bases = int(np.asarray(reads.lengths, dtype=np.int64).sum())
     einsum_rate: list[float] = []  # measured once, after the warmup run
+    dp_rate: list[float] = []  # measured once, after the warmup run
 
     def emit(records):
         nonlocal accuracy
@@ -319,6 +368,8 @@ def main() -> None:
         dp_cells = getattr(aligner, "dp_cells", 0)
         if not einsum_rate:
             einsum_rate.append(measure_einsum_flops())
+        if not dp_rate:
+            dp_rate.append(measure_dp_cell_rate())
         result = {
             "metric": "yeast-scale WGS reads aligned+genotyped/s/chip",
             "value": round(rps, 1),
@@ -340,7 +391,12 @@ def main() -> None:
                 "accuracy_gates_passed": not gates,
                 **accuracy["metrics"],
                 "pileup_lanes_per_s": round(bases / best, 0),
-                "dp_cell_updates_per_s": round(dp_cells / best, 0),
+                # measured kernel rate at the real bench shape (see
+                # measure_dp_cell_rate); the former definition
+                # dp_cells/best-run-wall is kept alongside for continuity
+                "dp_cell_updates_per_s": round(dp_rate[0], 0),
+                "dp_cells_total": int(dp_cells),
+                "dp_cells_per_wall_s": round(dp_cells / best, 0),
                 "einsum_flops_per_s": round(einsum_rate[0], 0),
                 "einsum_vs_chip_peak": round(
                     einsum_rate[0] / CHIP_PEAK_FLOPS, 6
@@ -427,6 +483,11 @@ def check_accuracy(records, truth_snv, truth_indel_pos, in_repeat):
         gates.append(
             f"indel recall (unique regions) collapsed: "
             f"{indel_recall_unique:.3f} < {MIN_INDEL_RECALL_UNIQUE}"
+        )
+    if indel_recall < MIN_INDEL_RECALL_ALL:
+        gates.append(
+            f"indel recall (all regions) collapsed: "
+            f"{indel_recall:.3f} < {MIN_INDEL_RECALL_ALL}"
         )
     if indel_precision < MIN_INDEL_PRECISION:
         gates.append(

@@ -171,7 +171,7 @@ def bench_long_reads(genome_codes) -> dict:
     dt = time.time() - t0
     bases = sum(len(r.codes) for r in reads)
     return {
-        "config": "long reads: 600 x 10 kb PACBIO (1%% sub + 1%% indel) vs 4 Mbp",
+        "config": "long reads: 600 x 10 kb PACBIO (1% sub + 1% indel) vs 4 Mbp",
         "wall_s": round(dt, 2),
         "warmup_s": round(warm, 2),
         "reads_per_s": round(len(reads) / dt, 1),
@@ -215,7 +215,7 @@ def bench_assembler(genome_codes) -> dict:
     lens = [len(c) for c in contigs]
     n50 = n_statistics(lens).get("N50", 0) if lens else 0
     return {
-        "config": "assembler: 15x of 2.5 kb reads (1%% error), 30 kb genome, 1 polish round",
+        "config": "assembler: 15x of 2.5 kb reads (1% error), 30 kb genome, 1 polish round",
         "wall_s": round(dt, 2),
         "warmup_s": round(warm, 2),
         "genome_bases_per_s": round(L / dt, 0),

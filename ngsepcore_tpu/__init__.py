@@ -38,9 +38,9 @@ _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles in this environment go over a
 # tunnel and cost minutes; caching them on disk makes repeat runs (tests,
-# bench, CLI invocations) start fast.  The directory is keyed by machine
-# fingerprint (utils/jaxcache.py) — XLA:CPU AOT results compiled on a
-# host with different CPU features SIGILL when loaded elsewhere.
+# bench, CLI invocations) start fast.  Accelerator backends only — CPU
+# runs never persist compilations because XLA:CPU AOT reloads trip the
+# loader's machine-feature check structurally (utils/jaxcache.py).
 _cache_dir = _os.environ.get(
     "NGSEP_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )

@@ -508,11 +508,8 @@ class ReadsAligner:
         pend = []
         for c0 in range(0, len(jobs), self.DP_ROWS):
             pend.append(self._tier3_dispatch(jobs[c0 : c0 + self.DP_ROWS], concat))
-        fetched = jax.device_get(
-            [{k: v for k, v in p[2].items() if k != "packed"} for p in pend]
-        )
+        fetched = jax.device_get([p[2] for p in pend])
         for (chunk, qc, stats), out in zip(pend, fetched):
-            out["packed_dev"] = stats["packed"]
             cands = [j[0] for j in chunk]
             qlens = np.fromiter((len(j[1]) for j in chunk), np.int64, len(chunk))
             firsts = np.fromiter((j[2] for j in chunk), np.int64, len(chunk))
@@ -607,7 +604,6 @@ class ReadsAligner:
                 c0 = ci * CH
                 c1 = min(n, c0 + CH)
                 out = {k: host[k][ci] for k in keys}
-                out["packed_dev"] = stats["packed"][ci]
                 self._tier3_decode_arrays(
                     cands[c0:c1] if cands is not None else None,
                     qlen[c0:c1].astype(np.int64),
@@ -638,7 +634,7 @@ class ReadsAligner:
         Subject rows pack through ONE strided gather over the concatenated
         genome (per-job slicing + pack_reads list plumbing was a visible
         host cost at ~200k jobs/run); query rows are direct row fills."""
-        from ..kernels.pairwise import dp_stats_pack
+        from ..kernels.pairwise import affine_gap_align_runs, dp_stats_runs
 
         n = len(jobs)
         max_q = max(len(j[1]) for j in jobs)
@@ -662,22 +658,22 @@ class ReadsAligner:
         sc[:n] = concat[idx]
         sc[:n][np.arange(Ls)[None, :] >= sl[:n, None]] = 4
         self.dp_cells += qc.shape[0] * qc.shape[1] * sc.shape[1]
-        out = affine_gap_align_batch(
+        out = affine_gap_align_runs(
             qc, ql, sc, sl, free_start2=True, free_end2=True
         )
-        stats = dp_stats_pack(
-            out["ops"], out["n_ops"], out["start_j"], out["score"], qc, sc
-        )
+        stats = dp_stats_runs(out, qc, sc)
         return jobs, None, stats
 
 
     @staticmethod
     def _rle_runs(out: dict, gsel, n_ops) -> dict:
-        """Per-row cigar run lists from the fetched device-side RLE; rows
-        overflowing RLE_MAX runs (none under the 10% mismatch accept)
-        re-fetch their packed ops individually."""
-        from ..kernels.pairwise import RLE_MAX
+        """Per-row cigar run lists from the fetched device-side RLE.
 
+        The run-jump traceback (kernels/pairwise.affine_gap_align_runs)
+        sizes its RLE slots to cover every row acceptable under the 10%
+        mismatch cap, and rows that exhausted the run budget carry a huge
+        mismatch count so they never reach the accepted set — the former
+        packed-ops overflow fetch is gone."""
         runs_by_row: dict[int, list] = {}
         if not len(gsel):
             return runs_by_row
@@ -686,41 +682,21 @@ class ReadsAligner:
         mid = "MID"
         for gi in gsel:
             nr = int(n_runs[gi])
-            if nr <= RLE_MAX:
-                row = rle[gi]
-                # device left-align can zero an M run between two gaps:
-                # drop empty runs and merge adjacent equal ops
-                runs: list[tuple[int, str]] = []
-                for u in range(nr):
-                    v = int(row[u])
-                    ln = v >> 2
-                    if ln == 0:
-                        continue
-                    op = mid[(v & 3) - 1]
-                    if runs and runs[-1][1] == op:
-                        runs[-1] = (runs[-1][0] + ln, op)
-                    else:
-                        runs.append((ln, op))
-                runs_by_row[gi] = runs
-            else:  # overflow: unpack the full ops row
-                import jax
-
-                prow = np.asarray(
-                    jax.device_get(out["packed_dev"][int(gi)])
-                )
-                sh = 2 * np.arange(16, dtype=np.uint32)
-                o = ((prow[:, None] >> sh[None, :]) & 3).ravel()[
-                    : int(n_ops[gi])
-                ]
-                b = np.flatnonzero(o[1:] != o[:-1]) + 1
-                bounds = np.concatenate([[0], b, [len(o)]])
-                runs_by_row[gi] = [
-                    (
-                        int(bounds[t + 1] - bounds[t]),
-                        mid[int(o[bounds[t]]) - 1],
-                    )
-                    for t in range(len(bounds) - 1)
-                ]
+            row = rle[gi]
+            # device left-align can zero an M run between two gaps:
+            # drop empty runs and merge adjacent equal ops
+            runs: list[tuple[int, str]] = []
+            for u in range(nr):
+                v = int(row[u])
+                ln = v >> 2
+                if ln == 0:
+                    continue
+                op = mid[(v & 3) - 1]
+                if runs and runs[-1][1] == op:
+                    runs[-1] = (runs[-1][0] + ln, op)
+                else:
+                    runs.append((ln, op))
+            runs_by_row[gi] = runs
         return runs_by_row
 
     def _tier3_decode_store(

@@ -61,9 +61,9 @@ def make_sharded_dp_run_all(mesh: Mesh):
     all-gathers the whole matrix once per chunk under GSPMD (measured 4x
     tier-3 time at 4 virtual devices, and the n=8 rendezvous abort)."""
     from ..kernels.pairwise import (
-        affine_gap_align_batch,
+        affine_gap_align_runs,
         dp_gather_inputs,
-        dp_stats_pack,
+        dp_stats_runs,
     )
 
     D = mesh.devices.size
@@ -91,13 +91,10 @@ def make_sharded_dp_run_all(mesh: Mesh):
                 qc, ln, sc = dp_gather_inputs(
                     bigpq_, lengths_, concat_, r, st, f, sln, Lq=Lq, Ls=Ls
                 )
-                out = affine_gap_align_batch(
+                out = affine_gap_align_runs(
                     qc, ln, sc, sln, free_start2=True, free_end2=True
                 )
-                return dp_stats_pack(
-                    out["ops"], out["n_ops"], out["start_j"], out["score"],
-                    qc, sc,
-                )
+                return dp_stats_runs(out, qc, sc)
 
             offs = jnp.arange(local, dtype=jnp.int32) * CH
             return lax.map(one, offs)

@@ -320,6 +320,383 @@ def ops_to_cigar_and_strings(
     return cigar, mismatches
 
 
+# ---------------------------------------------------------------------------
+# Run-jump traceback (round 5).
+#
+# Profiling on the real chip showed the per-cell traceback walk, not the
+# forward DP, dominated the old kernel: the forward scan ran 10.3 GCell/s
+# while the full kernel ran 2.6 — the walk's Lq+Ls scan steps each issue a
+# per-row element gather from the (B, Lq, Ls) pointer tensor (~12 ns each on
+# this chip).  The fix is algorithmic: the forward scan additionally tracks,
+# per cell and per matrix, (a) the length of the op RUN ending at that cell
+# and (b) the matrix the run was entered FROM (the pointer at the run's
+# start cell), packed into one uint32 plane:
+#
+#   bits 0-5   src_m | src_i<<2 | src_d<<4   (2-bit next-matrix after a jump)
+#   bits 8-31  em | ei<<8 | ed<<16           (8-bit run lengths, saturating)
+#
+# M/I runs are diagonal/vertical recurrences carried across scan rows; the
+# D run (within-row) comes closed-form from one packed cummax (value
+# j*4+dp monotone in j, so the cummax IS the latest non-extend cell and
+# carries its pointer in the low bits).  The traceback then emits one RLE
+# run per step — a handful of steps and ONE gather each instead of one per
+# alignment column.  Saturated runs (>=255) jump 254 cells and continue in
+# the same matrix, emitting split runs that the merge pass re-joins.
+# ---------------------------------------------------------------------------
+
+
+def _walk_runs_for(Lq: int) -> int:
+    """Static walk-step budget: any alignment acceptable under the tier-3
+    10% mismatch cap has <= 0.1*Lq + 3 runs (each internal gap run costs 2
+    mismatches); the +8 margin covers boundary runs and saturation splits.
+    Rows needing more steps are flagged (walk_ok=False) and carry a huge
+    mismatch count — their exact mismatch count provably exceeds the accept
+    threshold, so accept/reject behavior is unchanged."""
+    return Lq // 8 + 8
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "open_gap", "ext_gap",
+        "free_start1", "free_end1", "free_start2", "free_end2",
+        "walk_runs", "_stage",
+    ),
+)
+def affine_gap_align_runs(
+    query: jnp.ndarray,  # (B, Lq) int8 codes, padded
+    qlen: jnp.ndarray,  # (B,) int32
+    subject: jnp.ndarray,  # (B, Ls) int8 codes, padded
+    slen: jnp.ndarray,  # (B,) int32
+    match: int = 1,
+    mismatch: int = 1,
+    open_gap: int = 3,
+    ext_gap: int = 1,
+    free_start1: bool = False,
+    free_end1: bool = False,
+    free_start2: bool = True,
+    free_end2: bool = True,
+    walk_runs: int | None = None,
+    _stage: str = "all",
+):
+    """Gotoh alignment emitting CIGAR RUNS directly (run-jump traceback).
+
+    Same scores/tie-breaking as affine_gap_align_batch (ref:
+    PairwiseAlignerAffineGap.java:29-292).  Returns dict with:
+      score    (B,) int32
+      rop      (B, R) int32 — op per run (OP_MATCH/OP_INS/OP_DEL), forward order
+      rlen     (B, R) int32 — run lengths (adjacent same-op runs merged)
+      n_runs   (B,) int32
+      n_ops    (B,) int32 — total alignment columns
+      start_j  (B,) int32
+      end_j    (B,) int32
+      end_i    (B,) int32
+      walk_ok  (B,) bool — False when the run budget was exhausted; such a
+               row's exact mismatch count exceeds any 10%-of-length accept
+               threshold (>= 2 per emitted gap run already), so callers
+               reject it without needing the ops.
+    """
+    assert not (free_end1 and free_end2), "free_end1 with free_end2 unsupported"
+    B, Lq = query.shape
+    _, Ls = subject.shape
+    R = walk_runs if walk_runs is not None else _walk_runs_for(Lq)
+
+    jj = jnp.arange(Ls + 1, dtype=jnp.int32)
+
+    m0 = jnp.broadcast_to(
+        jnp.where(jj == 0, 0, NEG).astype(jnp.int32), (B, Ls + 1)
+    )
+    i0 = m0
+    if free_start2:
+        d0 = jnp.zeros((Ls + 1,), jnp.int32)
+    else:
+        d0 = jnp.where(jj == 0, 0, -open_gap - ext_gap * (jj - 1)).astype(
+            jnp.int32
+        )
+    d0 = jnp.broadcast_to(d0, (B, Ls + 1))
+    zrow = jnp.zeros((B, Ls + 1), jnp.int32)
+
+    ext_j = ext_gap * jj
+
+    def row_step(carry, qi):
+        m_prev, i_prev, d_prev, em_prev, ei_prev, sm_prev, si_prev = carry
+        q_char, row_i = qi
+
+        sub = jnp.where(subject == q_char[:, None], match, -mismatch).astype(
+            jnp.int32
+        )
+        best_prev_diag = jnp.maximum(jnp.maximum(m_prev, i_prev), d_prev)[:, :-1]
+        m_inner = best_prev_diag + sub
+        mp = jnp.where(
+            m_prev[:, :-1] >= jnp.maximum(i_prev[:, :-1], d_prev[:, :-1]),
+            0,
+            jnp.where(i_prev[:, :-1] >= d_prev[:, :-1], 1, 2),
+        ).astype(jnp.int32)
+        m_bound = jnp.full((B, 1), NEG, jnp.int32)
+        m_row = jnp.concatenate([m_bound, m_inner], axis=1)
+        # M-run length + run-start pointer (diagonal recurrences)
+        em_inner = 1 + jnp.where(mp == 0, em_prev[:, :-1], 0)
+        em_row = jnp.concatenate([zrow[:, :1], jnp.minimum(em_inner, 255)], axis=1)
+        sm_inner = jnp.where(mp != 0, mp, sm_prev[:, :-1])
+        sm_row = jnp.concatenate([zrow[:, :1], sm_inner], axis=1)
+
+        i_cand_m = m_prev - open_gap
+        i_cand_i = i_prev - ext_gap
+        i_cand_d = d_prev - open_gap
+        i_row = jnp.maximum(jnp.maximum(i_cand_m, i_cand_i), i_cand_d)
+        ip = jnp.where(
+            i_cand_m >= jnp.maximum(i_cand_i, i_cand_d),
+            0,
+            jnp.where(i_cand_i >= i_cand_d, 1, 2),
+        ).astype(jnp.int32)
+        if free_start1:
+            i_row = i_row.at[:, 0].set(0)
+        else:
+            i_bound = (-open_gap - ext_gap * (row_i - 1)).astype(jnp.int32)
+            i_row = i_row.at[:, 0].set(i_bound)
+        # I-run length + run-start pointer (vertical recurrences)
+        ei_row = jnp.minimum(1 + jnp.where(ip == 1, ei_prev, 0), 255)
+        si_row = jnp.where(ip != 1, ip, si_prev)
+
+        a_m = m_row - open_gap
+        a_i = i_row - open_gap
+        a = jnp.maximum(a_m, a_i)
+        shifted = (a + ext_j)[:, :-1]
+        run = jax.lax.cummax(shifted, axis=1)
+        d_inner = run - ext_j[1:][None, :] + ext_gap
+        d_bound = jnp.full((B, 1), NEG, jnp.int32)
+        d_row = jnp.concatenate([d_bound, d_inner], axis=1)
+        opened = a[:, :-1] >= (d_row[:, :-1] - ext_gap)
+        dp_open_from_m = a_m[:, :-1] >= a_i[:, :-1]
+        dp = jnp.where(opened, jnp.where(dp_open_from_m, 0, 1), 2).astype(
+            jnp.int32
+        )
+        dp = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), dp], axis=1)
+        # D-run length + source via ONE packed cummax: j*4+dp is monotone in
+        # j, so the running max is the latest non-extend cell and its low
+        # bits are that cell's pointer — no gather
+        open_val = jnp.where(dp != 2, jj[None, :] * 4 + dp, -1)
+        open_run = jax.lax.cummax(open_val, axis=1)
+        open_pos = open_run >> 2
+        sd_row = open_run & 3
+        ed_row = jnp.minimum(jj[None, :] - open_pos + 1, 255)
+
+        active = row_i <= qlen
+        m_row = jnp.where(active[:, None], m_row, m_prev)
+        i_row = jnp.where(active[:, None], i_row, i_prev)
+        d_row = jnp.where(active[:, None], d_row, d_prev)
+        em_row = jnp.where(active[:, None], em_row, em_prev)
+        ei_row = jnp.where(active[:, None], ei_row, ei_prev)
+        sm_row = jnp.where(active[:, None], sm_row, sm_prev)
+        si_row = jnp.where(active[:, None], si_row, si_prev)
+
+        plane = (
+            sm_row[:, 1:]
+            | (si_row[:, 1:] << 2)
+            | (sd_row[:, 1:] << 4)
+            | (em_row[:, 1:] << 8)
+            | (ei_row[:, 1:] << 16)
+            | (ed_row[:, 1:] << 24)
+        ).astype(jnp.uint32)
+        m_at_slen = jnp.where(
+            row_i <= qlen,
+            jnp.take_along_axis(m_row, slen[:, None], axis=1)[:, 0],
+            NEG,
+        )
+        return (
+            (m_row, i_row, d_row, em_row, ei_row, sm_row, si_row),
+            (plane, m_at_slen),
+        )
+
+    rows = jnp.arange(1, Lq + 1, dtype=jnp.int32)
+    (m_fin, i_fin, d_fin, _, _, _, _), (plane, m_cols) = jax.lax.scan(
+        row_step, (m0, i0, d0, zrow, zrow, zrow, zrow), (query.T, rows)
+    )
+    # plane stays in scan-native (Lq, B, Ls) layout: the walk indexes it as
+    # plane[i-1, b, j-1] — one fancy gather per step, no transpose (a
+    # vmapped per-row scalar index lowered to a ~540us/step gather here)
+
+    cols = jnp.arange(Ls + 1, dtype=jnp.int32)[None, :]
+    col_valid = cols <= slen[:, None]
+    m_last = m_fin
+    m_corner = jnp.take_along_axis(m_last, slen[:, None], axis=1)[:, 0]
+    i_corner = jnp.take_along_axis(i_fin, slen[:, None], axis=1)[:, 0]
+    d_corner = jnp.take_along_axis(d_fin, slen[:, None], axis=1)[:, 0]
+    if free_end2:
+        masked = jnp.where(col_valid, m_last, NEG)
+        best = jnp.max(masked, axis=1)
+        rev_hit = (masked == best[:, None])[:, ::-1]
+        end_j = (Ls - jnp.argmax(rev_hit, axis=1)).astype(jnp.int32)
+        score = best
+        start_k = jnp.zeros((B,), jnp.int32)
+        end_i = qlen
+    elif free_end1:
+        h0 = jnp.where(slen == 0, 0, NEG).astype(jnp.int32)[None, :]
+        mstack = jnp.concatenate([h0, m_cols], axis=0)
+        best = jnp.max(mstack, axis=0)
+        rev_hit = (mstack == best[None, :])[::-1]
+        end_i = (Lq - jnp.argmax(rev_hit, axis=0)).astype(jnp.int32)
+        score = best
+        start_k = jnp.zeros((B,), jnp.int32)
+        end_j = slen
+    else:
+        score = m_corner
+        start_k = jnp.zeros((B,), jnp.int32)
+        score = jnp.where(i_corner > score, i_corner, score)
+        start_k = jnp.where(i_corner > m_corner, 1, start_k)
+        score = jnp.where(d_corner > score, d_corner, score)
+        start_k = jnp.where(d_corner > jnp.maximum(m_corner, i_corner), 2, start_k)
+        end_j = slen
+        end_i = qlen
+
+    if _stage == "score":
+        return {"score": score}
+    if _stage == "plane":
+        return {"score": score, "_p": plane.sum()}
+
+    emit_lead_del = not free_start2
+    bb = jnp.arange(B, dtype=jnp.int32)
+
+    def walk_step(state, _):
+        i, j, k, done = state  # (B,) int32 cursors, (B,) bool
+        in_aln = (i > 0) & (j > 0) & ~done
+        w = plane[
+            jnp.maximum(i - 1, 0), bb, jnp.maximum(j - 1, 0)
+        ].astype(jnp.uint32)
+        ku = k.astype(jnp.uint32)
+        src = ((w >> (2 * ku)) & 3).astype(jnp.int32)
+        run = ((w >> (8 * ku + 8)) & 255).astype(jnp.int32)
+        sat = run == 255
+        r = jnp.where(sat, 254, run)
+        only_i = (i > 0) & (j == 0) & ~done
+        only_j = jnp.logical_and((i == 0) & (j > 0) & ~done, emit_lead_del)
+        op = jnp.where(
+            in_aln,
+            k + 1,
+            jnp.where(only_i, OP_INS, jnp.where(only_j, OP_DEL, OP_NONE)),
+        )
+        ln = jnp.where(in_aln, r, jnp.where(only_i, i, jnp.where(only_j, j, 0)))
+        di = jnp.where(
+            in_aln & ((k == 0) | (k == 1)), r, jnp.where(only_i, i, 0)
+        )
+        dj = jnp.where(
+            in_aln & ((k == 0) | (k == 2)), r, jnp.where(only_j, j, 0)
+        )
+        new_k = jnp.where(in_aln & ~sat, src, k)
+        new_done = done | (~in_aln & ~only_i & ~only_j)
+        return (i - di, j - dj, new_k, new_done), (ln, op)
+
+    (fi, fj, fk, _), (rlen_rev, rop_rev) = jax.lax.scan(
+        walk_step,
+        (end_i, end_j, start_k, jnp.zeros((B,), bool)),
+        None,
+        length=R,
+    )
+    rlen_rev = rlen_rev.T  # (B, R)
+    rop_rev = rop_rev.T
+    start_j = fj
+    walk_ok = (fi == 0) & ((fj == 0) | (not emit_lead_del))
+    if _stage == "walk":
+        return {"score": score, "_w": rlen_rev.sum() + rop_rev.sum()}
+
+    # reverse the emitted prefix into forward order
+    n_raw = jnp.sum(rlen_rev > 0, axis=1).astype(jnp.int32)
+    idx = jnp.arange(R, dtype=jnp.int32)[None, :]
+    src_idx = jnp.maximum(n_raw[:, None] - 1 - idx, 0)
+    rlen_f = jnp.where(
+        idx < n_raw[:, None],
+        jnp.take_along_axis(rlen_rev, src_idx, axis=1),
+        0,
+    )
+    rop_f = jnp.where(
+        idx < n_raw[:, None],
+        jnp.take_along_axis(rop_rev, src_idx, axis=1),
+        0,
+    )
+    # merge adjacent same-op runs (saturation splits, boundary joins)
+    prev_op = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), rop_f[:, :-1]], axis=1
+    )
+    is_new = (rlen_f > 0) & (rop_f != prev_op)
+    rank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    onehot = rank[:, :, None] == jnp.arange(R, dtype=jnp.int32)[None, None, :]
+    rlen = jnp.sum(
+        jnp.where(onehot, rlen_f[:, :, None], 0), axis=1, dtype=jnp.int32
+    )
+    rop = jnp.sum(
+        jnp.where(onehot & is_new[:, :, None], rop_f[:, :, None], 0),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    n_runs = jnp.sum(is_new, axis=1, dtype=jnp.int32)
+    n_ops = jnp.sum(rlen_f, axis=1, dtype=jnp.int32)
+
+    return {
+        "score": score,
+        "rop": rop,
+        "rlen": rlen,
+        "n_runs": n_runs,
+        "n_ops": n_ops,
+        "start_j": start_j,
+        "end_j": end_j,
+        "end_i": end_i,
+        "walk_ok": walk_ok,
+    }
+
+
+@jax.jit
+def dp_stats_runs(out: dict, query: jnp.ndarray, subject: jnp.ndarray):
+    """Tier-3 stats from run-jump traceback output — replaces the ops-tensor
+    reductions of dp_stats_pack (the ops tensor no longer exists).
+
+    Same outputs consumed by the aligner: mism (+1 per substitution, +2 per
+    internal gap run, ShortReadsUngappedSearchHitsClusterAligner.java:140-156),
+    has_gap, device-left-aligned rle (int16, op | len<<2), n_runs, n_ops,
+    start_j, la_fallback.  Rows whose walk exhausted the run budget
+    (walk_ok=False) report mism=32000 — their exact mismatch count is >= 2
+    per emitted gap run and already exceeds any 10%-of-length accept
+    threshold, so accept/reject behavior is identical to the exact path."""
+    rop, rlen = out["rop"], out["rlen"]
+    n_runs, n_ops = out["n_runs"], out["n_ops"]
+    score, start_j = out["score"], out["start_j"]
+    B, R = rop.shape
+    slot = jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid = slot < n_runs[:, None]
+    is_m = (rop == OP_MATCH) & valid
+    is_gap = ((rop == OP_INS) | (rop == OP_DEL)) & valid
+    m_cnt = jnp.sum(jnp.where(is_m, rlen, 0), axis=1, dtype=jnp.int32)
+    gap_len = jnp.sum(jnp.where(is_gap, rlen, 0), axis=1, dtype=jnp.int32)
+    k_all = jnp.sum(is_gap, axis=1, dtype=jnp.int32)
+    # substitutions from the score decomposition (see dp_stats_pack doc):
+    # score = eq - neq - sum over gap runs (open + ext*len) with the tier-3
+    # defaults open=2+ext — neq = (#M - score - 2*K - gap_len) / 2
+    sub_mm = (m_cnt - score - 2 * k_all - gap_len) >> 1
+    prev_is_m = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), is_m[:, :-1]], axis=1
+    )
+    k_runs = jnp.sum(is_gap & prev_is_m, axis=1, dtype=jnp.int32)
+    last_op = jnp.take_along_axis(
+        rop, jnp.maximum(n_runs - 1, 0)[:, None], axis=1
+    )[:, 0]
+    ends_gap = (n_runs > 0) & ((last_op == OP_INS) | (last_op == OP_DEL))
+    mism = sub_mm + 2 * k_runs - 2 * ends_gap.astype(jnp.int32)
+    mism = jnp.where(out["walk_ok"], mism, 32000)
+    has_gap = (k_all > 0).astype(jnp.int8)
+    rlen_la, la_fallback = _left_align_rle(
+        rop, rlen, n_runs, start_j, query, subject
+    )
+    rle = jnp.where(valid, rop | (rlen_la << 2), 0).astype(jnp.int16)
+    return {
+        "mism": mism,
+        "has_gap": has_gap,
+        "rle": rle,
+        "n_runs": n_runs,
+        "n_ops": n_ops,
+        "start_j": start_j,
+        "la_fallback": la_fallback,
+    }
+
+
 @partial(jax.jit, static_argnames=("Lq", "Ls"))
 def dp_gather_inputs(
     bigpq,  # (R, Lp) uint8 packed code|qual<<3, run-wide read matrix
@@ -379,12 +756,10 @@ def dp_run_all(
         qc, ln, sc = dp_gather_inputs(
             bigpq, lengths, concat, r, st, f, sln, Lq=Lq, Ls=Ls
         )
-        out = affine_gap_align_batch(
+        out = affine_gap_align_runs(
             qc, ln, sc, sln, free_start2=True, free_end2=True
         )
-        return dp_stats_pack(
-            out["ops"], out["n_ops"], out["start_j"], out["score"], qc, sc
-        )
+        return dp_stats_runs(out, qc, sc)
 
     offs = jnp.arange(n_chunks, dtype=jnp.int32) * CH
     return lax.map(one, offs)

@@ -239,6 +239,7 @@ def seed_cluster_screen(
         hit_valid = kk < cnt[..., None]
         if inline:
             KH = SEED_HITS_PER_KMER
+            assert K <= KH, f"hits-per-kmer K={K} exceeds inline slots {KH}"
             ent = rows[..., 4 * W :].reshape(rows.shape[:-1] + (W, KH))
             entry = jnp.sum(ent[..., :K] * mi[..., None], axis=-2)
         else:
