@@ -31,12 +31,7 @@ from ..core.sequences import (
     reverse_complement_codes,
 )
 from ..index.minimizer_table import MinimizerTable
-from ..kernels.minimizers import extract_minimizers
-from ..kernels.pairwise import (
-    OP_INS,
-    OP_MATCH,
-    affine_gap_align_batch,
-)
+from ..kernels.minimizers import extract_minimizers_compact
 from .hits_clustering import cluster_hits
 from .read_alignment import ReadAlignment
 from .reads_aligner import (
@@ -80,41 +75,68 @@ def _naive_runs(
     return runs, mism
 
 
-def _ops_runs_hamming(
-    ops: np.ndarray,
-    n_ops: int,
-    q: np.ndarray,
-    s: np.ndarray,
-    start_j: int,
-) -> tuple[list[tuple[int, str]], int, int]:
-    """Decode device traceback ops into CIGAR runs + Hamming-style mismatch
-    count (mismatched pairs + gap columns, matching the reference's
-    HammingSequenceDistanceMeasure over aligned fragments).  Returns
-    (runs, mismatches, subject_end)."""
-    runs: list[tuple[int, str]] = []
-    mism = 0
-    qi = 0
-    sj = start_j
-    for op in ops[:n_ops]:
-        if op == OP_MATCH:
-            ch = "M"
-            if q[qi] != s[sj]:
-                mism += 1
-            qi += 1
-            sj += 1
-        elif op == OP_INS:
-            ch = "I"
-            mism += 1
-            qi += 1
-        else:
-            ch = "D"
-            mism += 1
-            sj += 1
-        if runs and runs[-1][1] == ch:
-            runs[-1] = (runs[-1][0] + 1, ch)
-        else:
-            runs.append((1, ch))
-    return runs, mism, sj
+def _kmer_chain_anchors(
+    q: np.ndarray, s: np.ndarray, k: int, band: int = 400, per_kmer: int = 4
+) -> list[tuple[int, int]] | None:
+    """Collinear exact-k-mer anchor chain between two segments whose
+    endpoints are already aligned (ref: PairwiseAlignerDynamicKmers.
+    findBestKmersCluster:140 picks the best diagonal k-mer cluster; here a
+    greedy monotone chain with bounded diagonal drift, anchored at the
+    segment start, serves the same role: splitting a large segment into
+    small DP gaps).  Returns [(qpos, spos), ...] or None if no usable
+    chain exists."""
+    nq = len(q) - k + 1
+    ns = len(s) - k + 1
+    if nq <= 0 or ns <= 0:
+        return None
+    qk = _rolling_codes(q, k)
+    sk = _rolling_codes(s, k)
+    order = np.argsort(sk, kind="stable")
+    sk_sorted = sk[order]
+    left = np.searchsorted(sk_sorted, qk, side="left")
+    right = np.searchsorted(sk_sorted, qk, side="right")
+    counts = np.minimum(right - left, per_kmer)
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    qpos = np.repeat(np.arange(nq), counts)
+    take = np.concatenate(
+        [np.arange(left[i], left[i] + counts[i]) for i in np.nonzero(counts)[0]]
+    )
+    spos = order[take]
+    # invalid k-mers (containing N) sort together; drop them
+    okm = (qk[qpos] >= 0) & (sk[spos] >= 0)
+    qpos, spos = qpos[okm], spos[okm]
+    if not len(qpos):
+        return None
+    o = np.lexsort((spos, qpos))
+    qpos, spos = qpos[o], spos[o]
+    anchors: list[tuple[int, int]] = []
+    last_q = -k
+    last_s = -k
+    last_d = 0
+    for t in range(len(qpos)):
+        qp, sp = int(qpos[t]), int(spos[t])
+        d = qp - sp
+        if qp >= last_q + k and sp >= last_s + k and abs(d - last_d) <= band:
+            anchors.append((qp, sp))
+            last_q, last_s, last_d = qp, sp, d
+    if len(anchors) < 1:
+        return None
+    return anchors
+
+
+def _rolling_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """2-bit rolling k-mer codes; -1 where the window contains N."""
+    n = len(codes) - k + 1
+    valid = codes < 4
+    c = np.where(valid, codes, 0).astype(np.int64)
+    out = np.zeros(n, np.int64)
+    ok = np.ones(n, bool)
+    for i in range(k):
+        out |= c[i : i + n] << (2 * (k - 1 - i))
+        ok &= valid[i : i + n]
+    return np.where(ok, out, np.int64(-1))
 
 
 def merge_runs(runs: list[tuple[int, str]]) -> list[tuple[int, str]]:
@@ -171,15 +193,34 @@ def collapse_complementary_indels(
     return merge_runs(out), collapsed
 
 
+# max inter-anchor segment the batched DP aligns directly; larger center
+# segments are re-anchored with interior k-mers (the reference's dynamic
+# kmers scheme, PairwiseAlignerDynamicKmers.java:16-279) so DP only ever
+# runs on small gaps
+SEG_LIMIT = 512
+REANCHOR_K = 13
+
+
 @dataclass
 class _SegJob:
-    q_seg: np.ndarray
-    s_seg: np.ndarray
+    """One inter-anchor alignment slot, held as COORDINATES into the
+    batch read matrix (row, q0:q1) and the genome concat (s0:s1) — the
+    device sweep gathers the sequences itself (dp_run_segments), so a job
+    crosses the host link as ~20 bytes of metadata."""
+
+    row: int
+    q0: int
+    q1: int
+    s0: int
+    s1: int
     kind: str  # 'center' | 'start' | 'end'
     runs: list[tuple[int, str]] | None = None
     mism: int = 0
     start_j: int = 0
     end_j: int = 0
+    # set by re-anchoring: a mix of (n, op) runs and ('SEG', _SegJob)
+    # slots replacing this job's direct DP
+    sub_items: list | None = None
 
 
 @dataclass
@@ -220,47 +261,73 @@ class LongReadsAligner:
 
     # ------------------------------------------------------------------
     def align_batch(self, reads: list[RawRead]) -> list[list[ReadAlignment]]:
+        from ..utils.profiling import stage
+
         B = len(reads)
         self.total_reads += B
         fwd = [r.codes for r in reads]
         rev = [reverse_complement_codes(c) for c in fwd]
         all_codes = fwd + rev
-        bucket = _row_bucket(2 * B, minimum=16)
-        padded = all_codes + [np.empty(0, np.int8)] * (bucket - 2 * B)
-        codes, lengths, _ = pack_reads(padded, pad_multiple=1024)
-        kcodes, sel, _ = extract_minimizers(
-            codes, lengths, self.kmer_length, self.window_length
-        )
-        kcodes = np.asarray(kcodes)
-        sel = np.asarray(sel)
+        with stage("lr.seed"):
+            bucket = _row_bucket(2 * B, minimum=16)
+            padded = all_codes + [np.empty(0, np.int8)] * (bucket - 2 * B)
+            codes, lengths, _ = pack_reads(padded, pad_multiple=1024)
+            # canonical minimizer selection is strand-symmetric, so the
+            # reverse rows' minimizers are exact mirrors of the forward
+            # rows': extract (and fetch) only the forward half, derive the
+            # reverse half by position mirror + code revcomp on host
+            from ..kernels.kmers import rc_code_int64
+
+            k = self.kmer_length
+            f_row, f_pos, f_codes = extract_minimizers_compact(
+                codes[:B], lengths[:B], k, self.window_length
+            )
+            lens_f = lengths[:B].astype(np.int64)
+            # reverse WITHIN each row so the derived entries stay
+            # row-major with ascending (mirrored) positions
+            bounds = np.searchsorted(f_row, np.arange(B + 1))
+            rev_idx = (
+                bounds[f_row]
+                + (bounds[f_row + 1] - 1 - np.arange(len(f_row)))
+            )
+            r_row = (f_row + B).astype(f_row.dtype)
+            r_pos = (lens_f[f_row] - k - f_pos)[rev_idx].astype(f_pos.dtype)
+            r_codes = rc_code_int64(f_codes, k)[rev_idx]
+            mrow = np.concatenate([f_row, r_row])
+            mpos = np.concatenate([f_pos, r_pos])
+            mcodes = np.concatenate([f_codes, r_codes])
 
         candidates: list[tuple[_Candidate, _Skeleton]] = []
         per_read: dict[int, list[_Candidate]] = {}
         raw: list[_Candidate] = []
-        for row in range(2 * B):
-            ridx = row % B
-            rv = row >= B
-            qlen = int(lengths[row])
-            qpos = np.nonzero(sel[row])[0]
-            if len(qpos) == 0:
-                continue
-            spos, qp = self.table.collect_hits(
-                kcodes[row][qpos], qpos.astype(np.int64)
+        with stage("lr.cluster"):
+            h_spos, h_qp, h_rows = self.table.collect_hits_batch(
+                mcodes, mpos.astype(np.int64), mrow.astype(np.int64)
             )
-            clusters = cluster_hits(spos, qp, qlen, with_members=True)
-            for cl in clusters:
-                seq_idx, _ = self.genome.split_concat_pos(
-                    min(max(cl.subject_concat_start, 0), self.genome.total_length - 1)
+            hit_bounds = np.searchsorted(h_rows, np.arange(2 * B + 1))
+            for row in range(2 * B):
+                ridx = row % B
+                rv = row >= B
+                qlen = int(lengths[row])
+                a, b = int(hit_bounds[row]), int(hit_bounds[row + 1])
+                if a == b:
+                    continue
+                clusters = cluster_hits(
+                    h_spos[a:b], h_qp[a:b], qlen, with_members=True
                 )
-                c = _Candidate(
-                    read_idx=ridx,
-                    reverse=rv,
-                    cluster=cl,
-                    seq_idx=seq_idx,
-                    pred_start=cl.subject_concat_start,
-                )
-                raw.append(c)
-                per_read.setdefault(ridx, []).append(c)
+                for cl in clusters:
+                    seq_idx, _ = self.genome.split_concat_pos(
+                        min(max(cl.subject_concat_start, 0), self.genome.total_length - 1)
+                    )
+                    c = _Candidate(
+                        read_idx=ridx,
+                        reverse=rv,
+                        cluster=cl,
+                        seq_idx=seq_idx,
+                        pred_start=cl.subject_concat_start,
+                    )
+                    raw.append(c)
+                    per_read.setdefault(ridx, []).append(c)
 
         # candidate filtering per read (ref: SingleReadsAligner:84-99)
         selected: list[_Candidate] = []
@@ -277,24 +344,26 @@ class LongReadsAligner:
         # anchor walk -> skeleton + DP jobs
         jobs: list[_SegJob] = []
         work: list[tuple[_Candidate, _Skeleton]] = []
-        for c in selected:
-            qcodes = (
-                all_codes[c.read_idx]
-                if not c.reverse
-                else all_codes[c.read_idx + B]
-            )
-            sk = self._chain(c, qcodes, jobs)
-            if sk is not None and not sk.failed:
-                work.append((c, sk))
+        with stage("lr.chain"):
+            for c in selected:
+                row = c.read_idx + (B if c.reverse else 0)
+                qcodes = all_codes[row]
+                sk = self._chain(c, qcodes, jobs, row)
+                if sk is not None and not sk.failed:
+                    work.append((c, sk))
 
-        self._run_dp_jobs(jobs)
+        with stage("lr.reanchor"):
+            self._reanchor_large(jobs, codes)
+
+        self._run_dp_jobs(jobs, codes)
 
         # splice + finalize each candidate
-        for c, sk in work:
-            aln = self._assemble(c, sk)
-            if aln is not None:
-                c.aln = aln
-                c.quality = aln.alignment_quality
+        with stage("lr.assemble"):
+            for c, sk in work:
+                aln = self._assemble(c, sk)
+                if aln is not None:
+                    c.aln = aln
+                    c.quality = aln.alignment_quality
 
         out, n_aligned = select_final_alignments(reads, selected, self.max_alns_per_read)
         self.aligned_reads += n_aligned
@@ -302,7 +371,8 @@ class LongReadsAligner:
 
     # ------------------------------------------------------------------
     def _chain(
-        self, c: _Candidate, qcodes: np.ndarray, jobs: list[_SegJob]
+        self, c: _Candidate, qcodes: np.ndarray, jobs: list[_SegJob],
+        row: int,
     ) -> _Skeleton | None:
         """The reference's hit walk (LongReadsUngappedSearchHitsClusterAligner
         .buildAlignment:69-245), emitting DP slots instead of aligning
@@ -345,7 +415,7 @@ class LongReadsAligner:
                         len(q_seg) < MAX_LENGTH_ENDS_PW
                         and len(s_seg) < MAX_LENGTH_ENDS_PW
                     ):
-                        job = _SegJob(q_seg, s_seg, "start")
+                        job = _SegJob(row, 0, qs, possible_start, ss, "start")
                         jobs.append(job)
                         sk.start_seg = job
                         sk.items.append(("SEG", job))
@@ -380,7 +450,9 @@ class LongReadsAligner:
                     q_seg = qcodes[query_next:qs]
                     s_seg = concat[subject_next:ss]
                     if mx <= MAX_LENGTH_FULL_PW:
-                        job = _SegJob(q_seg, s_seg, "center")
+                        job = _SegJob(
+                            row, query_next, qs, subject_next, ss, "center"
+                        )
                         jobs.append(job)
                         sk.items.append(("SEG", job))
                     elif mn < 0.1 * mx:
@@ -419,9 +491,9 @@ class LongReadsAligner:
         if remainder > 0 and remainder + 5 < MAX_LENGTH_ENDS_PW:
             end = min(subject_next + remainder + 5, s1)
             if s1 - subject_next >= remainder:
-                q_seg = qcodes[query_next:]
-                s_seg = concat[subject_next:end]
-                job = _SegJob(q_seg, s_seg, "end")
+                job = _SegJob(
+                    row, query_next, qlen, subject_next, end, "end"
+                )
                 jobs.append(job)
                 sk.end_seg = job
                 sk.items.append(("SEG", job))
@@ -432,63 +504,196 @@ class LongReadsAligner:
         return sk
 
     # ------------------------------------------------------------------
-    def _run_dp_jobs(self, jobs: list[_SegJob]) -> None:
-        """Size-bucketed batched Gotoh over all segments of all reads."""
-        groups: dict[tuple[str, int, int], list[_SegJob]] = {}
+    # ------------------------------------------------------------------
+    def _reanchor_large(
+        self, jobs: list[_SegJob], codes_mat: np.ndarray
+    ) -> None:
+        """Dynamic-kmers re-anchoring: center segments larger than
+        SEG_LIMIT are re-anchored with interior exact k-mer matches so DP
+        only runs on small gaps (ref: PairwiseAlignerDynamicKmers.java:
+        16-279, findBestKmersCluster:140 — the reference's recursive
+        scheme exists purely to cap DP cost).  The job becomes a composite
+        of (n, op) runs for anchors/balanced gaps and sub-_SegJobs (each
+        <= SEG_LIMIT) for unbalanced gaps; a segment whose interior yields
+        no collinear anchors falls back to the chain walk's default
+        encoding (mismatch run + net indel, ref ":167-170")."""
+        concat = self.genome.concat
+        new_jobs: list[_SegJob] = []
         for j in jobs:
-            bq = _row_bucket(max(1, len(j.q_seg)), minimum=128)
-            bs = _row_bucket(max(1, len(j.s_seg)), minimum=128)
-            groups.setdefault((j.kind, bq, bs), []).append(j)
-        for (kind, bq, bs), group in groups.items():
-            # cap traceback tensor ~64 MB per launch
-            rows_cap = max(1, (1 << 26) // (bq * bs))
-            rows_cap = min(64, rows_cap)
-            for i in range(0, len(group), rows_cap):
-                chunk = group[i : i + rows_cap]
-                pad = [np.empty(0, np.int8)] * (rows_cap - len(chunk))
-                qc, ql, _ = pack_reads(
-                    [j.q_seg for j in chunk] + pad, pad_to=bq, pad_multiple=128
-                )
-                sc, sl, _ = pack_reads(
-                    [j.s_seg for j in chunk] + pad, pad_to=bs, pad_multiple=128
-                )
-                out = affine_gap_align_batch(
-                    qc,
-                    ql,
-                    sc,
-                    sl,
-                    free_start2=(kind == "start"),
-                    free_end2=(kind == "end"),
-                )
-                ops = np.asarray(out["ops"])
-                n_ops = np.asarray(out["n_ops"])
-                start_j = np.asarray(out["start_j"])
-                for row, j in enumerate(chunk):
-                    runs, mism, end_j = _ops_runs_hamming(
-                        ops[row],
-                        int(n_ops[row]),
-                        j.q_seg,
-                        j.s_seg,
-                        int(start_j[row]),
+            if j.kind != "center":
+                continue
+            dq = j.q1 - j.q0
+            ds = j.s1 - j.s0
+            if max(dq, ds) <= SEG_LIMIT:
+                continue
+            q = codes_mat[j.row, j.q0 : j.q1]
+            s = concat[j.s0 : j.s1]
+            anchors = _kmer_chain_anchors(q, s, REANCHOR_K)
+            items: list = []
+            mism = 0
+
+            def emit_gap(q0, q1, s0, s1):
+                nonlocal mism
+                gq, gs = q1 - q0, s1 - s0
+                if gq == 0 and gs == 0:
+                    return
+                if gq == gs:
+                    items.append((gq, "M"))
+                    mism += int(np.count_nonzero(q[q0:q1] != s[s0:s1]))
+                elif gq == 0:
+                    items.append((gs, "D"))
+                    mism += gs
+                elif gs == 0:
+                    items.append((gq, "I"))
+                    mism += gq
+                elif max(gq, gs) <= SEG_LIMIT:
+                    sub = _SegJob(
+                        j.row, j.q0 + q0, j.q0 + q1,
+                        j.s0 + s0, j.s0 + s1, "center",
                     )
+                    new_jobs.append(sub)
+                    items.append(("SEG", sub))
+                else:
+                    mn, mx = min(gq, gs), max(gq, gs)
+                    items.append((mn, "M"))
+                    items.append((gq - gs, "I") if gq > gs else (gs - gq, "D"))
+                    mism += mx
+
+            if anchors is None:
+                # whole segment default-encoded
+                mn, mx = min(dq, ds), max(dq, ds)
+                items.append((mn, "M"))
+                items.append((dq - ds, "I") if dq > ds else (ds - dq, "D"))
+                mism = mx
+            else:
+                qc, sc = 0, 0
+                for aq, asp in anchors:
+                    emit_gap(qc, aq, sc, asp)
+                    items.append((REANCHOR_K, "M"))
+                    mism += int(
+                        np.count_nonzero(
+                            q[aq : aq + REANCHOR_K]
+                            != s[asp : asp + REANCHOR_K]
+                        )
+                    )
+                    qc, sc = aq + REANCHOR_K, asp + REANCHOR_K
+                emit_gap(qc, dq, sc, ds)
+            j.sub_items = items
+            j.mism = mism
+        jobs.extend(new_jobs)
+
+    # ------------------------------------------------------------------
+    def _run_dp_jobs(
+        self, jobs: list[_SegJob], codes_mat: np.ndarray
+    ) -> None:
+        """All segments of all reads as a handful of fixed-shape device
+        sweeps (kernels/pairwise.dp_run_segments): jobs bucket by
+        (free-end flags, 128/256/512 query and subject widths), every
+        bucket dispatches asynchronously, then one fetch per bucket
+        delivers ~150-byte RLE rows that ARE the segment CIGARs."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.pairwise import dp_run_segments
+        from ..utils.profiling import stage
+
+        real = [j for j in jobs if j.sub_items is None]
+        if not real:
+            return
+        groups: dict[tuple[bool, bool, int, int], list[_SegJob]] = {}
+        for j in real:
+            bq = _row_bucket(max(1, j.q1 - j.q0), minimum=128)
+            bs = _row_bucket(max(1, j.s1 - j.s0), minimum=128)
+            flags = (j.kind == "start", j.kind == "end")
+            groups.setdefault((flags[0], flags[1], bq, bs), []).append(j)
+        self.dp_groups = getattr(self, "dp_groups", set()) | set(groups)
+        concat_dev = self.genome.device_concat()
+        codes_dev = jnp.asarray(codes_mat)
+        pend = []
+        with stage("lr.dp_dispatch"):
+            for (fs2, fe2, bq, bs), group in groups.items():
+                n = len(group)
+                CH = min(1024, _row_bucket(n, minimum=128))
+                n_chunks = _row_bucket(-(-n // CH), minimum=1)
+                pad = CH * n_chunks
+                rows = np.zeros(pad, np.int32)
+                q0 = np.zeros(pad, np.int32)
+                ql = np.zeros(pad, np.int32)
+                sf = np.zeros(pad, np.int32)
+                sl = np.zeros(pad, np.int32)
+                for i, j in enumerate(group):
+                    rows[i] = j.row
+                    q0[i] = j.q0
+                    ql[i] = j.q1 - j.q0
+                    sf[i] = j.s0
+                    sl[i] = j.s1 - j.s0
+                stats = dp_run_segments(
+                    codes_dev, concat_dev, rows, q0, ql, sf, sl,
+                    CH=CH, Lq=bq, Ls=bs, n_chunks=n_chunks,
+                    fs2=fs2, fe2=fe2,
+                )
+                pend.append((group, stats))
+        with stage("lr.dp_fetch"):
+            fetched = jax.device_get([p[1] for p in pend])
+        with stage("lr.decode"):
+            concat = self.genome.concat
+            mid = "MID"
+            for (group, _), st in zip(pend, fetched):
+                rle = st["rle"].reshape(-1, st["rle"].shape[-1])
+                n_runs = st["n_runs"].reshape(-1)
+                mism = st["mism"].reshape(-1)
+                start_j = st["start_j"].reshape(-1)
+                end_j = st["end_j"].reshape(-1)
+                walk_ok = st["walk_ok"].reshape(-1)
+                for i, j in enumerate(group):
+                    if not walk_ok[i]:
+                        # run-budget overflow (pathological segment):
+                        # single-gap naive encoding keeps the read alive
+                        runs, m = _naive_runs(
+                            codes_mat[j.row, j.q0 : j.q1],
+                            concat[j.s0 : j.s1],
+                        )
+                        j.runs = runs
+                        j.mism = m
+                        j.start_j = 0
+                        j.end_j = j.s1 - j.s0
+                        continue
+                    runs = []
+                    for v in rle[i, : n_runs[i]]:
+                        v = int(v)
+                        ln = v >> 2
+                        if ln:
+                            runs.append((ln, mid[(v & 3) - 1]))
                     j.runs = runs
-                    j.mism = mism
-                    j.start_j = int(start_j[row])
-                    j.end_j = end_j
+                    j.mism = int(mism[i])
+                    j.start_j = int(start_j[i])
+                    j.end_j = int(end_j[i])
 
     # ------------------------------------------------------------------
     def _assemble(self, c: _Candidate, sk: _Skeleton) -> ReadAlignment | None:
         runs: list[tuple[int, str]] = []
         mism = sk.mismatches
-        for item in sk.items:
-            if item[0] == "SEG":
-                job: _SegJob = item[1]
-                if job.runs is None:
-                    return None
-                runs.extend(job.runs)
-                mism += job.mism
-            else:
-                runs.append(item)
+
+        def splice(items) -> bool:
+            nonlocal mism
+            for item in items:
+                if item[0] == "SEG":
+                    job: _SegJob = item[1]
+                    if job.sub_items is not None:
+                        mism += job.mism
+                        if not splice(job.sub_items):
+                            return False
+                    elif job.runs is None:
+                        return False
+                    else:
+                        runs.extend(job.runs)
+                        mism += job.mism
+                else:
+                    runs.append(item)
+            return True
+
+        if not splice(sk.items):
+            return None
         runs = merge_runs(runs)
         if not any(op == "M" for _, op in runs):
             return None

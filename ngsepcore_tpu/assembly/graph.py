@@ -128,34 +128,62 @@ class AssemblyGraph:
         relations keep the same evidence spans, the decision rule is the
         simpler equivalent)."""
         for _ in range(rounds):
+            ivs_by_read = self._evidence_intervals_by_read()
+            flagged = []
             for rid in range(self.n_reads):
                 if rid in self.chimeric or rid in self.embedded:
                     continue
-                if self._is_chimeric(rid, flank, min_side_relations):
+                if self._is_chimeric(
+                    rid, flank, min_side_relations,
+                    ivs_by_read.get(rid, []),
+                ):
                     self.chimeric.add(rid)
-                    self._remove_read_relations(rid)
+                    flagged.append(rid)
+            if flagged:
+                drop = set(flagged)
+                self.edges = [
+                    e
+                    for e in self.edges
+                    if e.read1 not in drop and e.read2 not in drop
+                ]
+                self.embedded = {
+                    r: emb
+                    for r, emb in self.embedded.items()
+                    if r not in drop and emb.host not in drop
+                }
         return self.chimeric
 
-    def _read_evidence_intervals(self, rid: int) -> list[tuple[int, int]]:
-        out = []
+    def _evidence_intervals_by_read(self) -> dict[int, list[tuple[int, int]]]:
+        """One pass over all relations (the former per-read scan over the
+        full edge list was O(reads x edges) — superlinear at scale)."""
+        out: dict[int, list[tuple[int, int]]] = {}
         for e in self.edges:
-            if e.read1 == rid and e.ev1_end > e.ev1_start:
-                out.append((e.ev1_start, e.ev1_end))
-            elif e.read2 == rid and e.ev2_end > e.ev2_start:
-                out.append((e.ev2_start, e.ev2_end))
+            if e.ev1_end > e.ev1_start:
+                out.setdefault(e.read1, []).append((e.ev1_start, e.ev1_end))
+            if e.ev2_end > e.ev2_start:
+                out.setdefault(e.read2, []).append((e.ev2_start, e.ev2_end))
         for emb in self.embedded.values():
-            if emb.host == rid:
-                s = emb.host_evidence_start
-                t = emb.host_evidence_end
-                if t > s:
-                    out.append((s, t))
+            s = emb.host_evidence_start
+            t = emb.host_evidence_end
+            if t > s:
+                out.setdefault(emb.host, []).append((s, t))
         return out
 
-    def _is_chimeric(self, rid: int, flank: int, min_side: int) -> bool:
+    def _read_evidence_intervals(self, rid: int) -> list[tuple[int, int]]:
+        return self._evidence_intervals_by_read().get(rid, [])
+
+    def _is_chimeric(
+        self,
+        rid: int,
+        flank: int,
+        min_side: int,
+        ivs: list[tuple[int, int]] | None = None,
+    ) -> bool:
         L = self.read_lengths[rid]
         if L < 3 * flank:
             return False
-        ivs = self._read_evidence_intervals(rid)
+        if ivs is None:
+            ivs = self._read_evidence_intervals(rid)
         if len(ivs) < 2 * min_side:
             return False
         left = [t for s, t in ivs if s < flank and t < L - flank]

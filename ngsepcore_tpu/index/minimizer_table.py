@@ -229,6 +229,41 @@ class MinimizerTable:
         keep = self.entry_strand[idx] == qf
         return self.entry_pos[idx][keep], qp[keep]
 
+    def collect_hits_batch(
+        self,
+        query_codes: np.ndarray,
+        query_positions: np.ndarray,
+        query_rows: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """collect_hits over MANY reads at once: one canonicalize, one
+        lookup, one fully-vectorized ragged CSR expansion (the per-read
+        variant builds its index vector from ~2k tiny aranges per read —
+        a visible host cost on long-read batches).  `query_rows` labels
+        each query with its read row; hits come back row-major as
+        (subject_concat_pos, query_pos, row)."""
+        from ..kernels.kmers import rc_code_int64
+
+        rc = rc_code_int64(query_codes, self.k)
+        canon = np.minimum(query_codes, rc)
+        qflag = (rc < query_codes).astype(np.int8)
+        starts, ends = self.lookup_rows(canon)
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        qp = np.repeat(query_positions, counts)
+        qf = np.repeat(qflag, counts)
+        qr = np.repeat(query_rows, counts)
+        off = np.cumsum(counts) - counts
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, counts)
+            + np.repeat(starts, counts)
+        )
+        keep = self.entry_strand[idx] == qf
+        return self.entry_pos[idx][keep], qp[keep], qr[keep]
+
     @property
     def size(self) -> int:
         return len(self.entry_pos)

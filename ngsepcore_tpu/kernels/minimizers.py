@@ -120,6 +120,52 @@ def extract_minimizers_canonical(
     return hi, lo, flag, sel, valid
 
 
+@partial(jax.jit, static_argnames=("k", "window", "cap"))
+def _extract_compact_dev(codes, lengths, k: int, window: int, cap: int):
+    hi, lo, flag, sel, valid = extract_minimizers_canonical(
+        codes, lengths, k, window
+    )
+    B, NK = sel.shape
+    flat = jnp.nonzero(
+        sel.reshape(-1), size=cap, fill_value=B * NK
+    )[0].astype(jnp.int32)
+    n = jnp.sum(sel, dtype=jnp.int32)
+    ok = flat < B * NK
+    flat_c = jnp.where(ok, flat, 0)
+    row = flat_c // NK
+    posn = flat_c % NK
+    g = lambda a: jnp.where(ok, a.reshape(-1)[flat_c], 0)
+    return row, posn, g(hi), g(lo), g(flag.astype(jnp.int32)), n
+
+
+def extract_minimizers_compact(codes, lengths, k: int, window: int):
+    """codes (B, L) -> compact host arrays (row, pos, kcodes int64) of the
+    selected minimizer positions only.
+
+    The dense wrapper below fetches four (B, n_kmers) tensors over the
+    host link (~40 MB per 256x10kb long-read batch, the dominant seeding
+    cost); this compacts on device with one fixed-size nonzero and
+    transfers ~6x less.  Selection is canonical (same as the table build);
+    returned codes are forward-strand."""
+    from .kmers import rc_code_int64
+
+    B, L = codes.shape
+    cap = max(1024, int(B * L * 3 // window))
+    row, posn, hi, lo, flag, n = _extract_compact_dev(
+        jnp.asarray(codes), jnp.asarray(lengths), k, window, cap
+    )
+    n = int(n)
+    assert n <= cap, f"minimizer compaction overflow: {n} > {cap}"
+    row = np.asarray(row)[:n]
+    posn = np.asarray(posn)[:n]
+    hi = np.asarray(hi).astype(np.int64)[:n]
+    lo = np.asarray(lo).astype(np.int64)[:n]
+    flag = np.asarray(flag)[:n]
+    canon = (hi << (2 * min(k, 15))) | lo
+    kcodes = np.where(flag == 1, rc_code_int64(canon, k), canon)
+    return row, posn, kcodes
+
+
 def extract_minimizers(codes, lengths, k: int, window: int):
     """codes (B, L) -> (kcodes int64 numpy, minimizer mask, valid) for the
     forward strand.  Host-facing wrapper: selection is canonical (matching

@@ -697,6 +697,98 @@ def dp_stats_runs(out: dict, query: jnp.ndarray, subject: jnp.ndarray):
     }
 
 
+@jax.jit
+def dp_stats_runs_hamming(out: dict):
+    """Long-read segment stats from run-jump traceback output.
+
+    The long-read chain walk counts mismatches Hamming-style — +1 per
+    mismatched pair AND +1 per gap COLUMN (the reference's
+    HammingSequenceDistanceMeasure over aligned fragments,
+    LongReadsUngappedSearchHitsClusterAligner.java:127-156) — unlike the
+    tier-3 statistic's +2 per gap run.  mism = substitutions (score
+    decomposition, tier-3 default scores assumed) + total gap columns.
+    Returns rle (int16, op | len<<2), n_runs, mism, start_j, end_j,
+    walk_ok."""
+    rop, rlen = out["rop"], out["rlen"]
+    n_runs = out["n_runs"]
+    score = out["score"]
+    B, R = rop.shape
+    slot = jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid = slot < n_runs[:, None]
+    is_m = (rop == OP_MATCH) & valid
+    is_gap = ((rop == OP_INS) | (rop == OP_DEL)) & valid
+    m_cnt = jnp.sum(jnp.where(is_m, rlen, 0), axis=1, dtype=jnp.int32)
+    gap_len = jnp.sum(jnp.where(is_gap, rlen, 0), axis=1, dtype=jnp.int32)
+    k_all = jnp.sum(is_gap, axis=1, dtype=jnp.int32)
+    sub_mm = (m_cnt - score - 2 * k_all - gap_len) >> 1
+    mism = jnp.where(out["walk_ok"], sub_mm + gap_len, 30000)
+    rle = jnp.where(valid, rop | (rlen << 2), 0).astype(jnp.int16)
+    return {
+        "rle": rle,
+        "n_runs": n_runs,
+        "mism": mism,
+        "start_j": out["start_j"],
+        "end_j": out["end_j"],
+        "walk_ok": out["walk_ok"],
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("CH", "Lq", "Ls", "n_chunks", "fs2", "fe2"),
+)
+def dp_run_segments(
+    readmat,  # (R, Lp) int8 packed batch read rows (fwd + rev)
+    concat,  # (G,) int8 concatenated genome codes
+    rows,  # (B,) int32 read row per segment job
+    q0,  # (B,) int32 query slice start within the row
+    qlen,  # (B,) int32 query slice length
+    sfirst,  # (B,) int32 subject window start (concat coords)
+    slen,  # (B,) int32 subject window length
+    *,
+    CH: int,
+    Lq: int,
+    Ls: int,
+    n_chunks: int,
+    fs2: bool,
+    fe2: bool,
+):
+    """Long-read segment sweep: the ENTIRE bucket of inter-anchor segment
+    alignments as one device program (lax.map over fixed CH-row chunks),
+    query/subject slices gathered ON DEVICE from the resident batch read
+    matrix and genome.  Replaces the former per-64-row launches with host
+    packing + full ops fetches (233 launches and 17 s of 22 s for a
+    200-read batch); jobs cross the link as ~20 bytes each and results as
+    a ~150-byte RLE row."""
+    import jax.lax as lax
+
+    def one(off):
+        r = lax.dynamic_slice_in_dim(rows, off, CH, 0)
+        qs = lax.dynamic_slice_in_dim(q0, off, CH, 0)
+        ql = lax.dynamic_slice_in_dim(qlen, off, CH, 0)
+        f = lax.dynamic_slice_in_dim(sfirst, off, CH, 0)
+        sl = lax.dynamic_slice_in_dim(slen, off, CH, 0)
+        sub = jnp.take(readmat, r, axis=0)  # (CH, Lp)
+        Lp = sub.shape[1]
+        j = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(qs[:, None] + j, 0, Lp - 1)
+        qc = jnp.where(
+            j < ql[:, None],
+            jnp.take_along_axis(sub, idx, axis=1),
+            jnp.int8(4),
+        )
+        js = jnp.arange(Ls, dtype=jnp.int32)[None, :]
+        sidx = jnp.clip(f[:, None] + js, 0, concat.shape[0] - 1)
+        sc = jnp.where(js < sl[:, None], jnp.take(concat, sidx), jnp.int8(4))
+        out = affine_gap_align_runs(
+            qc, ql, sc, sl, free_start2=fs2, free_end2=fe2
+        )
+        return dp_stats_runs_hamming(out)
+
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * CH
+    return lax.map(one, offs)
+
+
 @partial(jax.jit, static_argnames=("Lq", "Ls"))
 def dp_gather_inputs(
     bigpq,  # (R, Lp) uint8 packed code|qual<<3, run-wide read matrix

@@ -203,15 +203,24 @@ def _reads_with_indels(genome, n, read_len, rng, sub=0.04, ind=0.02):
 
 def _contig_error_stats(contig, truth, k=32, step=250):
     """(mismatches/kbp, indel events/kbp, anchored fraction) by anchoring
-    unique truth k-mers in the contig and tracking offset drift."""
-    text = decode_dna(contig)
+    unique truth k-mers in the contig and tracking offset drift.  Contig
+    orientation is arbitrary — anchor against whichever strand matches."""
     gtext = decode_dna(truth)
-    pos_in_contig = {}
-    for off in range(0, len(gtext) - k, step):
-        km = gtext[off : off + k]
-        j = text.find(km)
-        if j >= 0 and text.find(km, j + 1) < 0:
-            pos_in_contig[off] = j
+
+    def _anchors(text):
+        pos = {}
+        for off in range(0, len(gtext) - k, step):
+            km = gtext[off : off + k]
+            j = text.find(km)
+            if j >= 0 and text.find(km, j + 1) < 0:
+                pos[off] = j
+        return pos
+
+    pos_in_contig = _anchors(decode_dna(contig))
+    pos_rc = _anchors(decode_dna(reverse_complement_codes(contig)))
+    if len(pos_rc) > len(pos_in_contig):
+        contig = reverse_complement_codes(contig)
+        pos_in_contig = pos_rc
     anchors = sorted(pos_in_contig)
     assert len(anchors) >= 3, "contig barely anchors to the truth"
     mism = 0
