@@ -109,11 +109,62 @@ def measure_tier1(rng) -> float:
     return BATCH * reps / dt
 
 
+def measure_kmer_count(rng) -> float:
+    """C-speed mirror of the KmersExtractor hot loop
+    (KmersExtractor.java:393-426): per base and strand, a rolling 2-bit
+    code update (shift+mask+or) and one add into the code-indexed count
+    array — ShortArrayDNAKmersMapImpl's synchronized short[4^15]
+    (= 2 GB), so the adds are RANDOM DRAM writes, which is what bounds
+    the loop; the count array must be full-size or the mirror measures
+    cache speed the reference never sees.  Returns bases/second (each
+    base costs two rolling updates + two adds, one per strand)."""
+    n = 1 << 22
+    codes = rng.integers(0, 4, size=n).astype(np.int64)
+    counts = np.zeros(4 ** 15, np.int16)  # 2 GB, like the reference
+    mask = 4 ** 15 - 1
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fwd = (codes[:-1] << 2 | codes[1:]) & mask
+        rev = (codes[1:] << 2 | (3 - codes[:-1])) & mask
+        # scale the hashes across the full array so adds are DRAM-random
+        np.add.at(counts, (fwd[: n // 2] * 786433) & mask, 1)
+        np.add.at(counts, (rev[: n // 2] * 786433) & mask, 1)
+    dt = time.perf_counter() - t0
+    # per rep: n bases' worth of rolling updates + n/2 x 2 adds == n adds
+    return n * reps / dt
+
+
+def measure_dp_cells(rng) -> float:
+    """C-speed affine-gap DP cell rate (vectorized rows over a segment
+    batch) — upper bound for the reference's scalar per-cell Gotoh
+    (PairwiseAlignerAffineGap.java:29-292).  Returns cells/second."""
+    B, Ls = 256, 128
+    m = rng.standard_normal((B, Ls + 1))
+    i_ = rng.standard_normal((B, Ls + 1))
+    d = rng.standard_normal((B, Ls + 1))
+    sub = rng.standard_normal((B, Ls))
+    reps = 40
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        best = np.maximum(np.maximum(m, i_), d)
+        m = np.concatenate(
+            [m[:, :1], best[:, :-1] + sub], axis=1
+        )
+        i_ = np.maximum(np.maximum(m - 3, i_ - 1), d - 3)
+        a = np.maximum(m, i_) - 3
+        d = np.maximum.accumulate(a, axis=1)
+    dt = time.perf_counter() - t0
+    return B * Ls * reps / dt
+
+
 def main() -> None:
     rng = np.random.default_rng(11)
     steps_per_s = measure_fm_backward(rng)
     gt_per_s = measure_genotype_update(rng)
     t1_per_s = measure_tier1(rng)
+    kmer_bases_s = measure_kmer_count(rng)
+    dp_cells_s = measure_dp_cells(rng)
 
     kmers_per_read = ((READ_LEN - KMER) // KMER_OFFSET + 1) * 2  # 2 strands
     steps_per_read = kmers_per_read * KMER  # backward steps
@@ -136,6 +187,45 @@ def main() -> None:
     call_java = call_java_1t  # pileup scan is single-threaded
     pipeline = 1.0 / (1.0 / align_java + 1.0 / call_java)
 
+    # ---- per-config baselines (VERDICT r4 #6) ---------------------------
+    # Config #1 KmersExtractor: whole loop assumed to scale perfectly to
+    # ALIGN_THREADS threads (GENEROUS: the reference's count array adds
+    # are synchronized, so real scaling is worse), Java factor 3.
+    kmers_java_bases_s = kmer_bases_s / JAVA_FACTOR * ALIGN_THREADS
+
+    # Config #5 multisample pileup scan: the reference's multi-sample
+    # caller is one single-threaded pileup walk over ALL samples'
+    # alignments (AlignmentsPileupGenerator) doing a CountsHelper update
+    # per aligned base per sample — same op mix as the single-sample call
+    # stage, so the same call_java rate applies (reads/s across samples).
+    multisample_java_reads_s = call_java
+
+    # Long reads: anchored on the short-read align stage's per-BASE rate.
+    # The reference's long-read path runs the SAME minimizer table with
+    # comparable per-base op density (lookups every ~5.5 bp, per-hit
+    # cluster objects, per-segment scalar DP at 2% error ~ a few hundred
+    # DP cells per base) — per-base cost >= the short-read path's, so
+    # converting align_java to bases/s and dividing by read length is a
+    # baseline GENEROUS to Java.  Cross-check: ~3e5 DP cells/read at a
+    # JIT-typical 1e8 cells/s plus per-hit object work lands in the same
+    # decade.
+    align_java_bases_s = align_java * READ_LEN
+    longread_java_reads_s = align_java_bases_s / 10_000.0
+
+    # Assembler: graph construction walks ~0.36*coverage hit pairs per
+    # genome base through per-read hashmaps (minor next to polishing);
+    # consensus+polishing re-aligns the full read set against the draft
+    # ~4 times (error-correction round + polish rounds + stabilization,
+    # Assembler.java:415 + ConsensusBuilderBidirectionalWithPolishing),
+    # i.e. 4*coverage aligned bases per genome base at the long-read
+    # aligner's rate.  Same structure as this repo's pipeline, so the
+    # ratio is apples-to-apples.
+    def assembler_java_bases_s(coverage: float) -> float:
+        pair_ops = 0.36 * coverage
+        pair_s = steps_per_s / JAVA_FACTOR * ALIGN_THREADS / pair_ops
+        polish_s = align_java_bases_s / (4.0 * coverage)
+        return 1.0 / (1.0 / pair_s + 1.0 / polish_s)
+
     result = {
         "fm_backward_steps_per_s_cspeed": round(steps_per_s, 0),
         "genotype_updates_per_s_cspeed": round(gt_per_s, 0),
@@ -147,8 +237,26 @@ def main() -> None:
         "align_reads_per_s_java_est": round(align_java, 0),
         "call_reads_per_s_java_est": round(call_java, 0),
         "pipeline_reads_per_s_java_est": round(pipeline, 0),
+        "kmer_bases_per_s_cspeed": round(kmer_bases_s, 0),
+        "dp_cells_per_s_cspeed": round(dp_cells_s, 0),
+        "per_config_java_est": {
+            "kmers_bases_per_s": round(kmers_java_bases_s, 0),
+            "multisample_reads_per_s": round(multisample_java_reads_s, 0),
+            "longread_reads_per_s": round(longread_java_reads_s, 1),
+            "assembler_bases_per_s_50x": round(assembler_java_bases_s(50), 0),
+            "assembler_bases_per_s_60x": round(assembler_java_bases_s(60), 0),
+            "assembler_bases_per_s_30x": round(assembler_java_bases_s(30), 0),
+            "assembler_bases_per_s_15x": round(assembler_java_bases_s(15), 0),
+        },
     }
     print(json.dumps(result, indent=2))
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_probe.json"
+    )
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=2)
 
 
 if __name__ == "__main__":

@@ -600,20 +600,28 @@ class LongReadsAligner:
         real = [j for j in jobs if j.sub_items is None]
         if not real:
             return
-        groups: dict[tuple[bool, bool, int, int], list[_SegJob]] = {}
+        # shape discipline: SQUARE 128/512 buckets, fixed 512-row chunks,
+        # pow2 chunk counts — the compile surface is ~6 base programs
+        # (2 sizes x 3 flag configs) x a few chunk counts, vs the former
+        # per-(Lq,Ls,rows) lattice whose first-encounter compiles dominated
+        # cold runs.  Padding small segments to 128/512 wastes cells, but
+        # the kernel runs ~6 GCell/s — ~1 s of slack at bench scale beats
+        # minutes of compiles.
+        groups: dict[tuple[bool, bool, int], list[_SegJob]] = {}
         for j in real:
-            bq = _row_bucket(max(1, j.q1 - j.q0), minimum=128)
-            bs = _row_bucket(max(1, j.s1 - j.s0), minimum=128)
+            span = max(j.q1 - j.q0, j.s1 - j.s0, 1)
+            bq = 128 if span <= 128 else SEG_LIMIT
             flags = (j.kind == "start", j.kind == "end")
-            groups.setdefault((flags[0], flags[1], bq, bs), []).append(j)
+            groups.setdefault((flags[0], flags[1], bq), []).append(j)
         self.dp_groups = getattr(self, "dp_groups", set()) | set(groups)
         concat_dev = self.genome.device_concat()
         codes_dev = jnp.asarray(codes_mat)
         pend = []
         with stage("lr.dp_dispatch"):
-            for (fs2, fe2, bq, bs), group in groups.items():
+            for (fs2, fe2, bq), group in groups.items():
+                bs = bq
                 n = len(group)
-                CH = min(1024, _row_bucket(n, minimum=128))
+                CH = 512
                 n_chunks = _row_bucket(-(-n // CH), minimum=1)
                 pad = CH * n_chunks
                 rows = np.zeros(pad, np.int32)

@@ -103,7 +103,13 @@ class SingleSampleVariantsDetector:
         alg_cnv: str = "CNVnator",  # ref: DEF_ALGORITHM_CNV (:75), comma list
         find_repeats: bool = False,
         known_repeats_file: str | None = None,
+        query_seq: str | None = None,  # ref: -querySeq/-first/-last region
+        query_first: int = 0,  # restriction (AlignmentsPileupGenerator
+        query_last: int = 0,  # .java:310-321 via indexed BAM reads)
     ):
+        self.query_seq = query_seq
+        self.query_first = int(query_first or 0)
+        self.query_last = int(query_last or 0)
         self.alg_cnv = alg_cnv
         self.find_repeats = find_repeats
         self.known_repeats_file = known_repeats_file
@@ -139,11 +145,30 @@ class SingleSampleVariantsDetector:
         (:589-656): read-depth CNV analysis (optional), then SNV/indel
         pileup genotyping; SVs additionally land in a GFF next to the VCF.
         """
+        region = None
+        if self.query_seq:
+            first = self.query_first or 1
+            last = self.query_last or self.genome.sequence_length(
+                self.query_seq
+            )
+            region = (self.query_seq, first, last)
         reader = ReadAlignmentFileReader(
-            alignments_file, min_mq=self.min_mq, skip_secondary=True
+            alignments_file, min_mq=self.min_mq, skip_secondary=True,
+            region=region,
         )
         alns = list(reader)
         records = self.find_variants(alns)
+        if region is not None:
+            # evidence from reads overlapping the region can support
+            # variants hanging past its edges; the deliverable is the
+            # records INSIDE the region (identical to the full run's
+            # records there)
+            records = [
+                r
+                for r in records
+                if r.variant.sequence_name == region[0]
+                and region[1] <= r.variant.first <= region[2]
+            ]
         svs = []
         # stage 1 (ref: findRepeats :607-612): repeat regions from
         # multi-mapping reads (or a known-repeats file) mask variant calls

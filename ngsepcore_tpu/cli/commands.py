@@ -581,6 +581,12 @@ register(
             Option("minSVQuality", "min_sv_quality", "int", 0,
                    "Min genotype quality for SV calls"),
             Option("knownSTRs", "known_strs_file", "str", None, "Known STRs file"),
+            Option("querySeq", "query_seq", "str", None,
+                   "Restrict calling to this sequence (indexed BAM reads)"),
+            Option("first", "query_first", "int", 0,
+                   "Region start (1-based, with -querySeq)"),
+            Option("last", "query_last", "int", 0,
+                   "Region end (inclusive, with -querySeq)"),
             Option("noRep", "find_repeats", "bool", False,
                    "Find repeats from multi-mapping reads and mask calls in them"),
             Option("knownRepeats", "known_repeats_file", "str", None,

@@ -47,10 +47,9 @@ class KmersExtractor:
         uniq, counts, n_unique = count_batch_kmers(
             codes, lengths, self.kmer_length, both_strands=not self.only_forward_strand
         )
-        n = int(n_unique)
-        uniq = np.asarray(uniq[:n], dtype=np.int64)
-        counts = np.asarray(counts[:n], dtype=np.int32)
-        self.kmers_map.merge_batch(uniq, counts)
+        # batches stay device-resident; KmersMap fetches lazily on first
+        # host access (distribution + distinct-count never need the fetch)
+        self.kmers_map.merge_batch_device(uniq, counts, int(n_unique))
 
     def process_codes_list(self, code_arrays: list[np.ndarray]) -> None:
         """Count k-mers of raw code arrays (variable length), chunking long ones."""

@@ -7,6 +7,13 @@ DefaultKmersMapImpl.java — hashmap).  Layout here: parallel sorted arrays
   * mergeable: per-batch device counts merge in O(n log n) host-side,
   * queryable on device: np/jnp.searchsorted + gather, no pointer chasing,
   * saturating at 32767 like the reference (ShortArrayDNAKmersMapImpl.java:61-68).
+
+Round 5: batches can stay DEVICE-RESIDENT (`merge_batch_device`) and are
+materialized to host lazily on first host access.  A 12 Mbp genome's
+spectrum is ~23M distinct k-mers = ~180 MB over the host link (~1.2 s of
+the former 5.9 s KmersExtractor wall); the common products — the count
+DISTRIBUTION (what the reference CLI writes) and the distinct-kmer count
+— now compute on device and fetch bytes instead.
 """
 from __future__ import annotations
 
@@ -18,26 +25,68 @@ SATURATION = 32767
 class KmersMap:
     def __init__(self, k: int):
         self.k = k
-        self.codes = np.empty(0, dtype=np.int64)
-        self.counts = np.empty(0, dtype=np.int32)
+        self._codes = np.empty(0, dtype=np.int64)
+        self._counts = np.empty(0, dtype=np.int32)
+        self._pending: list = []  # [(dev_uniq, dev_counts, n)]
 
+    # ---- lazy device-resident batches --------------------------------
+    @property
+    def codes(self) -> np.ndarray:
+        self._materialize()
+        return self._codes
+
+    @codes.setter
+    def codes(self, v) -> None:
+        self._codes = v
+
+    @property
+    def counts(self) -> np.ndarray:
+        self._materialize()
+        return self._counts
+
+    @counts.setter
+    def counts(self, v) -> None:
+        self._counts = v
+
+    def merge_batch_device(self, uniq_dev, counts_dev, n: int) -> None:
+        """Record a device-resident sorted (uniq, counts) run; host fetch
+        deferred until a host accessor needs the arrays."""
+        if n:
+            self._pending.append((uniq_dev, counts_dev, int(n)))
+
+    def _materialize(self) -> None:
+        if not self._pending:
+            return
+        import jax
+
+        pend, self._pending = self._pending, []
+        for u, c, n in pend:
+            self.merge_batch(
+                np.asarray(jax.device_get(u[:n]), dtype=np.int64),
+                np.asarray(jax.device_get(c[:n]), dtype=np.int32),
+            )
+
+    # ------------------------------------------------------------------
     def __len__(self) -> int:
-        return len(self.codes)
+        if self._pending and not len(self._codes) and len(self._pending) == 1:
+            return self._pending[0][2]
+        self._materialize()
+        return len(self._codes)
 
     @property
     def size(self) -> int:
-        return len(self.codes)
+        return len(self)
 
     def merge_batch(self, codes: np.ndarray, counts: np.ndarray) -> None:
         """Merge a sorted (codes, counts) run into the map."""
         if len(codes) == 0:
             return
-        if len(self.codes) == 0:
-            self.codes = codes.astype(np.int64)
-            self.counts = np.minimum(counts.astype(np.int32), SATURATION)
+        if len(self._codes) == 0:
+            self._codes = codes.astype(np.int64)
+            self._counts = np.minimum(counts.astype(np.int32), SATURATION)
             return
-        allc = np.concatenate([self.codes, codes.astype(np.int64)])
-        alln = np.concatenate([self.counts, counts.astype(np.int32)])
+        allc = np.concatenate([self._codes, codes.astype(np.int64)])
+        alln = np.concatenate([self._counts, counts.astype(np.int32)])
         order = np.argsort(allc, kind="stable")
         allc = allc[order]
         alln = alln[order]
@@ -47,38 +96,50 @@ class KmersMap:
         idx = np.cumsum(starts) - 1
         merged = np.zeros(idx[-1] + 1, dtype=np.int64)
         np.add.at(merged, idx, alln)
-        self.codes = allc[starts]
-        self.counts = np.minimum(merged, SATURATION).astype(np.int32)
+        self._codes = allc[starts]
+        self._counts = np.minimum(merged, SATURATION).astype(np.int32)
 
     def get_count(self, code_or_kmer) -> int:
         if isinstance(code_or_kmer, str):
             from ..kernels.kmers import encode_kmer
 
             code_or_kmer = encode_kmer(code_or_kmer)
-        i = np.searchsorted(self.codes, code_or_kmer)
-        if i < len(self.codes) and self.codes[i] == code_or_kmer:
+        codes = self.codes
+        i = np.searchsorted(codes, code_or_kmer)
+        if i < len(codes) and codes[i] == code_or_kmer:
             return int(self.counts[i])
         return 0
 
     def lookup(self, query_codes: np.ndarray) -> np.ndarray:
         """Vectorized count lookup for an array of codes (0 if absent)."""
-        idx = np.searchsorted(self.codes, query_codes)
-        idx = np.clip(idx, 0, max(0, len(self.codes) - 1))
-        if len(self.codes) == 0:
+        codes = self.codes
+        idx = np.searchsorted(codes, query_codes)
+        idx = np.clip(idx, 0, max(0, len(codes) - 1))
+        if len(codes) == 0:
             return np.zeros(len(query_codes), dtype=np.int32)
-        hit = self.codes[idx] == query_codes
+        hit = codes[idx] == query_codes
         return np.where(hit, self.counts[idx], 0).astype(np.int32)
 
     def filter_min_count(self, min_count: int) -> None:
         keep = self.counts >= min_count
-        self.codes = self.codes[keep]
-        self.counts = self.counts[keep]
+        self._codes = self._codes[keep]
+        self._counts = self._counts[keep]
 
     def count_distribution(self, max_count: int = 200) -> np.ndarray:
         """Histogram: dist[c] = number of distinct kmers with count c.
 
-        Ref: KmersExtractor distribution output (KmersMap.calculateAbundancesDistribution).
-        """
+        Ref: KmersExtractor distribution output
+        (KmersMap.calculateAbundancesDistribution).  With a single
+        device-resident batch the histogram computes on device and only
+        max_count+1 integers cross the host link."""
+        if self._pending and not len(self._codes) and len(self._pending) == 1:
+            import jax
+            import jax.numpy as jnp
+
+            _u, c, n = self._pending[0]
+            clipped = jnp.clip(c[:n], 0, max_count)
+            hist = jnp.bincount(clipped, length=max_count + 1)
+            return np.asarray(jax.device_get(hist), dtype=np.int64)
         clipped = np.minimum(self.counts, max_count)
         return np.bincount(clipped, minlength=max_count + 1)
 

@@ -51,16 +51,26 @@ class BGZFWriter:
     def __init__(self, path: str):
         self.fh = open(path, "wb")
         self.buf = bytearray()
+        self.coffset = 0  # compressed bytes flushed so far
+
+    def tell_virtual(self) -> int:
+        """BGZF virtual offset of the next byte written:
+        (compressed block offset << 16) | offset within the block."""
+        return (self.coffset << 16) | len(self.buf)
 
     def write(self, data: bytes) -> None:
         self.buf += data
         while len(self.buf) >= BGZF_BLOCK:
-            self.fh.write(_bgzf_block(bytes(self.buf[:BGZF_BLOCK])))
+            blk = _bgzf_block(bytes(self.buf[:BGZF_BLOCK]))
+            self.fh.write(blk)
+            self.coffset += len(blk)
             del self.buf[:BGZF_BLOCK]
 
     def close(self) -> None:
         if self.buf:
-            self.fh.write(_bgzf_block(bytes(self.buf)))
+            blk = _bgzf_block(bytes(self.buf))
+            self.fh.write(blk)
+            self.coffset += len(blk)
             self.buf.clear()
         self.fh.write(BGZF_EOF)
         self.fh.close()
@@ -177,6 +187,158 @@ class BAMWriter:
         self.close()
 
 
+# ---------------------------------------------------------------------------
+# BGZF block-level reading + a .bai-equivalent linear index.
+#
+# Ref: the reference restricts the caller to -querySeq/-first/-last through
+# htsjdk's indexed BAM reads (AlignmentsPileupGenerator.java:310-321,
+# ReadAlignmentFileReader.setLoadMode + query).  Here the index is the
+# standard linear-index idea from SAMv1 §5.1.3: for every 16 kb genome
+# window, the smallest BGZF virtual offset (compressed block offset << 16 |
+# within-block offset) among records OVERLAPPING the window — region reads
+# seek straight to that block and decode forward.  Stored as
+# <bam>.lidx.npz (numpy container; same information as .bai's linear
+# index, without the R-tree bins the pileup scan never needs).
+# ---------------------------------------------------------------------------
+
+LINEAR_SHIFT = 14  # 16 kb windows, same as .bai
+
+
+def _iter_bgzf_blocks(fh):
+    """Yield (compressed_offset, payload) for each BGZF block."""
+    while True:
+        coff = fh.tell()
+        header = fh.read(18)
+        if len(header) < 18:
+            return
+        if header[:2] != b"\x1f\x8b":
+            raise ValueError("not a BGZF stream")
+        xlen = struct.unpack_from("<H", header, 10)[0]
+        extra = header[12:18] + fh.read(max(0, xlen - 6))
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = extra[off], extra[off + 1], struct.unpack_from("<H", extra, off + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+                break
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BSIZE (cannot seek)")
+        rest = fh.read(bsize - 18 - (xlen - 6))
+        comp = rest[: len(rest) - 8]
+        payload = zlib.decompress(comp, -15)
+        if payload:
+            yield coff, payload
+
+
+def build_bam_index(path: str, index_path: str | None = None) -> str:
+    """Scan a BAM once and write the linear index.  Returns the index path."""
+    import numpy as np
+
+    index_path = index_path or path + ".lidx.npz"
+    with open(path, "rb") as fh:
+        blocks = _iter_bgzf_blocks(fh)
+        cur = bytearray()
+        starts: list[tuple[int, int]] = []  # (coff, within) per byte chunk
+        chunk_bounds: list[int] = []
+
+        def _pull(n: int) -> bool:
+            while len(cur) < n:
+                try:
+                    coff, payload = next(blocks)
+                except StopIteration:
+                    return False
+                starts.append((coff, 0))
+                chunk_bounds.append(len(cur))
+                cur.extend(payload)
+            return True
+
+        consumed = 0
+
+        def _voffset_at(pos_in_cur: int) -> int:
+            # map a position in the concatenated buffer to (coff, within)
+            t = len(chunk_bounds) - 1
+            while t > 0 and chunk_bounds[t] > pos_in_cur:
+                t -= 1
+            coff, _ = starts[t]
+            return (coff << 16) | (pos_in_cur - chunk_bounds[t])
+
+        def _consume(n: int) -> bytes:
+            nonlocal consumed
+            out = bytes(cur[:n])
+            del cur[:n]
+            shift = n
+            # rebase chunk bookkeeping
+            for t in range(len(chunk_bounds)):
+                chunk_bounds[t] -= shift
+            while len(chunk_bounds) > 1 and chunk_bounds[1] <= 0:
+                chunk_bounds.pop(0)
+                starts.pop(0)
+            return out
+
+        # header
+        assert _pull(8)
+        magic = _consume(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", _consume(4))
+        _pull(l_text + 4)
+        _consume(l_text)
+        (n_ref,) = struct.unpack("<i", _consume(4))
+        ref_lens = []
+        for _ in range(n_ref):
+            _pull(4)
+            (l_name,) = struct.unpack("<i", _consume(4))
+            _pull(l_name + 4)
+            _consume(l_name)
+            ref_lens.append(struct.unpack("<i", _consume(4))[0])
+        linear = [
+            np.full(max(1, (rl >> LINEAR_SHIFT) + 1), -1, np.int64)
+            for rl in ref_lens
+        ]
+        while True:
+            if not _pull(4):
+                break
+            voff = _voffset_at(0)
+            (block_size,) = struct.unpack("<i", _consume(4))
+            if not _pull(block_size):
+                break
+            body = _consume(block_size)
+            ref_id, pos = struct.unpack_from("<ii", body, 0)
+            if ref_id < 0 or pos < 0:
+                continue
+            n_cigar = struct.unpack_from("<H", body, 12)[0]
+            l_read_name = body[8]
+            span = 0
+            off2 = 32 + l_read_name
+            for t in range(n_cigar):
+                (v,) = struct.unpack_from("<I", body, off2 + 4 * t)
+                if _CIGAR_OPS[v & 0xF] in "MDN=X":
+                    span += v >> 4
+            end = pos + max(1, span)
+            li = linear[ref_id]
+            w0, w1 = pos >> LINEAR_SHIFT, (end - 1) >> LINEAR_SHIFT
+            for w in range(w0, min(w1, len(li) - 1) + 1):
+                if li[w] < 0 or voff < li[w]:
+                    li[w] = voff
+        # fill missing windows with the next known offset so lookups on
+        # sparse coverage still land before the region
+        for li in linear:
+            nxt = -1
+            for w in range(len(li) - 1, -1, -1):
+                if li[w] < 0:
+                    li[w] = nxt
+                else:
+                    nxt = li[w]
+        np.savez(
+            index_path,
+            n_ref=np.int64(n_ref),
+            **{f"lin{i}": li for i, li in enumerate(linear)},
+        )
+    return index_path
+
+
 class BAMReader:
     """Iterates ReadAlignment records from a BAM file (filters like
     io.sam.ReadAlignmentFileReader)."""
@@ -234,6 +396,116 @@ class BAMReader:
                 if aln.alignment_quality < self.min_mq:
                     continue
                 yield aln
+
+    def _read_header_meta(self) -> str:
+        """Populate sequence names/lengths/read groups; returns the @HD
+        sort order ('coordinate' when the file is position-sorted)."""
+        so = ""
+        with gzip.open(self.path, "rb") as fh:
+            if fh.read(4) != b"BAM\x01":
+                raise ValueError(f"{self.path}: not a BAM file")
+            (l_text,) = struct.unpack("<i", fh.read(4))
+            text = fh.read(l_text).decode(errors="replace")
+            for line in text.splitlines():
+                if line.startswith("@HD") and "SO:" in line:
+                    so = line.split("SO:")[1].split("\t")[0].strip()
+                if line.startswith("@RG"):
+                    fields = dict(
+                        f.split(":", 1) for f in line.split("\t")[1:] if ":" in f
+                    )
+                    self.read_groups[fields.get("ID", "")] = fields.get(
+                        "SM", fields.get("ID", "")
+                    )
+            (n_ref,) = struct.unpack("<i", fh.read(4))
+            self.sequence_names = []
+            self.sequence_lengths = []
+            for _ in range(n_ref):
+                (l_name,) = struct.unpack("<i", fh.read(4))
+                self.sequence_names.append(fh.read(l_name)[:-1].decode())
+                (l_ref,) = struct.unpack("<i", fh.read(4))
+                self.sequence_lengths.append(l_ref)
+        return so
+
+    def iter_region(
+        self, seq_name: str, first: int, last: int
+    ) -> Iterator[ReadAlignment]:
+        """Alignments overlapping [first, last] (1-based inclusive) of
+        `seq_name`, via the linear index (built on first use) — the
+        equivalent of htsjdk's indexed query behind the reference's
+        -querySeq/-first/-last flags
+        (AlignmentsPileupGenerator.java:310-321).  Falls back to a full
+        filtered scan when the file is not coordinate-sorted."""
+        import os
+
+        import numpy as np
+
+        so = self._read_header_meta()
+        if seq_name not in self.sequence_names:
+            return
+        if so != "coordinate":
+            for aln in self:
+                if (
+                    aln.sequence_name == seq_name
+                    and aln.first <= last
+                    and aln.last >= first
+                ):
+                    yield aln
+            return
+        ref_id = self.sequence_names.index(seq_name)
+        idx_path = self.path + ".lidx.npz"
+        if not os.path.exists(idx_path):
+            build_bam_index(self.path, idx_path)
+        idx = np.load(idx_path)
+        li = idx[f"lin{ref_id}"]
+        w = min(max(0, (first - 1) >> LINEAR_SHIFT), len(li) - 1)
+        voff = int(li[w])
+        if voff < 0:
+            return
+        coff, within = voff >> 16, voff & 0xFFFF
+        with open(self.path, "rb") as fh:
+            fh.seek(coff)
+            blocks = _iter_bgzf_blocks(fh)
+            cur = bytearray()
+
+            def _pull(n: int) -> bool:
+                while len(cur) < n:
+                    try:
+                        _, payload = next(blocks)
+                    except StopIteration:
+                        return False
+                    cur.extend(payload)
+                return True
+
+            if not _pull(within):
+                return
+            del cur[:within]
+            while True:
+                if not _pull(4):
+                    return
+                (block_size,) = struct.unpack("<i", bytes(cur[:4]))
+                del cur[:4]
+                if not _pull(block_size):
+                    return
+                body = bytes(cur[:block_size])
+                del cur[:block_size]
+                rid, pos = struct.unpack_from("<ii", body, 0)
+                if rid != ref_id:
+                    if rid > ref_id or rid < 0:
+                        return
+                    continue
+                if pos + 1 > last:
+                    return  # coordinate-sorted: nothing later overlaps
+                aln = self._decode(body)
+                if aln is None:
+                    continue
+                if self.skip_unmapped and aln.is_unmapped:
+                    continue
+                if self.skip_secondary and aln.is_secondary:
+                    continue
+                if aln.alignment_quality < self.min_mq:
+                    continue
+                if aln.first <= last and aln.last >= first:
+                    yield aln
 
     def _decode(self, body: bytes) -> ReadAlignment | None:
         (

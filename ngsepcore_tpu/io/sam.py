@@ -79,11 +79,17 @@ class ReadAlignmentFileReader:
         min_mq: int = 0,
         skip_secondary: bool = True,
         skip_unmapped: bool = True,
+        region: tuple[str, int, int] | None = None,
     ):
         self.path = path
         self.min_mq = min_mq
         self.skip_secondary = skip_secondary
         self.skip_unmapped = skip_unmapped
+        # (seq_name, first, last) 1-based inclusive: restrict iteration to
+        # alignments overlapping the region (ref: -querySeq/-first/-last,
+        # AlignmentsPileupGenerator.java:310-321).  BAM inputs use the
+        # linear index (io.bam.iter_region); SAM text streams filter.
+        self.region = region
         self.sequence_names: list[str] = []
         self.sequence_lengths: list[int] = []
         self.read_groups: dict[str, str] = {}  # rg id -> sample
@@ -118,7 +124,10 @@ class ReadAlignmentFileReader:
             self.sequence_names = r.sequence_names
             self.sequence_lengths = r.sequence_lengths
             self.read_groups = r.read_groups
-            yield from r
+            if self.region is not None:
+                yield from r.iter_region(*self.region)
+            else:
+                yield from r
             return
         with _open_text(self.path) as fh:
             for line in fh:
@@ -134,6 +143,14 @@ class ReadAlignmentFileReader:
                     continue
                 if aln.alignment_quality < self.min_mq:
                     continue
+                if self.region is not None:
+                    rseq, rf, rl = self.region
+                    if (
+                        aln.sequence_name != rseq
+                        or aln.first > rl
+                        or aln.last < rf
+                    ):
+                        continue
                 yield aln
 
 

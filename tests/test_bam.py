@@ -112,3 +112,109 @@ def test_unmapped_and_secondary_filters(tmp_path, seqs):
     assert [a.read_name for a in got] == ["p"]
     got_all = list(BAMReader(path, skip_secondary=False, skip_unmapped=False))
     assert len(got_all) == 3
+
+
+def test_indexed_region_query(tmp_path, seqs):
+    """Linear-index region reads return exactly the overlap set of a full
+    scan (ref: -querySeq/-first/-last via htsjdk indexed reads,
+    AlignmentsPileupGenerator.java:310-321)."""
+    import numpy as np
+
+    from ngsepcore_tpu.io.bam import build_bam_index
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "sorted.bam")
+    alns = []
+    for s in ("chr1", "chr2"):
+        L = 4000 if s == "chr1" else 2000
+        firsts = np.sort(rng.integers(1, L - 20, 300))
+        for i, f in enumerate(firsts):
+            alns.append(_aln(f"{s}_{i}", s, int(f), [(10, "M")]))
+    with BAMWriter(seqs, path, sort_order="coordinate") as w:
+        for a in alns:
+            w.write(a)
+    build_bam_index(path)
+    for region in (("chr1", 500, 900), ("chr1", 1, 50), ("chr2", 1500, 2000)):
+        got = [
+            (a.read_name, a.first)
+            for a in BAMReader(path).iter_region(*region)
+        ]
+        want = [
+            (a.read_name, a.first)
+            for a in BAMReader(path)
+            if a.sequence_name == region[0]
+            and a.first <= region[2]
+            and a.last >= region[1]
+        ]
+        assert got == want, region
+
+
+def test_region_restricted_calling(tmp_path):
+    """-querySeq/-first/-last run produces exactly the full run's records
+    within the region (VERDICT r5 #8 done criterion)."""
+    import numpy as np
+
+    from ngsepcore_tpu.align.reads_aligner import ReadsAligner
+    from ngsepcore_tpu.call.single_sample import SingleSampleVariantsDetector
+    from ngsepcore_tpu.core.genome import ReferenceGenome
+    from ngsepcore_tpu.io.sam import ReadAlignmentFileWriter
+    from ngsepcore_tpu.simulation.individual_simulator import (
+        SingleIndividualSimulator,
+    )
+    from ngsepcore_tpu.simulation.reads_simulator import SingleReadsSimulator
+
+    rng = np.random.default_rng(9)
+    L = 60_000
+    sl = QualifiedSequenceList()
+    sl.add(
+        QualifiedSequence(
+            name="chr1", codes=rng.integers(0, 4, L).astype(np.int8)
+        )
+    )
+    genome = ReferenceGenome(sl)
+    sim = SingleIndividualSimulator(genome, snv_rate=0.002, indel_rate=0.0003, seed=3)
+    sim.simulate()
+    hap = sim.build_haplotype_genomes()
+    reads = []
+    for h, hg in enumerate(hap):
+        reads.extend(
+            SingleReadsSimulator(
+                hg, read_length=120, substitution_error_rate=0.002, seed=4 + h
+            ).simulate(L * 15 // 120 // 2)
+        )
+    aligner = ReadsAligner(genome)
+    sam = str(tmp_path / "alns.bam")
+    alns = []
+    for i in range(0, len(reads), 4096):
+        for group in aligner.align_batch(reads[i : i + 4096]):
+            alns.extend(group)
+    alns.sort(key=lambda a: (a.sequence_name, a.first))
+    with ReadAlignmentFileWriter(genome.sequences, sam, sort_order="coordinate") as w:
+        for a in alns:
+            w.write(a)
+
+    full = SingleSampleVariantsDetector(genome, sample_id="s")
+    n_full = full.run(sam, str(tmp_path / "full.vcf"))
+    region = ("chr1", 20_000, 40_000)
+    part = SingleSampleVariantsDetector(
+        genome, sample_id="s", query_seq=region[0],
+        query_first=region[1], query_last=region[2],
+    )
+    n_part = part.run(sam, str(tmp_path / "part.vcf"))
+
+    def _records(path, lo=None, hi=None):
+        out = []
+        for line in open(path):
+            if line.startswith("#"):
+                continue
+            f = line.split("\t")
+            pos = int(f[1])
+            if lo is not None and not (lo <= pos <= hi):
+                continue
+            out.append((f[0], pos, f[3], f[4], f[9].split(":")[0]))
+        return out
+
+    want = _records(str(tmp_path / "full.vcf"), region[1], region[2])
+    got = _records(str(tmp_path / "part.vcf"))
+    assert got == want
+    assert len(got) > 3  # the region really contains variants
