@@ -561,7 +561,9 @@ class ReadsAligner:
         # padded row is a fully-computed frozen step (150bp reads at
         # 64-granularity ran 192 scan rows; 16-granularity runs 160)
         Lq = -(-int(qlen.max()) // 16) * 16
-        Ls = -(-int(sl_all.max()) // 64) * 64
+        # 128-granular subject width: the Pallas forward engages only on
+        # lane-aligned shapes (falls back to the XLA scan otherwise)
+        Ls = -(-int(sl_all.max()) // 128) * 128
         self.dp_cells += pad * Lq * Ls
 
         def padded(a, dtype=np.int32):

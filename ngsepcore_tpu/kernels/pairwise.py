@@ -401,6 +401,29 @@ def affine_gap_align_runs(
     _, Ls = subject.shape
     R = walk_runs if walk_runs is not None else _walk_runs_for(Lq)
 
+    # Pallas forward (VMEM-resident carries) when the backend and shapes
+    # allow; the run-jump walk below consumes the same plane either way
+    use_pallas = (
+        not free_start1
+        and not free_end1
+        and _pallas_available()
+        and B % 256 == 0
+        and Ls % 128 == 0
+    )
+    if use_pallas:
+        from .pairwise_pallas import gotoh_forward_plane_pallas
+
+        plane, score, end_j, start_k = gotoh_forward_plane_pallas(
+            query, qlen, subject, slen,
+            match=match, mismatch=mismatch,
+            open_gap=open_gap, ext_gap=ext_gap,
+            free_start2=free_start2, free_end2=free_end2,
+        )
+        end_i = qlen
+        return _runs_from_plane(
+            plane, score, end_i, end_j, start_k, B, R, free_start2, _stage
+        )
+
     jj = jnp.arange(Ls + 1, dtype=jnp.int32)
 
     m0 = jnp.broadcast_to(
@@ -554,6 +577,24 @@ def affine_gap_align_runs(
     if _stage == "plane":
         return {"score": score, "_p": plane.sum()}
 
+    return _runs_from_plane(
+        plane, score, end_i, end_j, start_k, B, R, free_start2, _stage
+    )
+
+
+def _pallas_available() -> bool:
+    """True when the active backend can run the Pallas TPU kernel."""
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _runs_from_plane(plane, score, end_i, end_j, start_k, B, R, free_start2, _stage):
+    """Run-jump traceback + merge over a (Lq, B, Ls) pointer/run plane
+    (shared by the XLA-scan and Pallas forward passes)."""
     emit_lead_del = not free_start2
     bb = jnp.arange(B, dtype=jnp.int32)
 
@@ -588,7 +629,12 @@ def affine_gap_align_runs(
 
     (fi, fj, fk, _), (rlen_rev, rop_rev) = jax.lax.scan(
         walk_step,
-        (end_i, end_j, start_k, jnp.zeros((B,), bool)),
+        (
+            end_i.astype(jnp.int32),
+            end_j.astype(jnp.int32),
+            start_k.astype(jnp.int32),
+            jnp.zeros((B,), bool),
+        ),
         None,
         length=R,
     )
