@@ -96,6 +96,50 @@ class AlnTable:
         )
 
     # ------------------------------------------------------------------
+    def device_calls(self):
+        """Device-resident position-sorted packed base calls for the whole
+        sequence (kernels/genotyping.expand_mrun_calls): uploads the run
+        table + flat codes/quals (~2 bytes per call) and expands/sorts on
+        device — the host expansion of ~14M calls (expand_calls) plus its
+        per-window pk packing/upload (~4 bytes per call) drop out.
+
+        Returns {"pos": dev int32 ascending, "attr": dev int32,
+        "n": int} or None when the table is empty."""
+        import jax.numpy as jnp
+
+        from ..kernels.genotyping import expand_mrun_calls
+
+        if len(self.run_len) == 0:
+            return None
+        # realigner end-trims at run granularity (same [ig5, len-ig3)
+        # read-coordinate interval expand_calls enforces per base)
+        lo = self.ig5[self.run_aln]
+        hi = (self.lens - self.ig3)[self.run_aln]
+        ns = np.maximum(self.run_read, lo)
+        delta = ns - self.run_read
+        ne = np.minimum(self.run_read + self.run_len, hi)
+        ln = ne - ns
+        keep = ln > 0
+        if not keep.any():
+            return None
+        run_ref = (self.run_ref + delta)[keep].astype(np.int32)
+        run_src = (self.off[self.run_aln] + ns)[keep].astype(np.int32)
+        run_len = ln[keep].astype(np.int32)
+        run_strand = self.neg[self.run_aln][keep].astype(np.int32)
+        total = int(run_len.sum())
+        N = 1 << 14
+        while N < total:
+            N <<= 1
+        pos, attr, _ = expand_mrun_calls(
+            jnp.asarray(run_ref), jnp.asarray(run_src),
+            jnp.asarray(run_len), jnp.asarray(run_strand),
+            jnp.asarray(self.codes_flat),
+            jnp.asarray(self.qflat.astype(np.int8)),
+            N=N,
+        )
+        return {"pos": pos, "attr": attr, "n": total}
+
+    # ------------------------------------------------------------------
     def expand_calls(self):
         """All match-segment base calls as flat (ref_pos 1-based, allele
         code, phred qual, strand) arrays — the columnar equivalent of

@@ -1099,9 +1099,9 @@ class AlignCallPipeline:
 
         # per-sequence host work shared by both genotype paths: realign
         # (mutates host objects, writes array-read trims), indel-site
-        # genotyping over merged host+array spanning calls, host base-call
-        # expansion.  Precomputed HERE so compaction sees the final trims.
-        from ..kernels.genotyping import MAX_BASE_QS
+        # genotyping over merged host+array spanning calls, device
+        # base-call expansion.  Precomputed HERE so compaction sees the
+        # final trims.
         from .aln_table import AlnTable
         from .realigner import IndelRealigner
 
@@ -1137,15 +1137,12 @@ class AlignCallPipeline:
                     else []
                 )
             with stage("call.expand_host_calls"):
-                pos, allele, qual, strand = table.expand_calls()
-                o = np.argsort(pos, kind="stable")
-            self._seq_host[si] = (
-                indel_records,
-                pos[o],
-                np.clip(qual[o], 0, MAX_BASE_QS).astype(np.int32),
-                allele[o].astype(np.int32),
-                strand[o].astype(np.int32),
-            )
+                # device expansion: the run table + flat codes/quals
+                # upload once per sequence; per-base expansion, packing
+                # and the position sort all happen on device
+                # (kernels/genotyping.expand_mrun_calls)
+                devc = table.device_calls()
+            self._seq_host[si] = (indel_records, devc)
 
         # per-sequence windows: accumulate both paths into shared device
         # tensors, genotype sparsely
@@ -1512,6 +1509,31 @@ class AlignCallPipeline:
         # compaction)
         seq_host = self._seq_host
 
+        # per-window call-array bounds, one device searchsorted + one
+        # small fetch per sequence (the per-window host searchsorted over
+        # a 14M-entry array is gone with the host expansion)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from ..kernels.genotyping import window_pk_slice
+
+        win_bounds: dict[tuple[int, int], tuple[int, int]] = {}
+        for si in range(genome.num_sequences):
+            devc = seq_host[si][1]
+            if devc is None:
+                continue
+            ws = [wd for wd in win_desc if wd[0] == si]
+            if not ws:
+                continue
+            edges = np.array([w[2] for w in ws] + [ws[-1][3] + 1], np.int32)
+            bnd = np.asarray(
+                _jax.device_get(
+                    _jnp.searchsorted(devc["pos"], _jnp.asarray(edges))
+                )
+            )
+            for t, w in enumerate(ws):
+                win_bounds[(si, w[2])] = (int(bnd[t]), int(bnd[t + 1]))
+
         from ..utils.progress import check as _progress_check
 
         records: list[VCFRecord] = []
@@ -1536,13 +1558,12 @@ class AlignCallPipeline:
 
             pending = []
             for si, name, w0, w1, w0c, window in wds:
-                indel_records, pos, qual_p, al_p, st_p = seq_host[si]
+                indel_records, devc = seq_host[si]
                 w1c = w0c + (w1 - w0)
                 rlo = np.searchsorted(res_pred, w0c - Lp, side="right")
                 rhi = np.searchsorted(res_pred, w1c, side="right")
                 n_res = int(rhi - rlo)
-                plo = np.searchsorted(pos, w0, side="left")
-                phi = np.searchsorted(pos, w1, side="right")
+                plo, phi = win_bounds.get((si, w0), (0, 0))
                 # fused coverage of this window (rank-0 reads whose lanes
                 # can reach it)
                 flo = np.searchsorted(r0_pred, w0c - Lp, side="right")
@@ -1550,19 +1571,14 @@ class AlignCallPipeline:
                 if phi == plo and n_res == 0 and fhi == flo:
                     continue  # no evidence touches this window
                 if phi > plo:
-                    pk = (
-                        (pos[plo:phi] - w0).astype(np.int32)
-                        | (qual_p[plo:phi] << 20)
-                        | (al_p[plo:phi] << 25)
-                        | (st_p[plo:phi] << 28)
-                    )
-                    pk = np.where(al_p[plo:phi] >= 0, pk, -1)
+                    n_pk = phi - plo
                     size = next(
-                        (s for s in PK_LADDER if s >= len(pk)),
-                        -(-len(pk) // PK_LADDER[-1]) * PK_LADDER[-1],
+                        (s for s in PK_LADDER if s >= n_pk),
+                        -(-n_pk // PK_LADDER[-1]) * PK_LADDER[-1],
                     )
-                    pk = np.pad(
-                        pk, (0, size - len(pk)), constant_values=-1
+                    pk = window_pk_slice(
+                        devc["pos"], devc["attr"], np.int32(plo),
+                        np.int32(w0), np.int32(n_pk), size=size,
                     )
                 else:
                     pk = empty_pk
@@ -1664,17 +1680,31 @@ class AlignCallPipeline:
         het = np.float64(det.heterozygosity_rate)
         minq = np.int32(det.min_quality)
         empty_pk = np.full(CALL_CHUNK, -1, np.int32)
+        from ..kernels.genotyping import window_pk_slice
+
         for si in range(genome.num_sequences):
             name = genome.sequence_name(si)
             seq_len = genome.sequence_length(si)
             base = int(offs[si])
             # per-sequence host work precomputed in _call (trims precede
             # compaction)
-            indel_records, pos, qual_p, al_p, st_p = self._seq_host[si]
+            indel_records, devc = self._seq_host[si]
 
             window = _window_for(seq_len)
+            # window bounds into the device call arrays: one searchsorted
+            # + one small fetch per sequence
+            w_starts = list(range(1, seq_len + 1, window))
+            if devc is not None:
+                import jax as _jax
+
+                edges = np.array(w_starts + [seq_len + 1], np.int32)
+                bnd = np.asarray(
+                    _jax.device_get(
+                        jnp.searchsorted(devc["pos"], jnp.asarray(edges))
+                    )
+                )
             seq_records: list[VCFRecord] = []
-            for w0 in range(1, seq_len + 1, window):
+            for wi, w0 in enumerate(w_starts):
                 w1 = min(seq_len, w0 + window - 1)
                 w0_concat = base + w0 - 1  # 0-based concat of window start
                 # fused-path span: reads sorted by pred, so the rows that can
@@ -1697,20 +1727,17 @@ class AlignCallPipeline:
                 # host-path packed calls for this window (one fixed chunk;
                 # shapes beyond one chunk grow by whole chunks, so the rare
                 # ultra-deep window costs one extra compile, not one per size)
-                lo = np.searchsorted(pos, w0, side="left")
-                hi = np.searchsorted(pos, w1, side="right")
+                if devc is not None:
+                    lo, hi = int(bnd[wi]), int(bnd[wi + 1])
+                else:
+                    lo = hi = 0
                 if hi > lo:
-                    pk = (
-                        (pos[lo:hi] - w0).astype(np.int32)
-                        | (qual_p[lo:hi] << 20)
-                        | (al_p[lo:hi] << 25)
-                        | (st_p[lo:hi] << 28)
-                    )
-                    pk = np.where(al_p[lo:hi] >= 0, pk, -1)
-                    n_chunks = -(-len(pk) // CALL_CHUNK)
-                    pk = np.pad(
-                        pk, (0, n_chunks * CALL_CHUNK - len(pk)),
-                        constant_values=-1,
+                    n_pk = hi - lo
+                    n_chunks = -(-n_pk // CALL_CHUNK)
+                    pk = window_pk_slice(
+                        devc["pos"], devc["attr"], np.int32(lo),
+                        np.int32(w0), np.int32(n_pk),
+                        size=n_chunks * CALL_CHUNK,
                     )
                 elif count == 0:
                     continue  # no evidence touches this window

@@ -173,6 +173,57 @@ def accumulate_allele_counts(
     return counts, strand_counts, low_qual, total
 
 
+@partial(jax.jit, static_argnames=("N",))
+def expand_mrun_calls(
+    run_ref,  # (R,) int32 1-based seq position of each M-run start
+    run_src,  # (R,) int32 offset of the run's first base in codes_flat
+    run_len,  # (R,) int32 run length (ig5/ig3 trims pre-applied)
+    run_strand,  # (R,) int32 1 = negative strand
+    codes_flat,  # (C,) int8 concatenated read codes
+    qflat,  # (C,) int8 per-base phred quals
+    *,
+    N: int,
+):
+    """Expand per-alignment M-runs into position-sorted packed base calls
+    ON DEVICE — replaces the host pileup expansion of ~14M calls per
+    sequence (call/aln_table.expand_calls, the former
+    `call.expand_host_calls` stage) with one segmented-expand + sort.
+
+    Returns (pos (N,) int32 ascending 1-based, attr (N,) int32, total):
+    attr = qual(5b) | allele(3b)<<5 | strand<<8 — shifted left 20 at
+    window-slice time it reproduces the span/hist kernels' pk layout
+    (rel | qual<<20 | allele<<25 | strand<<28).  Slots past `total` carry
+    pos=2^30-1 / attr=-1 so they sort last and scatter as no-ops."""
+    R = run_len.shape[0]
+    cum = jnp.cumsum(run_len.astype(jnp.int32))
+    total = cum[-1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    rid = jnp.searchsorted(cum, idx, side="right")
+    ridc = jnp.clip(rid, 0, R - 1)
+    o = idx - (cum[ridc] - run_len[ridc])
+    valid = idx < total
+    pos = jnp.where(valid, run_ref[ridc] + o, jnp.int32(0x3FFFFFFF))
+    src = jnp.clip(run_src[ridc] + o, 0, codes_flat.shape[0] - 1)
+    code = jnp.clip(codes_flat[src].astype(jnp.int32), 0, 7)
+    qq = jnp.clip(qflat[src].astype(jnp.int32), 0, MAX_BASE_QS)
+    attr = qq | (code << 5) | (run_strand[ridc].astype(jnp.int32) << 8)
+    attr = jnp.where(valid, attr, -1)
+    order = jnp.argsort(pos)
+    return pos[order], attr[order], total
+
+
+@partial(jax.jit, static_argnames=("size",))
+def window_pk_slice(pos, attr, lo, w0, count, *, size):
+    """Per-window packed-call buffer from the device-resident sorted call
+    arrays: pk[i] = (pos[lo+i] - w0) | attr[lo+i] << 20 for i < count,
+    -1 padding to the static `size` (the callers' chunk/ladder shapes)."""
+    k = jnp.arange(size, dtype=jnp.int32)
+    idx = jnp.clip(lo + k, 0, pos.shape[0] - 1)
+    a = attr[idx]
+    pk = (pos[idx] - w0) | (a << 20)
+    return jnp.where((k < count) & (a >= 0), pk, -1)
+
+
 def _packed_scatter_body(counts, strand_counts, low_qual, total, packed):
     """Shared body: scatter packed calls into flat count tensors (see
     accumulate_allele_counts_packed for the packing layout)."""

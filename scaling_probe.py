@@ -97,9 +97,13 @@ def main() -> None:
         pipe.run_reads(reads)  # warmup/compile
         profiling.enable(True)
         profiling.reset()
-        t0 = time.perf_counter()
-        records = pipe.run_reads(reads)
-        dt = time.perf_counter() - t0
+        # best-of-2: the virtual mesh time-shares 2 physical cores with
+        # the rest of the machine, and single-run walls swing ~12%
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            records = pipe.run_reads(reads)
+            dt = min(dt, time.perf_counter() - t0)
         print(f"--- stage ledger at n={n_dev} ---", file=sys.stderr)
         profiling.report(fh=sys.stderr)
         profiling.enable(False)
