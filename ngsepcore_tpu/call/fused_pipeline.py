@@ -1696,6 +1696,7 @@ class AlignCallPipeline:
             w_starts = list(range(1, seq_len + 1, window))
             if devc is not None:
                 import jax as _jax
+                import jax.numpy as jnp
 
                 edges = np.array(w_starts + [seq_len + 1], np.int32)
                 bnd = np.asarray(
