@@ -23,6 +23,11 @@ class AlnTable:
     )
 
     def __init__(self, alns, gorder=None):
+        import time as _time
+
+        from ..utils import profiling
+
+        _t0 = _time.perf_counter()
         A = len(alns)
         self.n = A
         if gorder is None:
@@ -42,6 +47,8 @@ class AlnTable:
         self.neg = np.fromiter(
             ((a.flags >> 4) & 1 for a in alns), np.int8, A
         )  # FLAG_READ_REVERSE = 16
+        profiling.add("alntab.cols", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         run_counts = np.empty(A, np.int64)
         runs_all: list = []
         for i, a in enumerate(alns):
@@ -58,6 +65,8 @@ class AlnTable:
         self.run_len = runs_np[:, 2]
         self.run_aln = np.repeat(np.arange(A, dtype=np.int64), run_counts)
         self.run_keys = (self.run_aln << 34) | self.run_ref
+        profiling.add("alntab.mruns", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         self.codes_flat = (
             np.concatenate([a.read_codes for a in alns])
             if A
@@ -77,6 +86,7 @@ class AlnTable:
             ).astype(np.int16)
             - 33
         )
+        profiling.add("alntab.flat", _time.perf_counter() - _t0)
 
     # ------------------------------------------------------------------
     def read_pos(self, pa: np.ndarray, pos: np.ndarray) -> np.ndarray:

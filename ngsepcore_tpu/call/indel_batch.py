@@ -22,7 +22,10 @@ from __future__ import annotations
 
 import numpy as np
 
+import time as _time
+
 from ..core.sequences import decode_dna, encode_dna
+from ..utils import profiling
 from ..math.phred import MAX_PHRED
 from ..variants.model import CalledGenomicVariant, TYPE_INDEL, TYPE_STR
 from ..vcf.io import VCFRecord
@@ -36,6 +39,7 @@ from .indels import (
     _split_by_variant_sites,
     call_indel,
     cluster_allele_calls,
+    lik_sel_lut,
 )
 
 A_MAX = 8  # dense allele slots per site (sites needing more -> scalar path)
@@ -229,6 +233,7 @@ def call_indels_batched(
         table = AlnTable(alns, gorder)
 
     # ---- phase 1: collect spanning-call pairs ---------------------------
+    _t0 = _time.perf_counter()
     hps, hsrc0, hplen, hfirst, hgord, hneg = _collect_host_pairs(
         site_first, site_last, table
     )
@@ -285,6 +290,8 @@ def call_indels_batched(
     quals_pad = quals_pad[po]
 
     m_s = np.bincount(ps, minlength=S)
+    _t1 = _time.perf_counter()
+    profiling.add("indel.p1_collect", _t1 - _t0)
 
     # ---- phase 2: per-site allele discovery -----------------------------
     max_bq = 30
@@ -410,14 +417,17 @@ def call_indels_batched(
             a_codes[t, :L] = enc[o : o + L]
             o += L
 
+    _t2 = _time.perf_counter()
+    profiling.add("indel.p2_alleles", _t2 - _t1)
+
     # ---- phase 3: likelihoods + assignment + logcond --------------------
     ERR = LOG_ERROR_PROB_INDEL
-    q = np.minimum(quals_pad.astype(np.int64), max_bq)
-    okq = (q >= MIN_BASE_QS) & (kk < plen[:, None])
-    with np.errstate(divide="ignore"):
-        e = 10.0 ** (-0.1 * q)
-        log_match = np.where(okq, np.log10(1.0 - e), 0.0)
-    log_mis = np.where(okq, -0.1 * q - np.log10(3.0), 0.0)
+    q8 = np.minimum(quals_pad, max_bq).astype(np.int16)
+    okq = (q8 >= MIN_BASE_QS) & (kk < plen[:, None])
+    # per-pair LUT index halves (match bit added per join row below); the
+    # fused gather is bit-identical to the former inline pow/log10 pass
+    sel_lut = lik_sel_lut(max_bq)
+    qsel = q8 | (okq.astype(np.int16) << 6)
 
     # same-length (pair x allele) join via sorted allele keys
     a_key = a_site * Lbig + a_len
@@ -434,13 +444,16 @@ def call_indels_batched(
         cum = np.zeros(P, np.int64)
         np.cumsum(jcnt[:-1], out=cum[1:])
         ja = a_order[jlo[jp] + (np.arange(J, dtype=np.int64) - cum[jp])]
-        CH = 1 << 18
+        # chunk so the (rows x Lmax) float64 intermediate stays cache-sized
+        CH = max(4096, (1 << 21) // max(int(Lmax), 1))
         for c0 in range(0, J, CH):
             c1 = min(J, c0 + CH)
             jpc = jp[c0:c1]
             jac = ja[c0:c1]
             match = codes_pad[jpc] == a_codes[jac]
-            lc = np.where(match, log_match[jpc], log_mis[jpc]).sum(axis=1)
+            lc = sel_lut[
+                qsel[jpc] | (match.astype(np.int16) << 5)
+            ].sum(axis=1)
             np.maximum(lc, ERR, out=lc)
             lca[jpc, a_local[jac]] = lc
             km = kk < plen[jpc][:, None]
@@ -491,6 +504,9 @@ def call_indels_batched(
     logcond = off
     logcond[:, eye] = diag
 
+    _t3 = _time.perf_counter()
+    profiling.add("indel.p3_lik", _t3 - _t2)
+
     # ---- phase 4: posteriors + decision ---------------------------------
     ns = np.maximum(n_s, 1)
     het = det.heterozygosity_rate
@@ -526,6 +542,9 @@ def call_indels_batched(
             bj = np.where(upd, j, bj)
     gq = _phred_vec(np.maximum(0.0, 1.0 - bestp))
     vqs = _phred_vec(post[:, 0, 0])
+
+    _t4 = _time.perf_counter()
+    profiling.add("indel.p4_post", _t4 - _t3)
 
     # ---- phase 5: records in site order (lastIndelEnd walk) -------------
     records: list[VCFRecord] = []
@@ -596,6 +615,7 @@ def call_indels_batched(
         cal.copy_number = det.ploidy
         last_indel_end = cal.last
         records.append(VCFRecord(variant=cal, calls=[cal]))
+    profiling.add("indel.p5_records", _time.perf_counter() - _t4)
     return records
 
 

@@ -39,6 +39,37 @@ def _log10_sum_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
+_SEL_LUTS: dict[int, np.ndarray] = {}
+
+
+def lik_sel_lut(max_bq: int) -> np.ndarray:
+    """Fused per-base log-likelihood table indexed by
+    `q | match << 5 | ok << 6` (q integer in [0, max_bq], max_bq <= 31).
+
+    Entries are computed with the exact inline expressions of the
+    likelihood passes (10.0 ** (-0.1 * q), np.log10, float64), so a LUT
+    gather is bit-identical to evaluating them per base — it just removes
+    ~10M pow/log10 calls per bench run from the hot indel path:
+      value(ok=0)          = 0.0
+      value(ok=1, match=1) = log10(1 - 10^(-q/10))
+      value(ok=1, match=0) = -q/10 - log10(3)
+    """
+    assert 0 < max_bq <= 31, max_bq
+    lut = _SEL_LUTS.get(max_bq)
+    if lut is None:
+        q = np.arange(32, dtype=np.int64)
+        with np.errstate(divide="ignore"):
+            m = np.log10(1.0 - 10.0 ** (-0.1 * q))
+        s = -0.1 * q - np.log10(3.0)
+        lut = np.zeros(128, np.float64)
+        lut[64:96] = s  # ok, mismatch
+        lut[96:128] = m  # ok, match
+        lut[96 + np.minimum(max_bq, 31) + 1 :] = 0.0
+        lut[64 + np.minimum(max_bq, 31) + 1 : 96] = 0.0
+        _SEL_LUTS[max_bq] = lut
+    return lut
+
+
 MIN_RELATIVE_PROPORTION = 0.2  # ref: AlleleCallClustersBuilder.java:41
 MIN_HET_POSTERIOR = 0.51  # ref: :42
 LOG_ERROR_PROB_INDEL = float(np.log10(1e-4))
@@ -277,12 +308,12 @@ class IndelCountsHelper:
             ).astype(np.int64)
             amat = np.stack([self._allele_codes[ai] for ai in aidx])
             ok = qmat >= MIN_BASE_QS  # (mc, L)
-            e = 10.0 ** (-0.1 * qmat)
-            log_match = np.log10(1 - e)  # (mc, L)
-            log_mis = -0.1 * qmat - np.log10(3)
+            # fused LUT gather == the inline where(ok, where(match,
+            # log10(1-10^(-q/10)), -q/10-log10 3), 0) bit-for-bit
+            sel = lik_sel_lut(self.max_base_qs)
+            qsel = (qmat | (ok.astype(np.int64) << 6))[:, None, :]
             match = cmat[:, None, :] == amat[None, :, :]  # (mc, na, L)
-            per_base = np.where(match, log_match[:, None, :], log_mis[:, None, :])
-            lc = np.where(ok[:, None, :], per_base, 0.0).sum(axis=2)
+            lc = sel[qsel | (match.astype(np.int64) << 5)].sum(axis=2)
             lc = np.maximum(LOG_ERROR_PROB_INDEL, lc)
             lca[np.asarray(cidx)[:, None], np.asarray(aidx)[None, :]] = lc
         # per-call assigned allele index (exact match reconciled with the

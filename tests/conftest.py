@@ -16,3 +16,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    One pytest process compiles many hundreds of XLA:CPU programs over the
+    full suite; keeping them all loaded eventually segfaults the LLVM JIT
+    mid-compile (reproducibly at the ~194th test, independent of which
+    tests ran — both halves of the suite pass in isolation).  Dropping the
+    jit caches at module teardown bounds resident compiled code; each
+    module still reuses compilations internally."""
+    yield
+    jax.clear_caches()
