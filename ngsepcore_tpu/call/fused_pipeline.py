@@ -32,7 +32,7 @@ from ..align.reads_aligner import (
 )
 from ..core.genome import ReferenceGenome
 from ..core.sequences import RawRead, pack_reads
-from ..utils.profiling import stage
+from ..utils.profiling import enabled as profiling_enabled, stage
 from ..vcf.io import VCFRecord
 
 # a read whose single accepted placement might interact with indel
@@ -646,11 +646,13 @@ class AlignCallPipeline:
                         cigar=cigar,
                         num_mismatches=int(t1["mm"][p_]),
                     )
+                    aln._indel_calls = []  # S/M/S by construction
                     rev = bool(t1["strand"][p_])
                 else:
                     # gapless DP rows carry no cigar entry (the vectorized
                     # decode skips Python for them): single M run
                     cig = dp_store["cigar"].get(p_)
+                    single_m = cig is None
                     if cig is None:
                         cig = [(int(dp_store["mlen"][p_]), "M")]
                     aln = ReadAlignment(
@@ -659,6 +661,8 @@ class AlignCallPipeline:
                         cigar=cig,
                         num_mismatches=int(dp_store["mism"][p_]),
                     )
+                    if single_m:
+                        aln._indel_calls = []
                     rev = bool(dp_store["strand"][p_])
                 if is_block:
                     aln.read_name = (
@@ -1022,6 +1026,12 @@ class AlignCallPipeline:
                     lo = base + c0 - INDEL_PAD - max(length, c1 - c0 + 1)
                     hi = base + c1 + INDEL_PAD + max(length, c1 - c0 + 1) + read_len
                     ivs.append((lo, hi))
+            if profiling_enabled():
+                import sys as _sys
+
+                print(
+                    f"[nbh] host={len(host)} ivs={len(ivs)}", file=_sys.stderr
+                )
         if ivs:
             ivs.sort()
             merged = [list(ivs[0])]

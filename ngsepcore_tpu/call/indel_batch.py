@@ -316,6 +316,7 @@ def call_indels_batched(
     split_g = consensus_g & (g_len >= 4) & (g_count >= 10)
     cons_only_g = consensus_g  # consensus needed for split path too
 
+    _ta = _time.perf_counter()
     cons_ids = np.nonzero(cons_only_g)[0]
     cons_local = np.full(len(uk), -1, np.int64)
     cons_local[cons_ids] = np.arange(len(cons_ids))
@@ -333,6 +334,8 @@ def call_indels_batched(
         np.add.at(counts5, (gb, kb, cb), 1)
         consensus_codes = np.argmax(counts5, axis=2).astype(np.int8)
 
+    profiling.add("indel.p2a_consensus", _time.perf_counter() - _ta)
+    _ta = _time.perf_counter()
     # reference string per site
     ref_codes_seq = genome.sequences[seq_idx].codes
     # per-site allele string lists (reference first)
@@ -362,10 +365,20 @@ def call_indels_batched(
             if split_g[g]:
                 continue  # handled by the scalar split below
             contrib[s_].append(cstr)
-    # scalar fallback for haplotype-splitting groups
-    for i, g in enumerate(np.nonzero(split_g)[0]):
+    profiling.add("indel.p2b_strings", _time.perf_counter() - _ta)
+    _ta = _time.perf_counter()
+    # scalar fallback for haplotype-splitting groups; one argsort gives
+    # every group's row slice (903 per-group nonzero scans of the full
+    # pair table were the phase-2 hot spot)
+    split_ids = np.nonzero(split_g)[0]
+    if len(split_ids):
+        p_order = np.argsort(g_of_pair, kind="stable")
+        g_sorted = g_of_pair[p_order]
+        g_lo = np.searchsorted(g_sorted, split_ids, side="left")
+        g_hi = np.searchsorted(g_sorted, split_ids, side="right")
+    for i, g in enumerate(split_ids):
         s_ = int(g_site[g])
-        rows = np.nonzero(g_of_pair == g)[0]
+        rows = p_order[g_lo[i] : g_hi[i]]
         o2 = np.lexsort((sk_gord[rows], sk_first[rows]))
         calls_l = [
             SpanningCall(
@@ -381,6 +394,8 @@ def call_indels_batched(
             sorted(_split_by_variant_sites(calls_l, cstr, max_bq))
         )
 
+    profiling.add("indel.p2c_splits", _time.perf_counter() - _ta)
+    _ta = _time.perf_counter()
     # assemble per-site allele lists: [ref] + sorted(others)
     allele_strs: list[list[str]] = []
     scalar_sites: list[int] = []
@@ -417,8 +432,17 @@ def call_indels_batched(
             a_codes[t, :L] = enc[o : o + L]
             o += L
 
+    profiling.add("indel.p2d_tables", _time.perf_counter() - _ta)
     _t2 = _time.perf_counter()
     profiling.add("indel.p2_alleles", _t2 - _t1)
+    if profiling.enabled():
+        import sys as _sys
+
+        print(
+            f"[indel sizes] S={S} P={P} T={T} Lmax={Lmax} "
+            f"splits={int(split_g.sum())} scalar_sites={len(scalar_sites)}",
+            file=_sys.stderr,
+        )
 
     # ---- phase 3: likelihoods + assignment + logcond --------------------
     ERR = LOG_ERROR_PROB_INDEL
@@ -506,6 +530,10 @@ def call_indels_batched(
 
     _t3 = _time.perf_counter()
     profiling.add("indel.p3_lik", _t3 - _t2)
+    if profiling.enabled():
+        import sys as _sys
+
+        print(f"[indel sizes] J={J}", file=_sys.stderr)
 
     # ---- phase 4: posteriors + decision ---------------------------------
     ns = np.maximum(n_s, 1)

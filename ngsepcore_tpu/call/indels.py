@@ -141,37 +141,32 @@ def _split_by_variant_sites(
     cons_codes = encode_dna(consensus)
     mat = np.stack([c.codes for c in calls])
     quals = np.stack([np.minimum(c.qualities, max_base_qs) for c in calls])
-    m = mat.shape[1]
-    het_post = np.zeros(m)
+    n, m = mat.shape
     C = snv_contribution_table(4, 0.5)
-    for i in range(m):
-        cc = cons_codes[i]
-        if cc >= 4:
-            continue
-        col = mat[:, i]
-        if np.all(col == cc):
-            continue
-        # per-column CountsHelper with 4 bases
-        logcond = np.zeros((4, 4))
-        for a, q in zip(col, quals[:, i]):
-            if a >= 4 or q <= MIN_BASE_QS:
-                continue
-            logcond += C[a, min(int(q), 30)]
-        het_rate = HET_RATE_DIPLOID
-        prior = np.where(
-            np.eye(4, dtype=bool),
-            np.log10((1 - het_rate) / 4),
-            np.log10(het_rate / 12),
-        )
-        ev = logcond + prior
-        rel = ev - ev.max()
-        p = np.where(rel < -20, 0.0, 10.0 ** rel)
-        post = p / p.sum()
-        best = 0.0
-        for k in range(4):
-            if k != cc:
-                best = max(best, post[cc][k] + post[k][cc])
-        het_post[i] = best
+    # all columns at once: logcond[i] = sum over valid rows of C[a, q]
+    valid = (mat < 4) & (quals > MIN_BASE_QS)
+    a_ = np.where(valid, mat, 0).astype(np.int64)
+    q_ = np.minimum(np.where(valid, quals, 0), 30).astype(np.int64)
+    contribs = C[a_, q_]  # (n, m, 4, 4)
+    contribs[~valid] = 0.0
+    logcond = contribs.sum(axis=0)  # (m, 4, 4)
+    het_rate = HET_RATE_DIPLOID
+    prior = np.where(
+        np.eye(4, dtype=bool),
+        np.log10((1 - het_rate) / 4),
+        np.log10(het_rate / 12),
+    )
+    ev = logcond + prior[None]
+    rel = ev - ev.reshape(m, -1).max(axis=1)[:, None, None]
+    p = np.where(rel < -20, 0.0, 10.0 ** rel)
+    post = p / p.reshape(m, -1).sum(axis=1)[:, None, None]
+    cc_ = np.clip(cons_codes[:m], 0, 3).astype(np.int64)
+    ar = np.arange(m)
+    pair = post[ar, cc_, :] + post[ar, :, cc_]  # (m, 4): het vs base k
+    pair[ar, cc_] = 0.0  # k == consensus excluded (best starts at 0)
+    het_post = pair.max(axis=1)
+    skip = (cons_codes[:m] >= 4) | np.all(mat == cons_codes[None, :m], axis=0)
+    het_post[skip] = 0.0
     var_sites = np.nonzero(het_post >= MIN_HET_POSTERIOR)[0]
     if len(var_sites) == 0:
         return {consensus}
