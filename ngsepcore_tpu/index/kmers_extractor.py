@@ -17,7 +17,6 @@ import numpy as np
 from ..core.sequences import pack_reads
 from ..io.fasta import FastaFileReader
 from ..io.fastq import FastqFileReader
-from ..kernels.kmers import count_batch_kmers
 from ..math.distribution import Distribution
 from .kmers_map import KmersMap
 
@@ -44,12 +43,19 @@ class KmersExtractor:
 
     # -- batch device path -------------------------------------------------
     def _count_packed(self, codes: np.ndarray, lengths: np.ndarray) -> None:
-        uniq, counts, n_unique = count_batch_kmers(
-            codes, lengths, self.kmer_length, both_strands=not self.only_forward_strand
+        from ..kernels.kmers import sort_batch_kmers
+
+        # sort-only on device: the run compaction (jnp.nonzero at 24M
+        # lanes) was ~2/3 of the former device wall; spectrum and distinct
+        # count come straight off the sorted array and the RLE runs
+        # host-side only when the code/count arrays are actually read
+        s, n_valid, n_unique = sort_batch_kmers(
+            codes, lengths, self.kmer_length,
+            both_strands=not self.only_forward_strand,
         )
-        # batches stay device-resident; KmersMap fetches lazily on first
-        # host access (distribution + distinct-count never need the fetch)
-        self.kmers_map.merge_batch_device(uniq, counts, int(n_unique))
+        self.kmers_map.merge_sorted_batch_device(
+            s, int(n_valid), int(n_unique)
+        )
 
     def process_codes_list(self, code_arrays: list[np.ndarray]) -> None:
         """Count k-mers of raw code arrays (variable length), chunking long ones."""

@@ -28,6 +28,7 @@ class KmersMap:
         self._codes = np.empty(0, dtype=np.int64)
         self._counts = np.empty(0, dtype=np.int32)
         self._pending: list = []  # [(dev_uniq, dev_counts, n)]
+        self._pending_sorted: list = []  # [(dev_sorted, n_valid, n_unique)]
 
     # ---- lazy device-resident batches --------------------------------
     @property
@@ -54,8 +55,21 @@ class KmersMap:
         if n:
             self._pending.append((uniq_dev, counts_dev, int(n)))
 
+    def merge_sorted_batch_device(
+        self, sorted_dev, n_valid: int, n_unique: int
+    ) -> None:
+        """Record a device-resident SORTED code run (duplicates still in
+        place, invalids as the sentinel tail — kernels/kmers.sort_codes).
+        Spectrum + distinct-count queries run on the sorted array directly
+        (scatter-free); the run-length encoding happens host-side only if
+        the code/count arrays are actually accessed."""
+        if n_valid:
+            self._pending_sorted.append(
+                (sorted_dev, int(n_valid), int(n_unique))
+            )
+
     def _materialize(self) -> None:
-        if not self._pending:
+        if not self._pending and not self._pending_sorted:
             return
         import jax
 
@@ -65,11 +79,23 @@ class KmersMap:
                 np.asarray(jax.device_get(u[:n]), dtype=np.int64),
                 np.asarray(jax.device_get(c[:n]), dtype=np.int32),
             )
+        pend_s, self._pending_sorted = self._pending_sorted, []
+        for s, n_valid, _nu in pend_s:
+            sv = np.asarray(jax.device_get(s[:n_valid]), dtype=np.int64)
+            starts = np.empty(len(sv), dtype=bool)
+            starts[0] = True
+            np.not_equal(sv[1:], sv[:-1], out=starts[1:])
+            pos = np.nonzero(starts)[0]
+            cnt = np.diff(np.append(pos, len(sv)))
+            self.merge_batch(sv[pos], cnt.astype(np.int32))
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
-        if self._pending and not len(self._codes) and len(self._pending) == 1:
-            return self._pending[0][2]
+        if not len(self._codes):
+            if len(self._pending) == 1 and not self._pending_sorted:
+                return self._pending[0][2]
+            if len(self._pending_sorted) == 1 and not self._pending:
+                return self._pending_sorted[0][2]
         self._materialize()
         return len(self._codes)
 
@@ -132,14 +158,23 @@ class KmersMap:
         (KmersMap.calculateAbundancesDistribution).  With a single
         device-resident batch the histogram computes on device and only
         max_count+1 integers cross the host link."""
-        if self._pending and not len(self._codes) and len(self._pending) == 1:
-            import jax
-            import jax.numpy as jnp
+        if not len(self._codes):
+            if len(self._pending) == 1 and not self._pending_sorted:
+                import jax
+                import jax.numpy as jnp
 
-            _u, c, n = self._pending[0]
-            clipped = jnp.clip(c[:n], 0, max_count)
-            hist = jnp.bincount(clipped, length=max_count + 1)
-            return np.asarray(jax.device_get(hist), dtype=np.int64)
+                _u, c, n = self._pending[0]
+                clipped = jnp.clip(c[:n], 0, max_count)
+                hist = jnp.bincount(clipped, length=max_count + 1)
+                return np.asarray(jax.device_get(hist), dtype=np.int64)
+            if len(self._pending_sorted) == 1 and not self._pending:
+                import jax
+
+                from ..kernels.kmers import spectrum_from_sorted
+
+                s, _nv, _nu = self._pending_sorted[0]
+                dist = spectrum_from_sorted(s, max_count=max_count)
+                return np.asarray(jax.device_get(dist), dtype=np.int64)
         clipped = np.minimum(self.counts, max_count)
         return np.bincount(clipped, minlength=max_count + 1)
 

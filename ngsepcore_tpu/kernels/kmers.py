@@ -193,6 +193,74 @@ def sort_count_codes(flat_codes: jnp.ndarray, valid: jnp.ndarray):
     return uniq, counts, n_unique
 
 
+@jax.jit
+def sort_codes(flat_codes: jnp.ndarray, valid: jnp.ndarray):
+    """Sort a flat code vector (invalids to the sentinel max, so they land
+    at the tail) and count valid entries + distinct runs.  This is the
+    cheap half of `sort_count_codes`: no run compaction (the
+    jnp.nonzero(size=n) there costs ~70ms/1M lanes on this chip — ~1.7s at
+    genome scale), so spectrum queries can stay sort-only and the RLE can
+    run host-side at materialization time."""
+    sentinel = jnp.iinfo(flat_codes.dtype).max
+    keyed = jnp.where(valid, flat_codes, sentinel)
+    s = jnp.sort(keyed)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    is_start = (
+        jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]]) & (s != sentinel)
+    )
+    n_unique = jnp.sum(is_start.astype(jnp.int32))
+    return s, n_valid, n_unique
+
+
+@partial(jax.jit, static_argnames=("max_count",))
+def spectrum_from_sorted(s: jnp.ndarray, *, max_count: int = 200):
+    """Count distribution from a sorted code array, scatter-free.
+
+    dist[c] = number of distinct codes occurring exactly c times (counts
+    clipped at max_count, like KmersMap.count_distribution).  Uses the
+    run-length identity  #runs(len >= c) = #run-starts i with
+    s[i+c-1] == s[i]: each c is one shifted compare + reduce — no
+    jnp.nonzero, no scatter, ~3 streaming passes over s per c.
+
+    Ref: KmersMap.calculateAbundancesDistribution (the reference scans its
+    short[4^k] once; here the sorted layout makes each abundance class one
+    vector reduction)."""
+    n = s.shape[0]
+    sentinel = jnp.iinfo(s.dtype).max
+    starts = (
+        jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]]) & (s != sentinel)
+    )
+    ge = []  # ge[j] = #runs with length >= j+1
+    for c in range(1, max_count + 1):
+        if c == 1:
+            ge.append(jnp.sum(starts.astype(jnp.int32)))
+        elif c <= n:
+            eq = s[: n - c + 1] == s[c - 1 :]
+            ge.append(jnp.sum((starts[: n - c + 1] & eq).astype(jnp.int32)))
+        else:
+            ge.append(jnp.zeros((), jnp.int32))
+    ge_v = jnp.stack(ge)
+    dist = jnp.zeros(max_count + 1, jnp.int64)
+    eq_counts = ge_v[:-1] - ge_v[1:]  # exactly c for c = 1..max_count-1
+    dist = dist.at[1:max_count].set(eq_counts.astype(jnp.int64))
+    dist = dist.at[max_count].set(ge_v[-1].astype(jnp.int64))
+    return dist
+
+
+@partial(jax.jit, static_argnames=("k", "both_strands"))
+def sort_batch_kmers(codes, lengths, k: int, both_strands: bool = True):
+    """Extract + sort on device, deferring run compaction (see sort_codes)."""
+    if both_strands:
+        fwd, rev, ok = kmer_codes_both_strands(codes, lengths, k)
+        flat = jnp.concatenate([fwd.reshape(-1), rev.reshape(-1)])
+        mask = jnp.concatenate([ok.reshape(-1), ok.reshape(-1)])
+    else:
+        fwd, ok = kmer_codes(codes, lengths, k)
+        flat = fwd.reshape(-1)
+        mask = ok.reshape(-1)
+    return sort_codes(flat, mask)
+
+
 @partial(jax.jit, static_argnames=("k", "both_strands"))
 def count_batch_kmers(codes, lengths, k: int, both_strands: bool = True):
     """Full per-batch k-mer counting: extract + sort + RLE on device."""
