@@ -31,7 +31,7 @@ from ..variants.model import (
     TYPE_MULTIALLELIC_SNV,
 )
 from ..vcf.io import VCFFileWriter, VCFRecord
-from .pileup import cap_alignments_per_start, expand_batch_calls
+from .pileup import cap_alignments_per_start
 from .single_sample import DEF_MIN_MQ, DEF_MIN_QUALITY, _window_for
 
 
@@ -107,56 +107,70 @@ class MultisampleVariantsDetector:
         pooled = [a for alns in per_sample for a in alns]
         sites = IndelRealigner(self.genome, seq_idx).realign(pooled)
         indel_records = self._call_indels(seq_idx, seq_name, per_sample, samples, sites)
-        expanded = [expand_batch_calls(alns, collect_indels=False) for alns in per_sample]
         seq_len = self.genome.sequence_length(seq_idx)
         ref_codes = self.genome.sequences[seq_idx].codes
         contribution = np.asarray(self._contribution)
         het = np.float64(self.heterozygosity_rate)
         minq = np.int32(self.min_quality)
         out: list[VCFRecord] = []
-        sorted_calls = []
-        for pos, allele, qual, strand, _ in expanded:
-            order = np.argsort(pos, kind="stable")
-            sorted_calls.append(
-                (pos[order], allele[order], qual[order], strand[order])
-            )
+        # per-sample device expansion (aln_table.device_calls): the run
+        # table + flat codes/quals upload once per sample; expansion,
+        # packing and the position sort all happen on device — the former
+        # host expand_batch_calls + argsort of ~6M calls per sample is the
+        # reason this stage lagged the flagship's call path
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from .aln_table import AlnTable
+
         window = _window_for(seq_len)
-        for w0 in range(1, seq_len + 1, window):
+        w_starts = list(range(1, seq_len + 1, window))
+        devcs = []
+        bounds = []
+        edges = np.array(w_starts + [seq_len + 1], np.int32)
+        for alns in per_sample:
+            devc = AlnTable(alns).device_calls() if alns else None
+            devcs.append(devc)
+            bounds.append(
+                np.asarray(
+                    _jax.device_get(
+                        jnp.searchsorted(devc["pos"], jnp.asarray(edges))
+                    )
+                )
+                if devc is not None
+                else None
+            )
+        for wi, w0 in enumerate(w_starts):
             w1 = min(seq_len, w0 + window - 1)
             ref_win = np.full(window, 4, dtype=np.int8)
             ref_win[: w1 - w0 + 1] = ref_codes[w0 - 1 : w1]
             results = []
             any_calls = False
             from ..kernels.genotyping import (
-                accumulate_allele_counts,
+                accumulate_sorted_calls,
                 genotype_window_from_counts,
                 init_count_tensors,
             )
 
             CALL_CHUNK = 1 << 18
             for s in range(n_samples):
-                pos, allele, qual, strand = sorted_calls[s]
-                lo = np.searchsorted(pos, w0, side="left")
-                hi = np.searchsorted(pos, w1, side="right")
+                devc = devcs[s]
+                if devc is None:
+                    results.append(None)
+                    continue
+                lo, hi = int(bounds[s][wi]), int(bounds[s][wi + 1])
                 if hi <= lo:
                     results.append(None)
                     continue
                 any_calls = True
                 counts, strand_counts, low_qual, total = init_count_tensors(window)
                 for c0 in range(lo, hi, CALL_CHUNK):
-                    c1 = min(hi, c0 + CALL_CHUNK)
-                    n = c1 - c0
-                    rel = np.full(CALL_CHUNK, -1, np.int32)
-                    rel[:n] = (pos[c0:c1] - w0).astype(np.int32)
-                    al = np.full(CALL_CHUNK, -1, np.int8)
-                    al[:n] = allele[c0:c1]
-                    qu = np.zeros(CALL_CHUNK, np.int8)
-                    qu[:n] = qual[c0:c1]
-                    st = np.zeros(CALL_CHUNK, np.int8)
-                    st[:n] = strand[c0:c1]
                     counts, strand_counts, low_qual, total = (
-                        accumulate_allele_counts(
-                            counts, strand_counts, low_qual, total, rel, al, qu, st
+                        accumulate_sorted_calls(
+                            counts, strand_counts, low_qual, total,
+                            devc["pos"], devc["attr"], np.int32(c0),
+                            np.int32(w0), np.int32(min(hi, c0 + CALL_CHUNK) - c0),
+                            size=CALL_CHUNK,
                         )
                     )
                 results.append(

@@ -264,6 +264,50 @@ def accumulate_allele_counts_packed(
     return _packed_scatter_body(counts, strand_counts, low_qual, total, packed)
 
 
+@partial(
+    jax.jit,
+    donate_argnames=("counts", "strand_counts", "low_qual", "total"),
+    static_argnames=("size",),
+)
+def accumulate_sorted_calls(
+    counts: jnp.ndarray,  # (W, n, Q) int32
+    strand_counts: jnp.ndarray,  # (W, n, 2) int32
+    low_qual: jnp.ndarray,  # (W,) int32
+    total: jnp.ndarray,  # (W,) int32
+    pos: jnp.ndarray,  # (N,) int32 device-resident sorted 1-based positions
+    attr: jnp.ndarray,  # (N,) int32 qual(5b) | allele<<5 | strand<<8
+    lo: jnp.ndarray,  # scalar int32: first call index of this chunk
+    w0: jnp.ndarray,  # scalar int32: window start (1-based)
+    count: jnp.ndarray,  # scalar int32: calls in this chunk
+    *,
+    size: int,
+):
+    """Scatter one chunk of the device-expanded sorted call arrays
+    (aln_table.device_calls / kernels.expand_mrun_calls) straight into
+    (W, n, Q) count tensors — the multisample analog of the flagship's
+    packed path: no host expansion, no per-chunk host repacking; only two
+    int32 scalars and the chunk geometry cross the link per dispatch.
+    Same update semantics as accumulate_allele_counts (N alleles index
+    out of bounds and drop from counts while still reaching total)."""
+    out_size = counts.shape[0]
+    k = jnp.arange(size, dtype=jnp.int32)
+    idx = jnp.clip(lo + k, 0, pos.shape[0] - 1)
+    a = attr[idx]
+    rel = pos[idx] - w0
+    valid = (k < count) & (a >= 0) & (rel >= 0) & (rel < out_size)
+    q = a & 31
+    al = (a >> 5) & 7
+    st = (a >> 8) & 1
+    low = valid & (q <= MIN_BASE_QS)
+    ok = valid & (q > MIN_BASE_QS)
+    p = jnp.where(valid, rel, 0)
+    counts = counts.at[p, al, q].add(ok.astype(jnp.int32))
+    strand_counts = strand_counts.at[p, al, st].add(ok.astype(jnp.int32))
+    low_qual = low_qual.at[p].add(low.astype(jnp.int32))
+    total = total.at[p].add(valid.astype(jnp.int32))
+    return counts, strand_counts, low_qual, total
+
+
 def _tier1_scatter_body(
     counts, strand_counts, low_qual, total,
     codes, quals, lengths, keep, pred, cs, ce, strand,
